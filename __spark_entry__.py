@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over ``auto_vectordb_spark.plans.parity.REGISTRY`` — every
+operator from SURVEY.md §2 (plus north-star extensions) is defined ONCE there
+as a (Spark implementation, DuckDB oracle SQL) pair; this module just exposes
+the driver's expected surface.
 """
 
 from __future__ import annotations
@@ -13,26 +12,26 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from auto_vectordb_spark.plans.parity import REGISTRY
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: hybrid BM25 + vector-cosine top-k search (reference V4,
+    the system's core retrieval path) on /root/testdata/sf0.001."""
+    return REGISTRY["hybrid_search"].spark(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.spark for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-equivalent SQL for every oracle-expressible query.
+
+    Entries absent here (ANN approximate search) are genuinely
+    non-SQL-expressible (MLlib LSH models / iterative bucket pruning); the
+    driver records rows-only checks and tests/test_ann.py gates their
+    recall@k against the exact oracle instead.
     """
-    return {}
+    return {name: q.sql for name, q in REGISTRY.items() if q.sql is not None}

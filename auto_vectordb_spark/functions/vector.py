@@ -1,0 +1,60 @@
+"""Vector (embedding) column expressions — JVM-side, no Python in the hot path.
+
+The reference stores 1024-d embeddings and delegates similarity to
+Elasticsearch kNN (/root/reference/backend/process/elasticsearch_index.py:
+261-277). Here similarity is a Catalyst expression over ``array<float>``
+columns: `zip_with` + `aggregate` stay inside whole-stage codegen, so a
+crossJoin scorer runs vectorized on the JVM with zero serde. All math is done
+in DOUBLE regardless of storage type so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EMBEDDING_DIM = 1024  # reference dim (elasticsearch_index.py:41); fixtures use 64
+
+
+def as_double_array(col: Column) -> Column:
+    return col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a_i·b_i in double. DuckDB twin:
+    ``list_sum(list_transform(range(1, len(a)+1), i ->
+      CAST(a[i] AS DOUBLE) * CAST(b[i] AS DOUBLE)))``"""
+    return F.aggregate(
+        F.zip_with(as_double_array(a), as_double_array(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def dim_guard(df: DataFrame, col: str, dim: int = EMBEDDING_DIM) -> DataFrame:
+    """P6 — reject rows whose embedding isn't exactly ``dim`` floats
+    (reference rejects the query at the API layer, es_index.py:107-111;
+    at 100 TB a malformed row should fail the row, not the job)."""
+    return df.filter(F.size(F.col(col)) == dim)
+
+
+# --- DuckDB twins (SQL string builders) -----------------------------------
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"

@@ -1,0 +1,99 @@
+"""BM25 lexical retrieval as pure DataFrame algebra (reference V3 —
+ES ``match`` on page_content, /root/reference/backend/process/
+elasticsearch_index.py:249-258, which delegates scoring to Lucene).
+
+Design (scale-first):
+
+- **Index build** (:func:`build_index`): one pass over the corpus →
+  (a) ``postings``: (term, doc_id, tf) — the exploded term-frequency table,
+  partitionable by term; (b) ``doc_lens``: (doc_id, dl);
+  (c) ``stats``: broadcast-sized scalars (N, avgdl) + per-term df.
+  At 100 TB the postings table is the only big artifact and it shuffles
+  exactly once (the groupBy(term, doc_id)); df/avgdl are map-side-combined
+  aggregates.
+
+- **Query** (:func:`search`): query terms (tiny) are broadcast-joined against
+  postings — a semi-join that prunes the postings scan to matching terms
+  (partition pruning when postings are written partitioned/bucketed by term)
+  — then scored with the BM25 formula and top-k'd per query. The corpus is
+  never re-scanned at query time.
+
+Lucene's BM25: idf = ln(1 + (N - df + 0.5)/(df + 0.5)),
+score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2, b=0.75.
+Identical formula in the DuckDB oracle (plans/parity.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+from .relational import top_k_per_group
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class BM25Index:
+    postings: DataFrame   # (term, doc_id, tf)
+    doc_lens: DataFrame   # (doc_id, dl)
+    term_df: DataFrame    # (term, df)
+    n_docs: int
+    avgdl: float
+
+
+def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> BM25Index:
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    doc_lens = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
+    # Two scalars — computed once at build, broadcast into every query plan.
+    row = doc_lens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    ).collect()[0]
+    # cache: the query path joins these repeatedly
+    postings = postings.cache()
+    doc_lens = doc_lens.cache()
+    term_df = term_df.cache()
+    return BM25Index(postings, doc_lens, term_df, int(row["n"]), float(row["avgdl"]))
+
+
+def score_terms(index: BM25Index, query_terms: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score) for every doc matching ≥1 query term.
+
+    ``query_terms``: (query_id, term) — distinct terms per query, tiny →
+    broadcast. The join prunes postings to query terms before any math.
+    """
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(index.n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    qt = F.broadcast(query_terms.select("query_id", "term").distinct())
+    matched = (
+        qt.join(index.postings, "term")
+        .join(F.broadcast(index.term_df), "term")
+        .join(index.doc_lens, "doc_id")
+    )
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    score = idf * (
+        tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(index.avgdl)))
+    )
+    return matched.select(
+        "query_id", "doc_id", score.alias("term_score")
+    ).groupBy("query_id", "doc_id").agg(F.sum("term_score").alias("score"))
+
+
+def search(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k per query. ``queries``: (query_id, query_text)."""
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    scored = score_terms(index, terms)
+    return top_k_per_group(scored, ["query_id"], "score", k, tie_break="doc_id")

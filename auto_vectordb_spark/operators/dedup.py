@@ -1,0 +1,261 @@
+"""Deduplication operators for LLM training-data pipelines (north-star
+extension per BASELINE.json; the reference's only dedup is idempotent
+re-index by id / hashed_page_content identity columns,
+/root/reference/backend/process/parsing.py:110-112,
+elasticsearch_index.py:141).
+
+Five tiers, cheap → thorough, all shuffle-disciplined:
+
+1. :func:`exact_dedup` — hash-groupBy on md5(text); one shuffle on a short
+   key. The 100 TB workhorse (removes the bulk of dups first).
+2. :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash + LSH
+   banding: shingle → 60-bit stable hash → H universal hashes → min per doc
+   (ONE groupBy) → band keys → self-join *within band buckets only*. The
+   candidate join never touches the full N² space; band buckets bound it.
+3. :func:`simhash_values` / :func:`simhash_pairs` — 32-bit SimHash with
+   hamming-distance ≤ r pairing via block keys (split 32 bits into r+1
+   blocks; Pigeonhole: any pair within distance r shares ≥1 exact block →
+   equi-join on block value, then exact hamming filter).
+4. :func:`ngram_jaccard_pairs` — exact n-gram Jaccard via inverted shingle
+   index (explode distinct shingles, equi-join on shingle, count
+   intersections — never a crossJoin).
+5. :func:`embedding_neardup_pairs` — cosine near-dup over embeddings; exact
+   all-pairs for oracle-checkable sizes, LSH-bucketed at scale.
+
+All hash math uses functions/hashing.py portable primitives so every operator
+here has a DuckDB oracle twin (plans/parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vector as V
+from ..functions.text import shingles, tokenize
+
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BANDS = 4  # 4 bands × 4 rows
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: keep the lowest id per md5(text); report group size.
+
+    Output: (keep_id, n_dups, content_hash). Map-side combine makes this one
+    short-key shuffle regardless of corpus size.
+    """
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups"))
+        .select("keep_id", "n_dups", "content_hash")
+    )
+
+
+def doc_shingle_hashes(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, sh) — distinct 60-bit hashes of word k-shingles per doc."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(tokenize(F.col(text_col)), k)).alias("shingle"),
+    ).select("doc_id", H.stable_hash60(F.col("shingle")).alias("sh")).distinct()
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, mh_0..mh_{H-1}) — MinHash signature, one groupBy total.
+
+    All H permutations are computed as column expressions over the exploded
+    shingle table and min-aggregated together (map-side partial agg), so the
+    build cost is one shuffle of (doc_id → H longs), not H passes.
+    """
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k)
+    aggs = [
+        F.min(H.universal_hash(F.col("sh"), a, b)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(H.minhash_params(num_hashes))
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """LSH-banding candidate pairs: (id_a, id_b, n_bands) with id_a < id_b.
+
+    Signature split into ``bands`` bands of r = H/bands rows; docs agreeing on
+    a whole band collide. The self-join is keyed on (band_idx, band_hash) —
+    only docs in the same bucket ever meet, so at 100 TB the plan is
+    shuffle-on-bucket-key + within-bucket pairing, never N².
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_rows = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    buckets = band_rows[0]
+    for b in band_rows[1:]:
+        buckets = buckets.unionAll(b)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+def simhash_values(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+) -> DataFrame:
+    """(doc_id, simhash) — bit j set iff Σ_tokens (±1 by bit j of token hash) > 0.
+
+    Token multiset (not set) — classic SimHash weights by term frequency.
+    One explode + one groupBy; the 32 per-bit sums are map-side combined.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("token"),
+    ).select("doc_id", H.stable_hash60(F.col("token")).alias("th"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("th"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """(id_a, id_b, hamming) pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the fingerprint into max_hamming+1 blocks; any
+    qualifying pair matches exactly on ≥1 block → equi-join per block, union,
+    distinct, exact hamming filter. No crossJoin at any scale.
+    """
+    sv = simhash_values(docs, id_col, text_col, bits)
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    legs = []
+    for blk in range(nblocks):
+        shift = blk * width
+        w = width if blk < nblocks - 1 else bits - shift
+        mask = (1 << w) - 1
+        block = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
+        legs.append(sv.select("doc_id", "simhash", F.lit(blk).alias("blk"), block.alias("bval")))
+    blocks = legs[0]
+    for leg in legs[1:]:
+        blocks = blocks.unionAll(leg)
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs ≥ threshold via inverted shingle index.
+
+    jaccard = |A∩B| / (|A|+|B|−|A∩B|). The equi-join on shingle hash means
+    only docs sharing ≥1 shingle are ever paired; at scale, prune further by
+    length-band (|A|·τ ≤ |B| ≤ |A|/τ) before counting — applied here too.
+    """
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Cosine near-dup pairs ≥ threshold (exact all-pairs).
+
+    Correctness-oracle path. At 100 TB use minhash/LSH bucketing first (or
+    :func:`ivf_build` buckets) and run this within buckets; the exact kernel
+    below is the same either way.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
+        "cosine", V.cosine(F.col("va"), F.col("vb"))
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

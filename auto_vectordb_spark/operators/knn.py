@@ -1,0 +1,201 @@
+"""Vector kNN search (reference V2, /root/reference/backend/process/
+elasticsearch_index.py:261-277 — ES dense_vector knn clause).
+
+Spark has no native ANN, so this module provides the standard three-tier
+design for batch vector retrieval at scale:
+
+1. :func:`knn_exact` — broadcast the (small) query set against the corpus and
+   score with JVM-side expressions. This is the correctness oracle and, at
+   100 TB, still the right plan when the query batch is small: the corpus is
+   scanned once, never shuffled, and the per-query top-k is a
+   TakeOrderedAndProject per query id.
+2. :func:`ivf_build` / :func:`ivf_search` — IVF (inverted-file) coarse
+   quantization: corpus rows are assigned to their nearest centroid and the
+   bucket table is written partitioned by centroid id; queries probe only the
+   ``nprobe`` nearest centroids → partition pruning turns a full scan into a
+   few-percent scan. Mirrors ES's ``num_candidates`` recall/latency knob.
+3. :func:`lsh_build` / :func:`lsh_search` — MLlib BucketedRandomProjectionLSH
+   ("bulk index build" per BASELINE.json): hash tables as DataFrames.
+
+All scoring math in double; ties broken (score DESC, id ASC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from .relational import top_k_per_group
+
+
+def score_pairs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Broadcast crossJoin of queries × corpus with a similarity column.
+
+    The query side is broadcast (it's the small side by construction), so the
+    corpus — the 100 TB side — is scanned in place with zero shuffle.
+    """
+    q = F.broadcast(queries.select(F.col("query_id"), F.col(query_vec).alias("__qv")))
+    c = corpus
+    sim = {"cosine": V.cosine, "dot": V.dot}[metric](F.col("__qv"), F.col(corpus_vec))
+    return q.crossJoin(c).withColumn("score", sim).drop("__qv")
+
+
+def knn_exact(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    metric: str = "cosine",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Exact top-k per query: the V2 oracle.
+
+    ``queries`` needs columns (query_id, <query_vec>); result has
+    (query_id, <corpus_id>, score). ``round_decimals`` rounds scores BEFORE
+    ranking — with the id tie-break this makes the top-k cut deterministic
+    across engines (oracle comparability).
+    """
+    scored = score_pairs(queries, corpus, query_vec, corpus_vec, metric)
+    if round_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", round_decimals))
+    return top_k_per_group(
+        scored.select("query_id", corpus_id, "score"),
+        ["query_id"],
+        "score",
+        k,
+        tie_break=corpus_id,
+    )
+
+
+# --- IVF: centroid-bucketed approximate search ------------------------------
+
+
+def ivf_build(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus row to its nearest centroid (the "index build").
+
+    ``centroids``: (centroid_id, centroid) — typically k-means output (MLlib
+    KMeans at scale; any deterministic assignment works). Centroids are tiny →
+    broadcast; assignment is one corpus scan. At scale the result should be
+    written ``partitionBy("centroid_id")`` so search prunes partitions.
+    """
+    c = F.broadcast(
+        centroids.select(F.col("centroid_id"), F.col("centroid").alias("__cv"))
+    )
+    scored = corpus.crossJoin(c).withColumn(
+        "__csim", V.cosine(F.col(vec_col), F.col("__cv"))
+    )
+    best = top_k_per_group(scored, [corpus_id], "__csim", 1, tie_break="centroid_id")
+    return best.drop("__csim", "__cv")
+
+
+def ivf_search(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    metric: str = "cosine",
+) -> DataFrame:
+    """Probe the ``nprobe`` nearest centroids per query, exact-score inside.
+
+    recall/latency knob = nprobe (≈ ES num_candidates). The semi-join on
+    centroid_id prunes the corpus scan to probed buckets only.
+    """
+    probes = knn_exact(
+        queries,
+        centroids.select(F.col("centroid_id"), F.col("centroid").alias("embedding")),
+        k=nprobe,
+        corpus_id="centroid_id",
+        metric=metric,
+    ).select("query_id", "centroid_id")
+    qv = queries.select("query_id", F.col(vec_col).alias("__qv"))
+    cand = (
+        F.broadcast(probes.join(qv, "query_id"))
+        .join(index, "centroid_id")
+        .withColumn(
+            "score", {"cosine": V.cosine, "dot": V.dot}[metric](F.col("__qv"), F.col(vec_col))
+        )
+    )
+    return top_k_per_group(
+        cand.select("query_id", corpus_id, "score"), ["query_id"], "score", k, tie_break=corpus_id
+    )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(centroid_id, centroid) — mean vector per label.
+
+    Distributed array-mean: posexplode → groupBy(label, pos) avg → re-assemble
+    ordered by position. Two shuffles on small keys; at 100 TB this is the
+    cheap part of an IVF build (k-means iterations dominate; MLlib KMeans
+    slots in here unchanged).
+    """
+    exploded = vectors.select(
+        F.col(label_col).alias("centroid_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    means = exploded.groupBy("centroid_id", "pos").agg(F.avg("v").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "centroid_id",
+            F.transform(F.col("pm"), lambda x: x["m"]).alias("centroid"),
+        )
+    )
+
+
+# --- LSH via MLlib (random hyperplane / bucketed random projection) ---------
+
+
+def lsh_model(corpus: DataFrame, vec_col: str = "embedding", bucket_length: float = 2.0,
+              num_hash_tables: int = 3, seed: int = 42):
+    """Fit BucketedRandomProjectionLSH over the corpus (bulk index build).
+
+    Returns (model, corpus_with_vectors). Deterministic via fixed seed.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    return lsh.fit(with_vec), with_vec
+
+
+def lsh_search(
+    model,
+    indexed_corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+) -> DataFrame:
+    """approxNearestNeighbors for one query vector (euclidean distance)."""
+    from pyspark.ml.linalg import Vectors
+
+    return model.approxNearestNeighbors(
+        indexed_corpus, Vectors.dense(query_vec), k, distCol="distance"
+    )

@@ -1,0 +1,190 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video ride as opaque ``binary`` columns with typed metadata —
+the same pattern the reference uses for PDFs (whole files staged then parsed
+per page, /root/reference/backend/routers/upload.py:13-105 +
+backend/process/parsing.py:171-218). The Spark-side plumbing (schemas,
+``binaryFile`` scans, Arrow-batched mapInPandas, partition discipline) is real
+and tested; the *decoders* are stubbed behind ``DecoderRegistry`` because the
+image/audio libraries are not in this container — a production deployment
+registers real ones (PIL/torchaudio/ffmpeg) with the same signatures.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video|pdf
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("source_path", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("content_sha", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+    ]
+)
+
+
+def read_media_dir(spark, path: str) -> DataFrame:
+    """S3-analog for media: recursive binaryFile scan → MEDIA_SCHEMA.
+
+    At 100 TB binaryFile splits per file; tiny-file corpora should be
+    compacted into parquet (content as binary column) first — this reader
+    produces exactly that layout so the compaction is `df.write.parquet`.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+    )
+    return raw.select(
+        F.md5(F.col("path")).alias("media_id"),
+        F.element_at(F.split(F.element_at(F.split(F.col("path"), "/"), -1), "\\."), -1).alias(
+            "modality"
+        ),
+        F.col("content"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("path").alias("source_path"),
+        F.length(F.col("content")).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(modality: str, content: bytes | None) -> dict:
+    """Deterministic stand-in for a real decoder.
+
+    Derives pseudo width/height/duration from the content hash so tests have
+    stable, content-dependent values. A real deployment replaces this via
+    ``DecoderRegistry.register``. Raises for unknown modalities, mirroring
+    where a real decoder would fail.
+    """
+    if content is None:
+        return {}
+    h = hashlib.md5(content).digest()
+    if modality == "image":
+        return {"width": 64 + h[0] % 192, "height": 64 + h[1] % 192}
+    if modality == "audio":
+        return {"duration_s": round(0.5 + (h[2] % 600) / 10.0, 1)}
+    if modality == "video":
+        return {
+            "duration_s": round(1.0 + (h[3] % 3000) / 10.0, 1),
+            "n_frames": 24 * (1 + h[4] % 120),
+            "width": 64 + h[5] % 192,
+            "height": 64 + h[6] % 192,
+        }
+    raise NotImplementedError(
+        f"no decoder for modality {modality!r}: real image/audio libs are not "
+        "bundled; register one via DecoderRegistry.register"
+    )
+
+
+class DecoderRegistry:
+    """Pluggable per-modality decoders used inside mapInPandas batches."""
+
+    _decoders: dict[str, Callable[[bytes], dict]] = {}
+
+    @classmethod
+    def register(cls, modality: str, fn: Callable[[bytes], dict]) -> None:
+        cls._decoders[modality] = fn
+
+    @classmethod
+    def decode(cls, modality: str, content: bytes | None) -> dict:
+        if modality in cls._decoders:
+            return cls._decoders[modality](content or b"")
+        return _fake_decode(modality, content)
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Decode/feature-extract via Arrow-batched mapInPandas (1 row in → 1 out).
+
+    The UDF only ships (media_id, modality, content) per batch; metadata joins
+    back by media_id if other columns are needed — keeps Arrow batches small
+    when content is large.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                feats = DecoderRegistry.decode(modality, content)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "modality": modality,
+                        "n_bytes": len(content) if content is not None else 0,
+                        "content_sha": hashlib.sha256(content or b"").hexdigest(),
+                        "width": feats.get("width"),
+                        "height": feats.get("height"),
+                        "duration_s": feats.get("duration_s"),
+                        "n_frames": feats.get("n_frames"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in FEATURE_SCHEMA.fields],
+            )
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        batches, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 24) -> DataFrame:
+    """Video→frames expansion plan (1 row → N rows) with stubbed frame bytes.
+
+    Demonstrates the explode-shaped mapInPandas contract a real frame sampler
+    uses; frame content is a deterministic hash placeholder.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("frame_sha", T.StringType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                if modality != "video":
+                    continue
+                feats = DecoderRegistry.decode(modality, content)
+                for i in range(0, int(feats.get("n_frames") or 0), every_n):
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": i,
+                            "frame_sha": hashlib.sha256(
+                                (content or b"") + i.to_bytes(4, "big")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        batches, schema=out_schema
+    )

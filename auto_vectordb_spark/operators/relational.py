@@ -1,0 +1,102 @@
+"""Relational surface of the reference (§2.2 P1–P4, §2.4 A1–A3, §2.6 O1–O3).
+
+All thin wrappers over Catalyst operators — they exist to (a) pin the exact
+reference semantics in one place and (b) give the test-suite/oracle a stable
+import surface. Each docstring cites the reference implementation it
+re-expresses.
+
+Scale notes: every function here compiles to a plan where filters and
+projections push down to the parquet scan (verified in tests via
+``explain``); `top_k` uses TakeOrderedAndProject (no global sort); deletes
+are expressed as anti-joins, which Spark runs broadcast when the id set is
+small.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def filter_eq(df: DataFrame, column: str, value) -> DataFrame:
+    """P1/P2 — equality filter.
+
+    Reference: ``SELECT * FROM t WHERE hashed_filepath = %s``
+    (backend/process/postgres.py:321-341) and the ES term query
+    (backend/process/elasticsearch_index.py:182-189). Pushed to the scan.
+    """
+    return df.filter(F.col(column) == value)
+
+
+def project(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """P3 — column projection (postgres.py:343-363). Prunes the scan."""
+    return df.select(*columns)
+
+
+def distinct_values(df: DataFrame, column: str) -> DataFrame:
+    """A1 — distinct single column (postgres.py:356 uses a Python set)."""
+    return df.select(column).distinct()
+
+
+def count_rows(df: DataFrame) -> int:
+    """A2 — row count (routers/pg_rdb.py:154, parsing.py:238-243)."""
+    return df.count()
+
+
+def delete_by_ids(df: DataFrame, id_col: str, ids: Sequence) -> DataFrame:
+    """P4 — point delete (postgres.py:365-400), as an anti-filter.
+
+    For a handful of ids this is a pushed-down NOT-IN filter; for a large id
+    DataFrame use :func:`delete_by_df` (broadcast anti-join).
+    """
+    return df.filter(~F.col(id_col).isin(list(ids)))
+
+
+def delete_by_df(df: DataFrame, ids: DataFrame, id_col: str) -> DataFrame:
+    """P4 at scale — anti-join against an id DataFrame (broadcast if small)."""
+    return df.join(F.broadcast(ids), on=id_col, how="left_anti")
+
+
+def sort_limit(df: DataFrame, order_by: str = "id", limit: int | None = 10) -> DataFrame:
+    """O1 — ``SELECT * FROM t ORDER BY {order_by} LIMIT n`` (postgres.py:
+    292-319; default order 'id', limit 10, unlimited when None). Spark plans
+    TakeOrderedAndProject — per-partition top-n, no global sort."""
+    out = df.orderBy(order_by)
+    return out if limit is None else out.limit(limit)
+
+
+def top_k(df: DataFrame, score: Column | str, k: int, tie_break: str | None = None) -> DataFrame:
+    """O3 — global top-k by score desc with deterministic tie-break
+    (ES relevance ordering, elasticsearch_index.py:235-246; ties broken
+    score DESC, id ASC per FIXTURES.md)."""
+    score_col = F.col(score) if isinstance(score, str) else score
+    order = [score_col.desc()] + ([F.col(tie_break).asc()] if tie_break else [])
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    score: Column | str,
+    k: int,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Windowed top-k per group (our implementation of per-query retrieval,
+    SURVEY §2.8 V2/O3). One shuffle on the group key; rank prunes early."""
+    score_col = F.col(score) if isinstance(score, str) else score
+    order = [score_col.desc()] + ([F.col(tie_break).asc()] if tie_break else [])
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def idempotent_dedup(df: DataFrame, id_col: str = "id") -> DataFrame:
+    """§2.7 — ES ``_id`` overwrite semantics (elasticsearch_index.py:141):
+    re-indexing the same id is an upsert, not a duplicate."""
+    return df.dropDuplicates([id_col])

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data pipelines (north-star extension;
+the reference's text handling is limited to cleanup transforms F3–F7,
+/root/reference/backend/process/parsing.py:105-107).
+
+All pure column expressions (JVM-side, codegen) with DuckDB oracle twins:
+
+- :func:`token_stats` — token / distinct-token / char counts.
+- :func:`quality_score` — heuristic quality features (length, punctuation
+  ratio, stopword ratio, mean word length) + a composite score.
+- :func:`language_id` — n-gram/stopword-hit heuristic language guess.
+- :func:`fingerprint` — order-sensitive positional rolling hash of the token
+  stream (documents with identical token sequences collide).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions.text import tokenize
+
+# Tiny per-language marker lexicons. The goal is a *deterministic, cheap,
+# oracle-expressible* classifier of the n-gram-heuristic family, not SOTA
+# lang-id; swap in fasttext via pandas_udf for production quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "une", "des", "que"),
+    "es": ("el", "la", "los", "de", "que", "es", "una", "por"),
+    "zh": ("de", "shi", "zai", "le", "wo", "bu", "you", "ren"),
+}
+
+STOPWORDS_EN = LANG_MARKERS["en"]
+
+FINGERPRINT_PRIME = 1000000007  # < 2^30: terms sum safely in int64 for any real doc
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars_text, ttr).
+
+    ttr = type-token ratio (lexical diversity), 0 for empty docs.
+    """
+    toks = tokenize(F.col(text_col))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_text"),
+        F.when(F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks))
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+    )
+
+
+def _count_in(tokens: Column, vocab: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*vocab)))
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score in [0, 1].
+
+    Features follow the C4/Gopher-style cheap filters: document length,
+    mean word length, stopword ratio, punctuation density.
+    score = 0.25*len_ok + 0.25*word_len_ok + 0.3*stopword_ratio_clamped
+          + 0.2*(1 - punct_ratio_clamped)
+    """
+    toks = tokenize(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_stop = _count_in(toks, STOPWORDS_EN)
+    mean_wl = F.when(n_tok > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)) / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    wl_ok = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.0)
+    score = (
+        0.25 * len_ok
+        + 0.25 * wl_ok
+        + 0.3 * F.least(stop_ratio * F.lit(5.0), F.lit(1.0))
+        + 0.2 * (1.0 - F.least(punct_ratio * F.lit(5.0), F.lit(1.0)))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tok.alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_guess, lang_hits) — argmax of marker-lexicon hits.
+
+    Deterministic tie-break: higher hit count wins, then lexicographic
+    language code. 'und' when no marker hits at all.
+    """
+    toks = tokenize(F.col(text_col))
+    hit_cols = [
+        _count_in(toks, vocab).alias(f"hits_{lang}") for lang, vocab in sorted(LANG_MARKERS.items())
+    ]
+    with_hits = docs.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    guess = F.lit("und")
+    # reversed so that earlier (lexicographically smaller) languages win ties
+    for lang in reversed(langs):
+        guess = F.when(
+            (best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)
+        ).otherwise(guess)
+    return with_hits.select("doc_id", guess.alias("lang_guess"), best.alias("lang_hits"))
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — order-sensitive rolling fingerprint of the token stream.
+
+    fp = Σ_pos ( (hash60(token) mod 2^31−1)·(pos+1) mod P ) mod P with
+    P = 1000000007. Position weighting makes permuted docs differ; every term
+    is < 2^30 so the int64 sum is safe for docs up to ~2^33 tokens. The sum is
+    order-independent to *compute* (parallel-friendly) yet order-sensitive in
+    *value*. DuckDB twin uses unnest with generate_subscripts ordinality.
+    """
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    h31 = H.stable_hash60(F.col("token")) % F.lit(2147483647)
+    term = (h31 * (F.col("pos") + 1)) % F.lit(FINGERPRINT_PRIME)
+    return exploded.select("doc_id", term.alias("t")).groupBy("doc_id").agg(
+        (F.sum("t") % F.lit(FINGERPRINT_PRIME)).alias("fp")
+    )

@@ -1,0 +1,1151 @@
+"""Oracle-paired query registry.
+
+Every entry defines ONE operator/query twice from shared parameters:
+- ``spark``: (SparkSession, sf_dir) → DataFrame, built on the engine's
+  operator modules;
+- ``sql``: the equivalent DuckDB SQL (None for genuinely non-SQL ops → the
+  driver records a rows-only check).
+
+Cross-engine determinism rules used throughout (see tools/check_parity.py
+for the local verification harness):
+
+1. **No raw double aggregates.** Sums of doubles are order-sensitive; Spark
+   and DuckDB reduce in different orders. Every SUM/AVG of a computed double
+   is cent-quantized: ``CAST(round(expr * 10^s) AS BIGINT)`` per row (the
+   per-row double is bit-identical in both engines), summed exactly in
+   int64, divided by 10^s at the end → bit-identical doubles out.
+2. **Rank on rounded scores.** Similarity/BM25 scores are rounded to 6
+   decimals *before* ranking, with an id tie-break, so top-k cuts are
+   deterministic in both engines.
+3. **No raw timestamps in outputs.** Timestamps are formatted to strings
+   (Spark session TZ pinned to UTC); intervals compared in integer
+   microseconds.
+4. **Portable hashing only** (functions/hashing.py): MD5-derived 60-bit
+   integers, universal-hash MinHash family with int64-safe constants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import vector as V
+from ..operators import bm25 as BM25
+from ..operators import dedup as DD
+from ..operators import hybrid as HY
+from ..operators import knn as KNN
+from ..operators import relational as R
+from ..operators import textstats as TS
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong config);
+    floor-divide to µs — exactly what DuckDB does reading the same file."""
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the driver tables and register temp views (idempotent)."""
+    out = {}
+    for t in TABLES:
+        df = _fix_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
+
+
+@dataclass
+class ParityQuery:
+    name: str
+    spark: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # DuckDB oracle; None → rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, ParityQuery] = {}
+
+
+def _register(name: str, sql: str | None, doc: str = ""):
+    def deco(fn):
+        REGISTRY[name] = ParityQuery(name=name, spark=fn, sql=sql, doc=doc)
+        return fn
+
+    return deco
+
+
+def cents(col: F.Column, scale: int = 2) -> F.Column:
+    """Exact-sum quantization: per-row round to 10^-scale as int64."""
+    return F.round(col * F.lit(10**scale), 0).cast("long")
+
+
+def cents_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(({expr}) * {10**scale}) AS BIGINT)"
+
+
+# DuckDB token/shingle twins of functions/text.py
+TOKS_SQL = "list_filter(string_split_regex(lower({c}), '[^a-z0-9]+'), t -> t <> '')"
+SHINGLES3_SQL = (
+    "CASE WHEN len({t}) < 3 THEN [] "
+    "ELSE list_transform(range(1, len({t}) - 1), i -> array_to_string({t}[i:i+2], ' ')) END"
+)
+
+
+# =========================================================================
+# §2.1/§2.6 — scans, sort/limit (S12, O1, O2)
+# =========================================================================
+
+
+@_register(
+    "o1_sort_limit",
+    """
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           round(o_totalprice, 2) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+           o_orderpriority
+    FROM orders ORDER BY o_orderkey LIMIT 10
+    """,
+    doc="O1: SELECT * FROM t ORDER BY id LIMIT n (postgres.py:292-319)",
+)
+def o1_sort_limit(spark, sf):
+    t = load_views(spark, sf)
+    out = R.sort_limit(t["orders"], "o_orderkey", 10)
+    return out.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+        "o_orderpriority",
+    )
+
+
+# =========================================================================
+# §2.2 — projections / filters / predicates (P1–P4)
+# =========================================================================
+
+
+@_register(
+    "p1_filter_eq",
+    "SELECT doc_id, text, lang, source, n_chars FROM documents WHERE source = 'src7'",
+    doc="P1/P2: equality filter (postgres.py:321-341; ES term query)",
+)
+def p1_filter_eq(spark, sf):
+    t = load_views(spark, sf)
+    return R.filter_eq(t["documents"], "source", "src7").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@_register(
+    "p3_a1_distinct",
+    "SELECT DISTINCT source FROM documents",
+    doc="P3+A1: single-column projection + distinct (postgres.py:343-363)",
+)
+def p3_a1_distinct(spark, sf):
+    t = load_views(spark, sf)
+    return R.distinct_values(t["documents"], "source")
+
+
+@_register(
+    "p4_delete_by_ids",
+    "SELECT doc_id, source FROM documents WHERE doc_id NOT IN (1, 2, 3, 5, 8, 13)",
+    doc="P4: point delete as anti-filter (postgres.py:365-400)",
+)
+def p4_delete_by_ids(spark, sf):
+    t = load_views(spark, sf)
+    return R.delete_by_ids(t["documents"], "doc_id", [1, 2, 3, 5, 8, 13]).select(
+        "doc_id", "source"
+    )
+
+
+@_register(
+    "a2_counts_by_group",
+    """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+    doc="A1–A3 extension: grouped counts/distincts (reference computes in Python sets)",
+)
+def a2_counts_by_group(spark, sf):
+    t = load_views(spark, sf)
+    return t["documents"].groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# =========================================================================
+# §2.3/§2.4 — joins & aggregations (Spark-native extensions over TPC-H-ish)
+# =========================================================================
+
+
+@_register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum({cents_sql('l_quantity')}) AS DOUBLE) / 100 AS sum_qty,
+           CAST(sum({cents_sql('l_extendedprice')}) AS DOUBLE) / 100 AS sum_base_price,
+           CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)', 4)}) AS DOUBLE) / 10000
+             AS sum_disc_price,
+           CAST(sum({cents_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 4)}) AS DOUBLE) / 10000
+             AS sum_charge,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: scan + 2-key groupBy + quantized exact aggregates",
+)
+def q1_pricing_summary(spark, sf):
+    t = load_views(spark, sf)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100).alias("sum_base_price"),
+        (
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).cast("double")
+            / 10000
+        ).alias("sum_disc_price"),
+        (
+            F.sum(
+                cents(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")),
+                    4,
+                )
+            ).cast("double")
+            / 10000
+        ).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@_register(
+    "q3_top_revenue_orders",
+    f"""
+    WITH rev AS (
+      SELECT l.l_orderkey,
+             CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS DOUBLE) / 10000
+               AS revenue
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY l.l_orderkey
+    )
+    SELECT l_orderkey, revenue FROM rev
+    ORDER BY round(revenue, 4) DESC, l_orderkey ASC LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: 3-way join, grouped revenue, deterministic top-10",
+)
+def q3_top_revenue_orders(spark, sf):
+    t = load_views(spark, sf)
+    c = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    j = (
+        F.broadcast(c)
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    rev = j.groupBy("l_orderkey").agg(
+        (
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).cast("double")
+            / 10000
+        ).alias("revenue")
+    )
+    return rev.orderBy(F.round("revenue", 4).desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+@_register(
+    "q5_nation_revenue",
+    f"""
+    SELECT n.n_name,
+           CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS DOUBLE) / 10000
+             AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = n.n_nationkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: 6-way join with broadcast dims, grouped revenue",
+)
+def q5_nation_revenue(spark, sf):
+    t = load_views(spark, sf)
+    r = t["region"].filter(F.col("r_name") == "ASIA")
+    j = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("n_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        (
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).cast("double")
+            / 10000
+        ).alias("revenue")
+    )
+
+
+@_register(
+    "join_broadcast_part",
+    f"""
+    SELECT p.p_brand,
+           CAST(sum({cents_sql('l.l_extendedprice', 2)}) AS DOUBLE) / 100 AS gross,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
+    """,
+    doc="Broadcast dim join: fact × small part table, filter on dim",
+)
+def join_broadcast_part(spark, sf):
+    t = load_views(spark, sf)
+    p = t["part"].filter(F.col("p_size") <= 20)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100).alias("gross"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_register(
+    "topk_per_group",
+    """
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY round(o.o_totalprice, 2) DESC, o.o_orderkey ASC
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+    """,
+    doc="Windowed top-k per group (§2.5 extension; per-query retrieval shape)",
+)
+def topk_per_group(spark, sf):
+    t = load_views(spark, sf)
+    j = t["orders"].join(
+        F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey")
+    ).select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+    return R.top_k_per_group(j, ["c_mktsegment"], "o_totalprice", 3, tie_break="o_orderkey")
+
+
+@_register(
+    "set_ops",
+    """
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    doc="§2.7 set operations (absent in reference; Spark built-in)",
+)
+def set_ops(spark, sf):
+    t = load_views(spark, sf)
+    a = t["orders"].filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return a.subtract(b)  # EXCEPT (set semantics), matching the SQL oracle
+
+
+@_register(
+    "rollup_counts",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="§2.4 grouping-sets extension: ROLLUP over lineitem flags",
+)
+def rollup_counts(spark, sf):
+    t = load_views(spark, sf)
+    return t["lineitem"].rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents(F.col("l_quantity"))).cast("double") / 100).alias("sum_qty"),
+    )
+
+
+# =========================================================================
+# Events: JSON extraction, sessionization, windowed aggregation
+# =========================================================================
+
+
+@_register(
+    "events_json_extract",
+    f"""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(sum({cents_sql('value')}) AS DOUBLE) / 100 AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    doc="F12 analog: JSON prop extraction + grouped agg over events",
+)
+def events_json_extract(spark, sf):
+    t = load_views(spark, sf)
+    return (
+        t["events"]
+        .withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+        )
+    )
+
+
+@_register(
+    "events_sessionize",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    ),
+    sessioned AS (
+      SELECT user_id,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM sessioned GROUP BY user_id
+    """,
+    doc="Sessionization (gap 30min) via lag + running sum — streaming-shaped analytics",
+)
+def events_sessionize(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = t["events"].withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum({cents_sql('value')}) AS DOUBLE) / 100 AS sum_value
+    FROM events GROUP BY 1, 2
+"""
+
+
+@_register(
+    "events_hourly",
+    EVENTS_HOURLY_SQL,
+    doc="Tumbling 1h window aggregation (batch form of streaming windowed agg)",
+)
+def events_hourly(spark, sf):
+    t = load_views(spark, sf)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "streaming_hourly",
+    EVENTS_HOURLY_SQL,
+    doc="SAME aggregation executed as a Structured Streaming query (file source "
+    "→ watermark → window → memory sink); oracle-checked against the batch SQL "
+    "— proves batch/stream semantic parity (SURVEY §2.9 extension)",
+)
+def streaming_hourly(spark, sf):
+    import uuid as _uuid
+
+    from ..streaming.pipeline import run_stream_to_memory, stream_files, windowed_event_counts
+
+    batch = spark.read.parquet(f"{sf}/events.parquet")
+    stream = _fix_nanos(stream_files(spark, sf, batch.schema, glob="events.parquet"))
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    name = f"stream_hourly_{_uuid.uuid4().hex[:8]}"
+    q = run_stream_to_memory(agg, name)
+    q.stop()
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+# =========================================================================
+# Ingest: canonical chunk derivation (S8, F1–F8) + multimodal plumbing
+# =========================================================================
+
+_CHUNK_TS = "2024-06-01 00:00:00"
+
+
+@_register(
+    "ingest_chunks",
+    """
+    WITH src AS (
+      SELECT doc_id, text, lang, source,
+             'uploaded/' || lang || '/' || source || '/doc_' || CAST(doc_id AS VARCHAR)
+               || '.pdf' AS filepath
+      FROM documents
+    )
+    SELECT md5(concat_ws('#', filepath, CAST(doc_id AS VARCHAR))) AS id,
+           text AS page_content,
+           'doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS filename,
+           filepath,
+           md5('doc_' || CAST(doc_id AS VARCHAR) || '.pdf') AS hashed_filename,
+           md5(filepath) AS hashed_filepath,
+           md5(text) AS hashed_page_content,
+           '0' AS page,
+           lang AS lv1_cat,
+           source AS lv2_cat,
+           '' AS lv3_cat,
+           '' AS lv4_cat,
+           '2024-06-01 00:00:00' AS created_at_s
+    FROM src
+    """,
+    doc="S8+F1–F8: canonical 15-col chunk derivation — MD5 identity columns "
+    "(parsing.py:90-92), path normalize/category split (parsing.py:266-276), "
+    "deterministic ids (uuid4 in prod, parsing.py:119)",
+)
+def ingest_chunks(spark, sf):
+    from ..schema import derive_chunks
+
+    t = load_views(spark, sf)
+    docs = t["documents"].withColumn(
+        "filepath",
+        F.concat(
+            F.lit("uploaded/"),
+            F.col("lang"),
+            F.lit("/"),
+            F.col("source"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".pdf"),
+        ),
+    )
+    chunks = derive_chunks(
+        docs, id_col="doc_id", text_col="text", path_col="filepath", timestamp=_CHUNK_TS
+    )
+    return chunks.select(
+        "id",
+        "page_content",
+        "filename",
+        "filepath",
+        "hashed_filename",
+        "hashed_filepath",
+        "hashed_page_content",
+        "page",
+        "lv1_cat",
+        "lv2_cat",
+        "lv3_cat",
+        "lv4_cat",
+        F.date_format("created_at", "yyyy-MM-dd HH:mm:ss").alias("created_at_s"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    """
+    SELECT md5(source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,
+           'image' AS modality,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS content_sha,
+           CAST(64 + (CAST(('0x' || substring(md5(text), 1, 2)) AS INT) % 192) AS INT) AS width,
+           CAST(64 + (CAST(('0x' || substring(md5(text), 3, 2)) AS INT) % 192) AS INT) AS height
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary content column + Arrow-batched mapInPandas "
+    "feature extraction (decoder stubbed deterministically — real image libs "
+    "not bundled); oracle checks the full UDF round-trip via md5/sha256 math",
+)
+def multimodal_features(spark, sf):
+    from ..operators.multimodal import extract_features
+
+    t = load_views(spark, sf)
+    media = t["documents"].select(
+        F.md5(F.concat_ws("/", "source", F.col("doc_id").cast("string"))).alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = extract_features(media)
+    return feats.select("media_id", "modality", "n_bytes", "content_sha", "width", "height")
+
+
+# =========================================================================
+# Text analytics (north-star: lang-id, quality, token stats, fingerprint)
+# =========================================================================
+
+_TOKS_DOC = TOKS_SQL.format(c="text")
+
+
+@_register(
+    "text_token_stats",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DOC} AS toks, text FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+           CAST(length(text) AS INT) AS n_chars_text,
+           CASE WHEN len(toks) > 0
+                THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS ttr
+    FROM t
+    """,
+    doc="Token counting (whitespace/alnum tokenizer) + type-token ratio",
+)
+def text_token_stats(spark, sf):
+    t = load_views(spark, sf)
+    return TS.token_stats(t["documents"])
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    e AS (
+      SELECT doc_id, unnest(toks) AS token, generate_subscripts(toks, 1) AS pos
+      FROM t
+    ),
+    terms AS (
+      SELECT doc_id,
+             (({H.stable_hash60_sql('token')} % 2147483647) * pos) % {TS.FINGERPRINT_PRIME}
+               AS term
+      FROM e
+    )
+    SELECT doc_id, CAST(sum(term) % {TS.FINGERPRINT_PRIME} AS BIGINT) AS fp
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Document fingerprint: position-weighted rolling hash of token stream",
+)
+def text_fingerprint(spark, sf):
+    t = load_views(spark, sf)
+    return TS.fingerprint(t["documents"])
+
+
+def _langid_sql() -> str:
+    hits = []
+    for lang in sorted(TS.LANG_MARKERS):
+        vocab = ", ".join(f"'{w}'" for w in TS.LANG_MARKERS[lang])
+        hits.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({vocab}))) AS INT) AS hits_{lang}"
+        )
+    langs = sorted(TS.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    guess = "'und'"
+    for lang in reversed(langs):
+        guess = (
+            f"CASE WHEN best > 0 AND hits_{lang} = best THEN '{lang}' ELSE {guess} END"
+        )
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    h AS (SELECT doc_id, {', '.join(hits)} FROM t),
+    b AS (SELECT *, {best} AS best FROM h)
+    SELECT doc_id, {guess} AS lang_guess, best AS lang_hits FROM b
+    """
+
+
+@_register(
+    "text_langid",
+    _langid_sql(),
+    doc="Language-ID heuristic: marker-lexicon hit argmax (n-gram family)",
+)
+def text_langid(spark, sf):
+    t = load_views(spark, sf)
+    return TS.language_id(t["documents"])
+
+
+@_register(
+    "text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS_DOC} AS toks FROM documents),
+    feats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS INT) AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_wl
+      FROM t
+    ),
+    ratios AS (
+      SELECT doc_id, n_tokens, mean_wl,
+             CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.0 END AS wl_ok
+      FROM feats
+    )
+    SELECT doc_id, n_tokens,
+           round(mean_wl, 6) AS mean_word_len,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(0.25 * len_ok + 0.25 * wl_ok
+                 + 0.3 * least(stop_ratio * 5.0, 1.0)
+                 + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+    FROM ratios
+    """,
+    doc="Quality scoring: C4/Gopher-style cheap features + composite score",
+)
+def text_quality(spark, sf):
+    t = load_views(spark, sf)
+    return TS.quality_score(t["documents"])
+
+
+# =========================================================================
+# Deduplication (north-star: exact, MinHash-LSH, SimHash, Jaccard, cosine)
+# =========================================================================
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS keep_id, count(*) AS n_dups, md5(text) AS content_hash
+    FROM documents GROUP BY md5(text)
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text), keep lowest id "
+    "(ES _id idempotency analog, elasticsearch_index.py:141)",
+)
+def dedup_exact(spark, sf):
+    t = load_views(spark, sf)
+    return DD.exact_dedup(t["documents"])
+
+
+_SHINGLE_HASH_CTE = f"""
+    tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    shl AS (SELECT doc_id, {SHINGLES3_SQL.format(t='toks')} AS shs FROM tok),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             {H.stable_hash60_sql('unnest(shs)')} AS h
+      FROM shl
+    )
+"""
+
+
+def _minhash_min_exprs() -> list[str]:
+    return [
+        f"min({H.universal_hash_sql('h', a, b)}) AS mh_{j}"
+        for j, (a, b) in enumerate(H.minhash_params(DD.DEFAULT_NUM_HASHES))
+    ]
+
+
+@_register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLE_HASH_CTE}
+    SELECT doc_id, {', '.join(_minhash_min_exprs())}
+    FROM sh GROUP BY doc_id
+    """,
+    doc="MinHash signatures (16 portable universal hashes over 3-shingles), "
+    "one groupBy build",
+)
+def dedup_minhash_signatures(spark, sf):
+    t = load_views(spark, sf)
+    return DD.minhash_signatures(t["documents"])
+
+
+def _band_legs_sql() -> str:
+    r = DD.DEFAULT_NUM_HASHES // DD.DEFAULT_BANDS
+    legs = []
+    for bi in range(DD.DEFAULT_BANDS):
+        cols = ", ".join(f"CAST(mh_{bi * r + j} AS VARCHAR)" for j in range(r))
+        legs.append(
+            f"SELECT doc_id, {bi} AS band, md5(concat_ws('_', {cols})) AS bkey FROM sig"
+        )
+    return " UNION ALL ".join(legs)
+
+
+@_register(
+    "dedup_minhash_lsh_pairs",
+    f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sig AS (
+      SELECT doc_id, {', '.join(_minhash_min_exprs())}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_legs_sql()})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+    doc="MinHash-LSH banding (4 bands × 4 rows): candidate pairs via "
+    "band-bucket equi-join — never N²",
+)
+def dedup_minhash_lsh_pairs(spark, sf):
+    t = load_views(spark, sf)
+    return DD.minhash_lsh_pairs(t["documents"])
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s_{j}"
+        for j in range(bits)
+    )
+    val = " + ".join(f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    tk AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+    th AS (SELECT doc_id, {H.stable_hash60_sql('token')} AS h FROM tk),
+    s AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id)
+    SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM s
+    """
+
+
+@_register(
+    "dedup_simhash",
+    _simhash_sql(),
+    doc="SimHash 32-bit fingerprints (tf-weighted signed bit sums)",
+)
+def dedup_simhash(spark, sf):
+    t = load_views(spark, sf)
+    return DD.simhash_values(t["documents"])
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.12
+    """,
+    doc="Exact n-gram (3-shingle) Jaccard pairs via inverted shingle index",
+)
+def dedup_ngram_jaccard(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.ngram_jaccard_pairs(t["documents"], threshold=0.12)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {V.cosine_sql('a.embedding', 'b.embedding')} >= 0.3
+    """,
+    doc="Embedding cosine near-dup pairs (exact kernel; LSH/IVF-bucketed at scale)",
+)
+def dedup_embedding_cosine(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.embedding_neardup_pairs(t["embeddings"], threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# =========================================================================
+# Vector retrieval: exact kNN (V2), BM25 (V3), hybrid fusion (V4), ANN
+# =========================================================================
+
+_N_QUERY_VECS = 5
+_KNN_K = 10
+
+
+def _knn_sql(metric_sql: str) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round({metric_sql}, 6) AS score
+      FROM q CROSS JOIN embeddings c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """
+
+
+@_register(
+    "knn_exact_cosine",
+    _knn_sql(V.cosine_sql("qv", "c.embedding")),
+    doc="V2 exact: broadcast queries × corpus, JVM-side cosine, windowed "
+    "top-k (ES knn clause, elasticsearch_index.py:261-277)",
+)
+def knn_exact_cosine(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return KNN.knn_exact(queries, t["embeddings"], k=_KNN_K, round_decimals=6)
+
+
+@_register(
+    "knn_exact_dot",
+    _knn_sql(V.dot_sql("qv", "c.embedding")),
+    doc="V2 exact, dot-product metric",
+)
+def knn_exact_dot(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return KNN.knn_exact(queries, t["embeddings"], k=_KNN_K, metric="dot", round_decimals=6)
+
+
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "spark join filter"),
+    (1, "window agg stream table"),
+    (2, "customer order line value"),
+]
+
+
+def _bm25_score_cte(queries: list[tuple[int, str]]) -> str:
+    """CTEs computing (query_id, doc_id, score) — Lucene-style BM25."""
+    qvals = ", ".join(f"({i}, '{s}')" for i, s in queries)
+    toks_q = TOKS_SQL.format(c="query_text")
+    return f"""
+    tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    tf0 AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    postings AS (SELECT term, doc_id, count(*) AS tf FROM tf0 GROUP BY term, doc_id),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    qraw AS (SELECT * FROM (VALUES {qvals}) AS v(query_id, query_text)),
+    qt AS (
+      SELECT DISTINCT query_id, unnest({toks_q}) AS term FROM qraw
+    ),
+    matched AS (
+      SELECT qt.query_id, p.doc_id,
+             ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * ({BM25.K1} + 1.0))
+             / (p.tf + {BM25.K1} * (1.0 - {BM25.B} + {BM25.B} * d.dl / s.avgdl))
+               AS term_score
+      FROM qt
+      JOIN postings p ON p.term = qt.term
+      JOIN tdf t ON t.term = qt.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+      FROM matched GROUP BY query_id, doc_id
+    )
+    """
+
+
+@_register(
+    "bm25_topk",
+    f"""
+    WITH {_bm25_score_cte(BM25_QUERIES)},
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM bm25
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="V3 BM25 lexical top-k: postings/df/dl statistics tables + Lucene "
+    "formula as DataFrame algebra (ES match, elasticsearch_index.py:249-258)",
+)
+def bm25_topk(spark, sf):
+    t = load_views(spark, sf)
+    from ..functions.text import tokenize
+
+    index = BM25.build_index(t["documents"])
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    scored = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    return R.top_k_per_group(scored, ["query_id"], "score", _KNN_K, tie_break="doc_id")
+
+
+HYBRID_MIN_SCORE = 0.05
+_N_HYBRID_QUERIES = 3
+
+
+def _hybrid_sql() -> str:
+    """V4 weighted fusion: full-outer join of rounded BM25 and cosine legs.
+
+    Query texts come from BM25_QUERIES; query vectors are embeddings
+    vec_id 0..2 (doc_id ≡ vec_id links the corpora). Legs are rounded to 6
+    BEFORE fusing so the fused double is bit-identical across engines.
+    """
+    cos = V.cosine_sql("q.embedding", "c.embedding")
+    return f"""
+    WITH {_bm25_score_cte(BM25_QUERIES)},
+    vq AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {_N_HYBRID_QUERIES}
+    ),
+    vs AS (
+      SELECT q.query_id, c.vec_id AS doc_id, round({cos}, 6) AS knn
+      FROM vq q CROSS JOIN embeddings c
+    ),
+    fused AS (
+      SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+             COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             {HY.TEXT_BOOST} * COALESCE(b.score, 0.0)
+               + {HY.VECTOR_BOOST} * COALESCE(v.knn, 0.0) AS score
+      FROM bm25 b FULL OUTER JOIN vs v
+        ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM fused WHERE score >= {HYBRID_MIN_SCORE}
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """
+
+
+@_register(
+    "hybrid_search",
+    _hybrid_sql(),
+    doc="V4 hybrid fusion: bool-should weighted sum, text boost 1.0 / vector "
+    "boost 0.8, minimum_should_match=1 ≡ full-outer membership, min_score "
+    "cut, top-k (elasticsearch_index.py:215-306)",
+)
+def hybrid_search(spark, sf):
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    index = BM25.build_index(t["documents"])
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    vq = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    v_scores = (
+        KNN.score_pairs(vq, t["embeddings"])
+        .select("query_id", F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("score"))
+    )
+    return HY.fuse_weighted(
+        b_scores, v_scores, min_score=HYBRID_MIN_SCORE, k=_KNN_K
+    )
+
+
+# =========================================================================
+# ANN (approximate): MLlib LSH and IVF bucket pruning — rows-only checks
+# (recall gates vs the exact oracle live in tests/test_ann.py)
+# =========================================================================
+
+
+@_register(
+    "ann_ivf_topk",
+    None,
+    doc="V2 approx, IVF: label-mean centroids, nprobe=3 bucket pruning; "
+    "recall@10 vs exact oracle gated in tests (≥0.9)",
+)
+def ann_ivf_topk(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    centroids = KNN.label_centroids(emb)
+    index = KNN.ivf_build(emb, centroids)
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = KNN.ivf_search(queries, index, centroids, k=_KNN_K, nprobe=3)
+    return out.withColumn("score", F.round("score", 6))
+
+
+@_register(
+    "ann_lsh_topk",
+    None,
+    doc="V2 approx, MLlib BucketedRandomProjectionLSH approxNearestNeighbors "
+    "(bulk index build per BASELINE.json); euclidean distance, fixed seed",
+)
+def ann_lsh_topk(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    model, indexed = KNN.lsh_model(emb, bucket_length=4.0, num_hash_tables=4)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    out = KNN.lsh_search(model, indexed, qvec, k=_KNN_K)
+    return out.select(
+        "vec_id", F.round("distance", 6).alias("distance")
+    )

@@ -1,0 +1,74 @@
+"""File sources (reference S3–S9) and sinks (S7, S10, S11 analogs).
+
+Reference behaviors re-expressed:
+- S3 recursive directory scan (os.walk, parsing.py:232-236) →
+  ``binaryFile`` scan with recursiveFileLookup: distributed, splittable
+  listing instead of a driver-side generator.
+- S4 file count (parsing.py:238-243) → ``df.count()`` on the scan.
+- S8 pickle source (postgres.py:226-290) → parquet (columnar replaces
+  pickle); metadata flatten is a select.
+- S9 CSV source with utf-8-sig + NaN→'' (postgres.py:148-156) →
+  ``spark.read.csv`` + na.fill.
+- S10 batched insert sink (postgres.py:158-224, chunk=100 + rollback-and-
+  continue) → partition-parallel writes with task retry; batching is
+  Spark's job, not user code.
+- S11 ES bulk index with idempotent _id (elasticsearch_index.py:113-172) →
+  dropDuplicates(id) + write; at scale, write partitioned/bucketed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.relational import idempotent_dedup
+
+
+def scan_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """S3 — recursive file scan; returns (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def count_files(spark: SparkSession, path: str, glob: str | None = None) -> int:
+    """S4 — file count without materializing content columns (pruned scan)."""
+    return scan_files(spark, path, glob).select("path").count()
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """S8 — columnar staging source (replaces pickle of list[Document])."""
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """S9 — header CSV with the reference's null policy (NaN → '')."""
+    opts = {"header": "true", "encoding": "UTF-8", **options}
+    df = spark.read.options(**opts).csv(path)
+    return df.na.fill("")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S10 — batched table sink. Partition-level retry replaces the
+    reference's per-chunk rollback-and-continue (postgres.py:203-210)."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_index(
+    df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    partition_by: list[str] | None = None,
+) -> None:
+    """S11 — idempotent bulk index build: same-id rows collapse to one
+    (ES _id overwrite semantics, elasticsearch_index.py:141) then overwrite
+    the index location."""
+    write_table(idempotent_dedup(df, id_col), path, mode="overwrite", partition_by=partition_by)

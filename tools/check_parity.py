@@ -1,0 +1,99 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every ``queries()`` entry via Spark AND its ``oracle_sql()`` via DuckDB
+on the same sf dir, then compares row count, column names/order-insensitive
+sorted values. Exit code 1 on any mismatch.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from auto_vectordb_spark.plans.parity import REGISTRY, TABLES  # noqa: E402
+from auto_vectordb_spark.session import get_spark  # noqa: E402
+
+
+def norm_cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in idx) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cpus=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    failures = []
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark(spark, sf)
+            s_rows = sdf.collect()
+            s_cols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if q.sql is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            if len(s_rows) == 0:
+                print(f"  WARN {name}: zero rows")
+            continue
+        try:
+            res = con.execute(q.sql)
+            d_cols = [d[0] for d in res.description]
+            d_rows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        sc, sv = norm_rows(s_cols, [tuple(r) for r in s_rows])
+        dc, dv = norm_rows(d_cols, d_rows)
+        status = "ok   "
+        if sc != dc:
+            status = "FAIL "
+            print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
+        elif len(sv) != len(dv):
+            status = "FAIL "
+            print(f"FAIL  {name}: rowcount spark={len(sv)} duck={len(dv)}")
+        elif sv != dv:
+            status = "FAIL "
+            diffs = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b][:3]
+            print(f"FAIL  {name}: values differ at sorted rows {diffs}")
+            for i in diffs:
+                print(f"   spark: {sv[i]}\n   duck : {dv[i]}")
+        if status.startswith("FAIL"):
+            failures.append(name)
+        else:
+            print(f"{status} {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
+        if not s_rows:
+            print(f"  WARN {name}: zero rows")
+    print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
