@@ -39,6 +39,14 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with precomputed norms — same expression tree as :func:`cosine`
+    (dot / (na * nb)), so results are bit-identical, but the O(n²) pair stage
+    only evaluates ONE array reduction instead of three. Precompute norms
+    (and the array<double> cast) per vector BEFORE the pair join."""
+    return dot(a, b) / (norm_a * norm_b)
+
+
 def dim_guard(df: DataFrame, col: str, dim: int = EMBEDDING_DIM) -> DataFrame:
     """P6 — reject rows whose embedding isn't exactly ``dim`` floats
     (reference rejects the query at the API layer, es_index.py:107-111;

@@ -253,9 +253,70 @@ def embedding_neardup_pairs(
     :func:`ivf_build` buckets) and run this within buckets; the exact kernel
     below is the same either way.
     """
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Precompute the double cast + norm once per vector (N rows), so the
+    # O(N²) pair stage evaluates a single dot product per pair.
+    prepped = vectors.select(
+        F.col(id_col).alias("vid"),
+        V.as_double_array(F.col(vec_col)).alias("v"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = prepped.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    b = prepped.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cosine", V.cosine(F.col("va"), F.col("vb"))
+        "cosine",
+        V.cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
     )
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def embedding_neardup_pairs_blas(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """BLAS-kernel variant of :func:`embedding_neardup_pairs` (throughput path).
+
+    The full normalized matrix is broadcast (fits executor memory for the
+    within-bucket sizes this is meant for — at 100 TB you LSH/IVF-bucket
+    FIRST, then run this kernel per bucket); each partition computes
+    ``block @ M.T`` and emits only pairs ≥ threshold with id_a < id_b.
+    Last-ulp cosine differences vs the expression kernel are possible (BLAS
+    reduction order).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rows = vectors.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sc = vectors.sparkSession.sparkContext
+    bm = sc.broadcast((ids, Mn))
+
+    def part(it):
+        ids_b, Mn_b = bm.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Mn_b.T  # (block, N)
+            bids = pdf[id_col].to_numpy()
+            bi, mj = np.nonzero(S >= threshold)
+            keep = bids[bi] < ids_b[mj]
+            yield pd.DataFrame(
+                {
+                    "id_a": bids[bi][keep],
+                    "id_b": ids_b[mj][keep],
+                    "cosine": S[bi, mj][keep],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(
+        part, schema="id_a long, id_b long, cosine double"
+    )

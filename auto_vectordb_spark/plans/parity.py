@@ -1149,3 +1149,35 @@ def ann_lsh_topk(spark, sf):
     return out.select(
         "vec_id", F.round("distance", 6).alias("distance")
     )
+
+
+@_register(
+    "knn_blas_topk",
+    None,
+    doc="V2 exact via Arrow/NumPy BLAS kernel (mapInPandas block matmul + "
+    "local top-k merge) — the throughput path; semantics identical to "
+    "knn_exact_cosine up to last-ulp BLAS reduction order, so it gets a "
+    "rows-only driver check and a recall==1.0 gate in tests/test_ann.py",
+)
+def knn_blas_topk(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    out = KNN.knn_exact_blas(queries, t["embeddings"], k=_KNN_K)
+    return out.withColumn("score", F.round("score", 6))
+
+
+@_register(
+    "dedup_embedding_blas",
+    None,
+    doc="Embedding near-dup pairs via the BLAS kernel (broadcast normalized "
+    "matrix + per-partition block matmul); at 100 TB runs within LSH/IVF "
+    "buckets. Pair-set equality vs the exact kernel gated in tests",
+)
+def dedup_embedding_blas(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.embedding_neardup_pairs_blas(t["embeddings"], threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

@@ -1,0 +1,70 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headliners cover each engine pillar: columnar agg (q1), multi-join (q5),
+window top-k (topk_per_group), exact kNN (knn_exact_cosine), BM25, hybrid
+fusion, MinHash-LSH dedup, n-gram Jaccard dedup, embedding near-dup,
+sessionization, text quality scoring.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from auto_vectordb_spark.plans.parity import REGISTRY  # noqa: E402
+from auto_vectordb_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "topk_per_group",
+    "events_sessionize",
+    "knn_exact_cosine",
+    "bm25_topk",
+    "hybrid_search",
+    "dedup_minhash_lsh_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_blas",
+    "knn_blas_topk",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+    # JIT/session warmup so q1 doesn't pay session startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.spark(spark, sf_dir)
+        n = df.count() if df.isStreaming is False else -1
+        timings[name] = round(time.perf_counter() - t0, 3)
+        assert n >= 0, f"{name} returned no count"
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
