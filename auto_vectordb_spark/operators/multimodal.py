@@ -120,6 +120,14 @@ def extract_features(media: DataFrame) -> DataFrame:
     back by media_id if other columns are needed — keeps Arrow batches small
     when content is large.
     """
+    # Snapshot the registry NOW: workers import the module fresh, so runtime
+    # registrations only reach them via the pickled closure, not class state.
+    decoders = dict(DecoderRegistry._decoders)
+
+    def _decode(modality: str, content: bytes | None) -> dict:
+        if modality in decoders:
+            return decoders[modality](content or b"")
+        return _fake_decode(modality, content)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -127,7 +135,7 @@ def extract_features(media: DataFrame) -> DataFrame:
             for mid, modality, content in zip(
                 pdf["media_id"], pdf["modality"], pdf["content"]
             ):
-                feats = DecoderRegistry.decode(modality, content)
+                feats = _decode(modality, content)
                 rows.append(
                     {
                         "media_id": mid,

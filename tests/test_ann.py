@@ -1,0 +1,83 @@
+"""ANN quality gates: recall@k vs the exact oracle (BASELINE.md: ≥0.9)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import knn as KNN
+
+K = 10
+N_QUERIES = 20
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+@pytest.fixture(scope="module")
+def exact_topk(queries, emb):
+    rows = KNN.knn_exact(queries, emb, k=K).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def _recall(approx_rows, exact: dict) -> float:
+    got = {}
+    for r in approx_rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    per_q = [len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact]
+    return sum(per_q) / len(per_q)
+
+
+def test_blas_kernel_matches_exact(queries, emb, exact_topk):
+    """BLAS top-k is EXACT search — recall must be 1.0."""
+    rows = KNN.knn_exact_blas(queries, emb, k=K).collect()
+    assert _recall(rows, exact_topk) == 1.0
+
+
+def test_ivf_recall_gate(queries, emb, exact_topk):
+    """IVF recall@10 ≥ 0.9 (BASELINE.md gate).
+
+    The synthetic embeddings are nearly isotropic (max pairwise cosine ≈0.48;
+    label "clusters" are weak), so neighbors spread across buckets and high
+    recall needs a high probe fraction: measured curve on this fixture is
+    nprobe 3→0.55, 5→0.76, 7→0.89, 8→0.95. On genuinely clustered data (the
+    regime IVF is built for) low nprobe suffices; the knob mirrors ES
+    num_candidates (elasticsearch_index.py:275).
+    """
+    centroids = KNN.label_centroids(emb)
+    index = KNN.ivf_build(emb, centroids)
+    rows = KNN.ivf_search(queries, index, centroids, k=K, nprobe=8).collect()
+    r = _recall(rows, exact_topk)
+    assert r >= 0.9, f"IVF recall@{K} = {r}"
+
+
+def test_ivf_nprobe_monotonic(queries, emb, exact_topk):
+    """More probes → recall must not decrease (num_candidates knob analog)."""
+    centroids = KNN.label_centroids(emb)
+    index = KNN.ivf_build(emb, centroids)
+    recalls = []
+    for nprobe in (1, 5, 10):
+        rows = KNN.ivf_search(queries, index, centroids, k=K, nprobe=nprobe).collect()
+        recalls.append(_recall(rows, exact_topk))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] == 1.0  # nprobe = all buckets ≡ exact
+
+
+def test_lsh_returns_neighbors(spark, emb):
+    model, indexed = KNN.lsh_model(emb, bucket_length=4.0, num_hash_tables=4)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    rows = KNN.lsh_search(model, indexed, qvec, k=K).collect()
+    assert len(rows) == K
+    assert rows[0]["vec_id"] == 0  # the query vector itself is its own NN
+    dists = [r["distance"] for r in rows]
+    assert dists == sorted(dists)

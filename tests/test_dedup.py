@@ -1,0 +1,85 @@
+"""Dedup operators: exact, MinHash/LSH, SimHash, Jaccard, embedding cosine."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import dedup as DD
+
+
+def test_exact_dedup(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    out = {r["content_hash"]: (r["keep_id"], r["n_dups"]) for r in DD.exact_dedup(docs).collect()}
+    assert len(out) == 2
+    assert (1, 2) in out.values()  # keeps lowest id, counts 2
+
+
+def test_minhash_estimates_jaccard(spark):
+    """Signature agreement rate ≈ true shingle Jaccard (LSH property)."""
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    c = "completely different words having nothing in common with either text"
+    docs = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    sig = {r["doc_id"]: [r[f"mh_{j}"] for j in range(16)] for r in DD.minhash_signatures(docs).collect()}
+    agree_ab = sum(x == y for x, y in zip(sig[0], sig[1])) / 16
+    agree_ac = sum(x == y for x, y in zip(sig[0], sig[2])) / 16
+    assert agree_ab > 0.5  # true jaccard ≈ 0.83 on 3-shingles
+    assert agree_ac == 0.0
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    # a/b differ in one word out of 30 → shingle-jaccard ≈ 0.93, so at
+    # 16 hashes / 4 bands the collision probability is ≈ 99.6%; with the
+    # fixed hash seeds the outcome is deterministic.
+    base = " ".join(f"w{i}" for i in range(30))
+    a = base
+    b = base.rsplit(" ", 1)[0] + " zz"
+    c = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame([(0, a), (1, b), (2, c)], ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(docs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_pairs_vs_bruteforce(spark, sf_dir):
+    """Pigeonhole blocking must find EXACTLY the pairs with hamming<=r."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    sv = {r["doc_id"]: r["simhash"] for r in DD.simhash_values(docs).collect()}
+    brute = {
+        (i, j)
+        for i, j in itertools.combinations(sorted(sv), 2)
+        if bin(sv[i] ^ sv[j]).count("1") <= 6
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in DD.simhash_pairs(docs, max_hamming=6).collect()
+    }
+    assert got == brute
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc0 shingles: {a b c, b c d}; doc1: {a b c, b c e} → jaccard = 1/3
+    docs = spark.createDataFrame([(0, "a b c d"), (1, "a b c e")], ["doc_id", "text"])
+    out = DD.ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    assert len(out) == 1
+    assert abs(out[0]["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_embedding_neardup_kernels_agree(spark, sf_dir):
+    """BLAS kernel must produce the same pair set as the expression kernel."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in DD.embedding_neardup_pairs(emb, threshold=0.3).collect()}
+    blas = {(r["id_a"], r["id_b"]) for r in DD.embedding_neardup_pairs_blas(emb, threshold=0.3).collect()}
+    assert exact == blas
+    assert len(exact) > 0
+
+
+def test_neardup_scores_match_between_kernels(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    e = DD.embedding_neardup_pairs(emb, threshold=0.2).withColumnRenamed("cosine", "c1")
+    b = DD.embedding_neardup_pairs_blas(emb, threshold=0.2).withColumnRenamed("cosine", "c2")
+    j = e.join(b, ["id_a", "id_b"])
+    bad = j.filter(F.abs(F.col("c1") - F.col("c2")) > 1e-9).count()
+    assert bad == 0

@@ -1,0 +1,40 @@
+"""Driver-contract sanity: entry/queries/oracle_sql shape and registry health."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as E
+from auto_vectordb_spark.plans.parity import REGISTRY, TABLES
+
+
+def test_registry_shape():
+    qs, osql = E.queries(), E.oracle_sql()
+    assert len(qs) >= 30
+    assert set(osql) <= set(qs)
+    # only ANN/BLAS entries may skip the oracle
+    for name in set(qs) - set(osql):
+        assert name.startswith(("ann_", "knn_blas", "dedup_embedding_blas")), name
+
+
+def test_oracle_sql_is_valid_duckdb(sf_dir):
+    """Every oracle must at least EXPLAIN cleanly against the real views."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    for name, sql in E.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            pytest.fail(f"{name}: invalid oracle SQL: {e}")
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"query_id", "doc_id", "score"}
+
+
+def test_docs_cite_survey():
+    for name, q in REGISTRY.items():
+        assert q.doc, f"{name} has no doc string"

@@ -1,0 +1,77 @@
+"""Relational surface (P1–P4, A1–A3, O1–O3) + plan-quality assertions."""
+
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import relational as R
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_filter_eq_and_pushdown(spark, sf_dir):
+    df = R.filter_eq(_docs(spark, sf_dir), "source", "src7")
+    assert df.count() > 0
+    assert all(r["source"] == "src7" for r in df.collect())
+    # the equality predicate must reach the parquet scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "src7" in plan
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    df = R.project(_docs(spark, sf_dir), ["doc_id", "lang"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema  # big column pruned
+
+
+def test_distinct_and_counts(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    langs = {r["lang"] for r in R.distinct_values(docs, "lang").collect()}
+    assert langs == {"en", "de", "fr", "es", "zh"}
+    assert R.count_rows(docs) == 500
+
+
+def test_delete_by_ids_and_df(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = R.delete_by_ids(docs, "doc_id", [0, 1, 2])
+    assert out.count() == 497
+    ids = spark.createDataFrame([(0,), (1,), (2,)], ["doc_id"])
+    out2 = R.delete_by_df(docs, ids, "doc_id")
+    assert out2.count() == 497
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    df = R.sort_limit(orders, "o_orderkey", 5)
+    rows = df.collect()
+    assert [r["o_orderkey"] for r in rows] == sorted(r["o_orderkey"] for r in rows)
+    assert len(rows) == 5
+    # ORDER BY + LIMIT must plan TakeOrderedAndProject, not a global sort
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_top_k_per_group_ties(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 1.0), ("g", 2, 1.0), ("g", 3, 0.5), ("h", 9, 2.0)],
+        ["grp", "id", "score"],
+    )
+    out = R.top_k_per_group(df, ["grp"], "score", 1, tie_break="id").collect()
+    got = {r["grp"]: r["id"] for r in out}
+    assert got == {"g": 1, "h": 9}  # tie broken by id asc
+
+
+def test_idempotent_dedup(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["id", "v"])
+    assert R.idempotent_dedup(df, "id").count() == 2
+
+
+def test_broadcast_join_planned(spark, sf_dir):
+    """Small dim joins must go broadcast (no shuffle of the fact side)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

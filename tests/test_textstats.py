@@ -1,0 +1,44 @@
+"""Text analytics: token stats, quality, lang-id, fingerprint."""
+
+from auto_vectordb_spark.operators import textstats as TS
+
+
+def test_token_stats_values(spark):
+    docs = spark.createDataFrame([(1, "a b a c"), (2, "")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in TS.token_stats(docs).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["n_distinct_tokens"] == 3
+    assert abs(out[1]["ttr"] - 0.75) < 1e-12
+    assert out[2]["n_tokens"] == 0 and out[2]["ttr"] == 0.0
+
+
+def test_quality_score_bounds_and_monotonicity(spark):
+    good = "the cat and the dog went to the park with friends in town today"
+    bad = "!!! ??? ***"
+    docs = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    out = {r["doc_id"]: r["quality"] for r in TS.quality_score(docs).collect()}
+    assert 0.0 <= out[2] < out[1] <= 1.0
+
+
+def test_language_id(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is that big"),
+            (2, "der hund und die katze ist nicht das problem"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["lang_guess"] for r in TS.language_id(docs).collect()}
+    assert out[1] == "en" and out[2] == "de" and out[3] == "und"
+
+
+def test_fingerprint_order_sensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["fp"] for r in TS.fingerprint(docs).collect()}
+    assert out[1] == out[3]  # identical token stream → same fp
+    assert out[1] != out[2]  # permutation → different fp
+    assert all(0 <= v < TS.FINGERPRINT_PRIME for v in out.values())
