@@ -37,15 +37,21 @@ def register_backend(name: str, factory: Callable[[int], EmbedFn]) -> None:
 
 
 def hash_projection_embedder(dim: int) -> EmbedFn:
-    """Deterministic test/CI embedder: signed token-hash folding, L2-normed."""
+    """Deterministic test/CI embedder: signed token-hash folding, L2-normed.
+
+    Uses the engine's portable 60-bit MD5 hash (functions/hashing.py
+    ``stable_hash60`` semantics: first 15 hex chars, sign = bit 59) so the
+    whole embedding stage has an exact DuckDB oracle twin
+    (plans/parity.py ``embed_documents``).
+    """
 
     def embed(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dim), dtype=np.float64)
         for i, text in enumerate(texts):
             for tok in str(text or "").lower().split():
-                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
                 bucket = h % dim
-                sign = 1.0 if (h >> 62) & 1 else -1.0
+                sign = 1.0 if (h >> 59) & 1 else -1.0
                 out[i, bucket] += sign
             n = math.sqrt(float((out[i] ** 2).sum()))
             if n > 0:

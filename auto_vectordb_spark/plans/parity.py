@@ -1181,3 +1181,117 @@ def dedup_embedding_blas(spark, sf):
     t = load_views(spark, sf)
     pairs = DD.embedding_neardup_pairs_blas(t["embeddings"], threshold=0.3)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# =========================================================================
+# V1 embedding stage + S5 parse stage (pipeline.py facade coverage)
+# =========================================================================
+
+_EMBED_DIM = 64  # keep the oracle's exploded output compact at sf0.01
+
+
+@_register(
+    "embed_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    h AS (SELECT doc_id, {H.stable_hash60_sql('tok')} AS h FROM tok),
+    agg AS (
+      SELECT doc_id, h % {_EMBED_DIM} AS bucket,
+             CAST(sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+      FROM h GROUP BY doc_id, h % {_EMBED_DIM}
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM agg GROUP BY doc_id)
+    SELECT agg.doc_id, bucket,
+           round(CAST(CAST(w / n AS FLOAT) AS DOUBLE), 6) AS weight
+    FROM agg JOIN nrm ON agg.doc_id = nrm.doc_id
+    WHERE w <> 0
+    """,
+    doc="V1 embedding stage (reference parsing.py:49,95-96,113 — Ollama "
+    "bge-m3 per page → Arrow-batched pandas_udf): hash-projection embedder "
+    "verified component-by-component against a DuckDB integer-space oracle "
+    "(portable 60-bit MD5 hashes, exact signed counts, float32-rounded "
+    "weights); output exploded to non-zero (doc_id, bucket, weight)",
+)
+def embed_documents(spark, sf):
+    from ..functions.embedding import embed_udf
+
+    t = load_views(spark, sf)
+    emb = t["documents"].select(
+        "doc_id", embed_udf(_EMBED_DIM)(F.col("text")).alias("e")
+    )
+    return (
+        emb.select("doc_id", F.posexplode("e").alias("bucket", "wf"))
+        .filter(F.col("wf") != 0.0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(F.col("wf").cast("double"), 6).alias("weight"),
+        )
+    )
+
+
+@_register(
+    "pipeline_parse_pages",
+    """
+    WITH pages AS (
+      SELECT doc_id, lang, source, 0 AS page, text AS page_content FROM documents
+      UNION ALL
+      SELECT doc_id, lang, source, 1 AS page, upper(text) AS page_content FROM documents
+    ),
+    named AS (
+      SELECT *,
+             '/data/uploaded/' || lang || '/doc_' || CAST(doc_id AS VARCHAR)
+               || '.txt' AS filepath,
+             'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+             'doc_' || CAST(doc_id AS VARCHAR) AS stem
+      FROM pages
+    ),
+    built AS (
+      SELECT *,
+             'This page explains ' || stem || ' that belongs to ' || lang
+               || ' categories.' || chr(10) || page_content AS content
+      FROM named
+    )
+    SELECT md5(concat_ws('#', filepath, CAST(page AS VARCHAR))) AS id,
+           content AS page_content, filename, filepath,
+           md5(filename) AS hashed_filename,
+           md5(filepath) AS hashed_filepath,
+           md5(content) AS hashed_page_content,
+           CAST(page AS VARCHAR) AS page,
+           lang AS lv1_cat, '' AS lv2_cat, '' AS lv3_cat, '' AS lv4_cat,
+           'success' AS status
+    FROM built
+    """,
+    doc="S5 PDF-parse stage plumbing (reference parsing.py:171-218 — Docling "
+    "per-page markdown): binary content rows exploded 1→N pages via "
+    "mapInPandas (form-feed paging stand-in for the env-heavy PDF lib), then "
+    "the full F1-F8 chunk-derivation stack; oracle rebuilds every derived "
+    "column in SQL",
+)
+def pipeline_parse_pages(spark, sf):
+    from ..pipeline import VectorPipeline, text_page_parser
+
+    t = load_views(spark, sf)
+    # simulate staged binary files: 2 pages per doc, separated by form-feed
+    files = t["documents"].select(
+        F.concat(
+            F.lit("/data/uploaded/"),
+            F.col("lang"),
+            F.lit("/doc_"),
+            F.col("doc_id").cast("string"),
+            F.lit(".txt"),
+        ).alias("path"),
+        F.encode(
+            F.concat(F.col("text"), F.lit("\f"), F.upper(F.col("text"))), "utf-8"
+        ).alias("content"),
+    )
+    vp = VectorPipeline(spark, "/tmp/_unused_vp", dim=16)
+    return vp.parse_files_df(files, text_page_parser).select(
+        "id", "page_content", "filename", "filepath", "hashed_filename",
+        "hashed_filepath", "hashed_page_content", "page",
+        "lv1_cat", "lv2_cat", "lv3_cat", "lv4_cat", "status",
+    )

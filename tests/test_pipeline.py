@@ -1,0 +1,113 @@
+"""End-to-end VectorPipeline: stage → parse → embed → index → search → manage.
+
+Mirrors the reference lifecycle (SURVEY §3): upload → batch_parse_by_folder →
+insert → index/document → search → unique-filepath/delete.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.pipeline import PAGE_CHARS, VectorPipeline, text_page_parser
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("vp")
+    # source docs: two categorized files, one with form-feed pages
+    src = base / "src"
+    src.mkdir()
+    (src / "spark_intro.txt").write_text(
+        "spark is a distributed engine for large data\f"
+        "catalyst optimizes logical plans into physical plans"
+    )
+    (src / "cooking.txt").write_text("how to bake bread with flour yeast and water")
+    p = VectorPipeline(spark, str(base / "store"), dim=64)
+    p.stage_files([str(src / "spark_intro.txt")], server_path="tech/bigdata")
+    p.stage_files([str(src / "cooking.txt")], server_path="food")
+    chunks = p.embed(p.parse())
+    p.save_corpus(chunks, mode="overwrite")
+    p.build_index()
+    return p
+
+
+def test_text_parser_pages():
+    assert text_page_parser("x", b"a\fb\fc") == [(0, "a"), (1, "b"), (2, "c")]
+    long = b"x" * (PAGE_CHARS + 1)
+    assert [pg for pg, _ in text_page_parser("x", long)] == [0, 1]
+
+
+def test_parse_derives_canonical_chunks(pipe):
+    rows = {(r["filename"], r["page"]): r for r in pipe.corpus().collect()}
+    assert ("spark_intro.txt", "0") in rows and ("spark_intro.txt", "1") in rows
+    r = rows[("spark_intro.txt", "0")]
+    # F6 category split from path after uploaded/
+    assert (r["lv1_cat"], r["lv2_cat"], r["lv3_cat"]) == ("tech", "bigdata", "")
+    # F5 context prefix with stem + categories
+    assert r["page_content"].startswith(
+        "This page explains spark_intro that belongs to tech, bigdata categories."
+    )
+    # F1 md5 identity columns
+    import hashlib
+
+    assert r["hashed_filename"] == hashlib.md5(b"spark_intro.txt").hexdigest()
+    assert r["hashed_page_content"] == hashlib.md5(r["page_content"].encode()).hexdigest()
+
+
+def test_embeddings_normalized(pipe):
+    v = pipe.corpus().select("embeddings").first()["embeddings"]
+    assert len(v) == 64
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_parse_error_rows_not_abort(spark, tmp_path):
+    base = tmp_path / "store2"
+    src = tmp_path / "up"
+    src.mkdir()
+    (src / "good.txt").write_text("fine")
+    (src / "bad.txt").write_text("boom")
+
+    def flaky(path, content):
+        if "bad" in path:
+            raise RuntimeError("parse exploded")
+        return text_page_parser(path, content)
+
+    p = VectorPipeline(spark, str(base), dim=16)
+    chunks = p.parse(str(src), parser=flaky)
+    by_status = {r["status"]: r for r in chunks.collect()}
+    assert by_status["failed"]["error"] == "parse exploded"
+    assert by_status["failed"]["page_content"] is None
+    assert by_status["success"]["page_content"].endswith("fine")
+
+
+def test_hybrid_search_ranks_relevant_doc_first(pipe):
+    hits = pipe.search("catalyst optimizes plans", size=3).collect()
+    assert hits and "catalyst" in hits[0]["page_content"]
+    assert all(hits[i]["score"] >= hits[i + 1]["score"] for i in range(len(hits) - 1))
+
+
+def test_search_modes_and_guards(pipe):
+    assert pipe.search("bread flour", mode="bm25", size=2).count() >= 1
+    assert pipe.search("bread flour", mode="knn", size=2).count() == 2
+    with pytest.raises(ValueError):
+        pipe.search("x", mode="nope")
+    # min_score cuts everything at an absurd threshold
+    assert pipe.search("bread", min_score=1e9).count() == 0
+
+
+def test_management_surface(spark, tmp_path):
+    base = tmp_path / "store3"
+    src = tmp_path / "up3"
+    src.mkdir()
+    (src / "a.txt").write_text("alpha")
+    (src / "b.txt").write_text("beta")
+    p = VectorPipeline(spark, str(base), dim=16)
+    p.save_corpus(p.embed(p.parse(str(src))), mode="overwrite")
+    assert p.count() == 2
+    fps = p.distinct_filepaths()
+    assert len(fps) == 2
+    assert p.get_by_hashed_filepath(fps[0]).count() == 1
+    victim = p.corpus().first()["id"]
+    p.delete_by_ids([victim])
+    assert p.count() == 1
+    assert victim not in [r["id"] for r in p.corpus().collect()]
