@@ -96,10 +96,15 @@ def shingles(tokens: Column, k: int = 3) -> Column:
         array_to_string(toks[i:i+(k-1)], ' ')) END``
     """
     n = F.size(tokens)
+    # Built by zip_with-chaining k-1 shifted copies of the token array, not by
+    # per-position slice+join: the slice formulation allocates a k-array per
+    # shingle in interpreted eval and measured 3× slower at sf0.1 (and an
+    # element_at-by-lambda-index formulation 10× slower). Trailing positions
+    # short of k tokens produce null-padded joins trimmed by the final slice.
+    acc = tokens
+    for j in range(1, k):
+        nxt = F.slice(tokens, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda x, y: F.concat_ws(" ", x, y))
     return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
-        ),
+        n >= k, F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
     ).otherwise(F.array().cast("array<string>"))

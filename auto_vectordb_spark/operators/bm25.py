@@ -46,22 +46,30 @@ class BM25Index:
     avgdl: float
 
 
-def build_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> BM25Index:
-    tokens = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokenize(F.col(text_col))).alias("term"),
-    )
+def build_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", cache: bool = False
+) -> BM25Index:
+    """One corpus pass. ``doc_lens`` is computed per-row as the token-array
+    size — zero shuffle — and only postings pays the (term, doc_id) shuffle.
+    Within a single query job Spark's ReusedExchange serves term_df and the
+    query join from one postings computation; pass ``cache=True`` when the
+    index is queried repeatedly (e.g. the pipeline facade)."""
+    toks = tokenize(F.col(text_col))
+    tokens = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
     postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    doc_lens = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    # dl > 0 filter ≡ "docs with ≥1 token": identical population to a
+    # count-over-exploded-tokens doc_lens (the oracle's definition).
+    doc_lens = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")).filter(
+        F.col("dl") > 0
+    )
     term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
-    # Two scalars — computed once at build, broadcast into every query plan.
-    row = doc_lens.agg(
-        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    # cache: the query path joins these repeatedly
-    postings = postings.cache()
-    doc_lens = doc_lens.cache()
-    term_df = term_df.cache()
+    if cache:
+        postings = postings.cache()
+        doc_lens = doc_lens.cache()
+        term_df = term_df.cache()
+    # Two scalars — computed once at build (cheap scan: no explode), broadcast
+    # into every query plan. avg over int64 dl is exact in both engines.
+    row = doc_lens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
     return BM25Index(postings, doc_lens, term_df, int(row["n"]), float(row["avgdl"]))
 
 

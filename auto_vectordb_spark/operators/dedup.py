@@ -56,11 +56,16 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 def doc_shingle_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:
-    """(doc_id, sh) — distinct 60-bit hashes of word k-shingles per doc."""
+    """(doc_id, sh) — distinct 60-bit hashes of word k-shingles per doc.
+
+    Per-doc dedup happens with ``array_distinct`` BEFORE the explode — inside
+    the row, no shuffle — rather than a post-explode ``.distinct()`` which
+    would shuffle the full exploded shingle table.
+    """
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(shingles(tokenize(F.col(text_col)), k)).alias("shingle"),
-    ).select("doc_id", H.stable_hash60(F.col("shingle")).alias("sh")).distinct()
+        F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("shingle"),
+    ).select("doc_id", H.stable_hash60(F.col("shingle")).alias("sh"))
 
 
 def minhash_signatures(
@@ -70,13 +75,22 @@ def minhash_signatures(
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(doc_id, mh_0..mh_{H-1}) — MinHash signature, one groupBy total.
+    """(doc_id, mh_0..mh_{H-1}) — MinHash signature, one shuffle total.
 
-    All H permutations are computed as column expressions over the exploded
-    shingle table and min-aggregated together (map-side partial agg), so the
-    build cost is one shuffle of (doc_id → H longs), not H passes.
+    Explode distinct shingles, hash once, then ``repartition(doc_id)``
+    BEFORE the groupBy. The explicit repartition does double duty:
+
+    - it is the exact hash partitioning the aggregation needs, so
+      EnsureRequirements adds no second exchange — still one shuffle;
+    - it is an optimization barrier: without it Catalyst collapses the
+      md5→60-bit projection into all H min-aggregate expressions, so the
+      expensive hash is evaluated H× per shingle (measured 11× slower).
+
+    (A zero-shuffle all-array formulation — aggregate/zip_with folding per
+    row — was tried and measured ~4× slower: Spark's higher-order array
+    lambdas evaluate interpreted, per element.)
     """
-    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k)
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k).repartition(F.col("doc_id"))
     aggs = [
         F.min(H.universal_hash(F.col("sh"), a, b)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(H.minhash_params(num_hashes))
@@ -102,19 +116,21 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    band_rows = []
+    # ONE pass over the signatures: band keys as an array of structs exploded
+    # 1→bands rows. A union of per-band projections would recompute the whole
+    # shingle→minhash pipeline once per band.
+    band_structs = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(bi).alias("band"),
                 F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
             )
         )
-    buckets = band_rows[0]
-    for b in band_rows[1:]:
-        buckets = buckets.unionAll(b)
+    buckets = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -176,16 +192,18 @@ def simhash_pairs(
     sv = simhash_values(docs, id_col, text_col, bits)
     nblocks = max_hamming + 1
     width = bits // nblocks
-    legs = []
+    # Single pass + explode (see minhash_lsh_pairs): a per-block union would
+    # recompute the token→simhash aggregation nblocks times.
+    block_structs = []
     for blk in range(nblocks):
         shift = blk * width
         w = width if blk < nblocks - 1 else bits - shift
         mask = (1 << w) - 1
         block = F.shiftright(F.col("simhash"), shift).bitwiseAND(F.lit(mask))
-        legs.append(sv.select("doc_id", "simhash", F.lit(blk).alias("blk"), block.alias("bval")))
-    blocks = legs[0]
-    for leg in legs[1:]:
-        blocks = blocks.unionAll(leg)
+        block_structs.append(F.struct(F.lit(blk).alias("blk"), block.alias("bval")))
+    blocks = sv.select(
+        "doc_id", "simhash", F.explode(F.array(*block_structs)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bval").alias("bval"))
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(
@@ -216,11 +234,16 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard pairs ≥ threshold via inverted shingle index.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|). The equi-join on shingle hash means
-    only docs sharing ≥1 shingle are ever paired; at scale, prune further by
-    length-band (|A|·τ ≤ |B| ≤ |A|/τ) before counting — applied here too.
+    only docs sharing ≥1 shingle are ever paired. Set sizes are computed
+    per-row from the distinct-shingle array (no shuffle); the self-join's two
+    legs share one computation via ReusedExchange (identical subplans
+    shuffled on the same key).
     """
-    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k)
+    sizes = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k))).alias("sz"),
+    ).filter(F.col("sz") > 0)
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -289,7 +289,7 @@ class VectorPipeline:
         docs = self.corpus().dropDuplicates(["id"]).select(
             F.col("id").alias("doc_id"), F.col("page_content").alias("text")
         )
-        self._bm25 = BM25.build_index(docs, "doc_id", "text")
+        self._bm25 = BM25.build_index(docs, "doc_id", "text", cache=True)
 
     # ---- search (V2–V5, P5, P6) -------------------------------------------
 

@@ -1295,3 +1295,268 @@ def pipeline_parse_pages(spark, sf):
         "hashed_filepath", "hashed_page_content", "page",
         "lv1_cat", "lv2_cat", "lv3_cat", "lv4_cat", "status",
     )
+
+
+# =========================================================================
+# Relational widening: filters+agg, semi/anti joins, running windows,
+# grouping sets, having, percentiles, pivot, correlated-subquery shapes.
+# (All absent from the reference — SURVEY §2.3-2.5 "none" — but required of
+# a complete engine; each compiles to pushdown + broadcast/AQE-planned
+# physical joins, verified in tests/test_relational.py explain checks.)
+# =========================================================================
+
+from pyspark.sql.window import Window as _W  # noqa: E402
+
+
+@_register(
+    "q6_revenue_filter",
+    f"""
+    SELECT CAST(sum({cents_sql('l_extendedprice * l_discount', 4)}) AS DOUBLE) / 10000
+             AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: all predicates push to the parquet scan "
+    "(PushedFilters), single partial+final agg, zero joins",
+)
+def q6_revenue_filter(spark, sf):
+    t = load_views(spark, sf)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount").between(0.02, 0.09))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        (
+            F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"), 4)).cast("double")
+            / 10000
+        ).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_register(
+    "q4_semi_join",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: EXISTS ≡ left-semi join (hash semi, no row "
+    "duplication), grouped count",
+)
+def q4_semi_join(spark, sf):
+    t = load_views(spark, sf)
+    returned = t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        t["orders"]
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+@_register(
+    "anti_join_customers",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="NOT EXISTS ≡ left-anti join: customers who never ordered, per segment",
+)
+def anti_join_customers(spark, sf):
+    t = load_views(spark, sf)
+    return (
+        t["customer"]
+        .join(
+            t["orders"].select("o_custkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@_register(
+    "window_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100 AS running_total,
+           CAST(COALESCE(lag(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 0) AS DOUBLE) / 100 AS prev_price,
+           row_number() OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    """,
+    doc="§2.5 analytic windows (reference has none): per-customer running "
+    "total, lag, and sequence — one shuffle on the partition key serves all "
+    "three frames; cent-quantized so the running double is engine-exact",
+)
+def window_running_revenue(spark, sf):
+    t = load_views(spark, sf)
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_run = (
+        _W.partitionBy("o_custkey").orderBy(*order)
+        .rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    )
+    w_seq = _W.partitionBy("o_custkey").orderBy(*order)
+    price_cents = cents(F.col("o_totalprice"))
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(price_cents).over(w_run).cast("double") / 100).alias("running_total"),
+        (F.coalesce(F.lag(price_cents).over(w_seq), F.lit(0)).cast("double") / 100).alias(
+            "prev_price"
+        ),
+        F.row_number().over(w_seq).alias("order_seq"),
+    )
+
+
+@_register(
+    "cube_counts",
+    """
+    SELECT lang, source, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+    doc="§2.4 grouping-sets extension: CUBE over (lang, source) — all four "
+    "grouping sets in one pass (Spark Expand + single shuffle)",
+)
+def cube_counts(spark, sf):
+    t = load_views(spark, sf)
+    return t["documents"].cube("lang", "source").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("total_chars")
+    )
+
+
+@_register(
+    "having_big_orders",
+    f"""
+    SELECT o.o_custkey, o.o_orderkey,
+           CAST(sum({cents_sql('l.l_quantity')}) AS DOUBLE) / 100 AS total_qty
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey, o.o_orderkey
+    HAVING sum({cents_sql('l.l_quantity')}) > 20000
+    """,
+    doc="TPC-H Q18 shape: grouped join + HAVING on the aggregate (filter "
+    "after partial+final agg, before any further join)",
+)
+def having_big_orders(spark, sf):
+    t = load_views(spark, sf)
+    qty_cents = cents(F.col("l_quantity"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.sum(qty_cents).alias("__qc"))
+        .filter(F.col("__qc") > 20000)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.col("__qc").cast("double") / 100).alias("total_qty"),
+        )
+    )
+
+
+@_register(
+    "percentile_chars",
+    """
+    SELECT lang,
+           round(quantile_cont(n_chars, 0.5), 4) AS median_chars,
+           round(quantile_cont(n_chars, 0.9), 4) AS p90_chars,
+           CAST(min(n_chars) AS BIGINT) AS min_chars,
+           CAST(max(n_chars) AS BIGINT) AS max_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="Exact interpolated percentiles per group (Spark `percentile` ≡ "
+    "DuckDB quantile_cont on integer inputs); at 100 TB swap to "
+    "approx_percentile with a documented error bound",
+)
+def percentile_chars(spark, sf):
+    t = load_views(spark, sf)
+    return t["documents"].groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("median_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "events_pivot",
+    f"""
+    SELECT user_id,
+           {', '.join(f"count(*) FILTER (event_type = '{e}') AS n_{e}" for e in _EVENT_TYPES)},
+           CAST(sum(CAST(round(value * 100) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) AS purchase_cents
+    FROM events GROUP BY user_id
+    """,
+    doc="PIVOT (fixed value list → no extra distinct pass): per-user counts "
+    "by event type + conditional cent-exact sum; one shuffle on user_id",
+)
+def events_pivot(spark, sf):
+    t = load_views(spark, sf)
+    aggs = [
+        F.count(F.when(F.col("event_type") == e, 1)).alias(f"n_{e}") for e in _EVENT_TYPES
+    ]
+    purchase = F.sum(
+        F.when(F.col("event_type") == "purchase", cents(F.col("value")))
+    ).cast("long")
+    return t["events"].groupBy("user_id").agg(*aggs, purchase.alias("purchase_cents"))
+
+
+@_register(
+    "above_brand_average",
+    """
+    WITH pa AS (
+      SELECT p_partkey, p_brand,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             avg(CAST(round(p_retailprice * 100) AS BIGINT))
+               OVER (PARTITION BY p_brand) AS brand_avg_cents
+      FROM part
+    )
+    SELECT p_partkey, p_brand,
+           CAST(price_cents AS DOUBLE) / 100 AS price,
+           round(brand_avg_cents / 100, 6) AS brand_avg
+    FROM pa WHERE price_cents > brand_avg_cents
+    """,
+    doc="Correlated-subquery shape (price above its brand's average) "
+    "decorrelated to a window aggregate: ONE shuffle on p_brand instead of "
+    "a self-join per brand; integer-exact average",
+)
+def above_brand_average(spark, sf):
+    t = load_views(spark, sf)
+    price_cents = cents(F.col("p_retailprice"))
+    w = _W.partitionBy("p_brand")
+    pa = t["part"].select(
+        "p_partkey",
+        "p_brand",
+        price_cents.alias("price_cents"),
+        F.avg(price_cents).over(w).alias("brand_avg_cents"),
+    )
+    return pa.filter(F.col("price_cents") > F.col("brand_avg_cents")).select(
+        "p_partkey",
+        "p_brand",
+        (F.col("price_cents").cast("double") / 100).alias("price"),
+        F.round(F.col("brand_avg_cents") / 100, 6).alias("brand_avg"),
+    )

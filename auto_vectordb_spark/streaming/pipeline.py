@@ -99,3 +99,102 @@ def foreach_batch_index_merge(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    state_timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user gap sessionization with
+    ``applyInPandasWithState`` (the Spark-native replacement for operators the
+    built-in windowed aggs can't express — SURVEY §2.9 notes the reference
+    has NO streaming layer, so this is pure north-star extension).
+
+    State per user: (last event µs, current session ordinal, events in
+    session, session start µs). Each micro-batch emits one UPSERT row per
+    touched session — downstream sinks key on (user_id, session_id) and keep
+    the last write (same idempotent-merge discipline as
+    :func:`foreach_batch_index_merge`).
+
+    Batch-equivalence: on time-ordered input this yields exactly the
+    lag/running-sum sessionization of ``events_sessionize``
+    (plans/parity.py) — gated in tests/test_streaming.py.
+
+    Scale: state is O(active users) × 32 bytes; Spark partitions state by
+    ``user_col`` (hash shuffle, the one unavoidable exchange), checkpoints it
+    with the stream, and drops it via processing-time timeout after
+    ``2 × gap`` idle — bounded memory under unbounded users.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("session_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("session_start_us", T.LongType()),
+            T.StructField("session_end_us", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("last_us", T.LongType()),
+            T.StructField("session_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("start_us", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (uid,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        last_us, sid, n, start = state.get if state.exists else (None, 0, 0, None)
+        touched = {}
+        for pdf in pdfs:
+            us_series = pdf[ts_col]
+            if str(us_series.dtype).startswith("datetime"):
+                us_series = us_series.astype("int64") // 1000
+            for us in sorted(int(u) for u in us_series):
+                if last_us is None or us - last_us > gap_us:
+                    sid += 1
+                    n = 0
+                    start = us
+                n += 1
+                last_us = us
+                touched[sid] = (n, start, us)
+        state.update((last_us, sid, n, start))
+        if state_timeout_minutes is not None:
+            state.setTimeoutDuration(state_timeout_minutes * 60 * 1000)
+        if touched:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": uid,
+                        "session_id": s,
+                        "n_events": cnt,
+                        "session_start_us": st,
+                        "session_end_us": en,
+                    }
+                    for s, (cnt, st, en) in touched.items()
+                ]
+            )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if state_timeout_minutes is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -40,8 +40,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
-    # JIT/session warmup so q1 doesn't pay session startup
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Steady-state measurement: run every headline query once at the smallest
+    # SF first so JVM/whole-stage-codegen compilation (several seconds,
+    # one-time per plan shape) isn't charged to whichever query runs first.
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            REGISTRY[name].spark(spark, warm_dir).count()
+        except Exception:
+            pass  # a failing query still gets timed (and fails) below
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

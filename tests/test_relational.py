@@ -75,3 +75,47 @@ def test_broadcast_join_planned(spark, sf_dir):
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_semi_anti_join_plans(spark, sf_dir):
+    """q4/anti entries must plan hash SEMI/ANTI joins, not inner+distinct."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    semi = REGISTRY["q4_semi_join"].spark(spark, sf_dir)
+    plan = semi._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    anti = REGISTRY["anti_join_customers"].spark(spark, sf_dir)
+    plan = anti._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+
+
+def test_q6_pushes_filters_to_scan(spark, sf_dir):
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["q6_revenue_filter"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_window_running_revenue_single_shuffle(spark, sf_dir):
+    """All three window frames share one partitioning — exactly one exchange."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["window_running_revenue"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+
+
+def test_minhash_signatures_single_shuffle(spark, sf_dir):
+    """The explicit repartition(doc_id) must be the ONLY exchange: it doubles
+    as the groupBy's required partitioning (no second shuffle) and as the
+    barrier keeping md5 out of the H min-aggregates."""
+    from auto_vectordb_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = DD.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(doc_id") == 1
+    assert plan.count("Exchange") == 1
+    # the 60-bit hash is computed below the exchange, once — not inside aggs
+    below_exchange = plan.split("Exchange")[1]
+    assert "md5" in below_exchange

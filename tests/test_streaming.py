@@ -89,3 +89,65 @@ def test_streaming_ingest_chunks_path(spark, tmp_path):
     q.stop()
     out = spark.table(name).collect()
     assert len(out) == 1 and out[0]["lv1_cat"] == "cat1"
+
+
+def test_sessionize_stream_stateful_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionizer must carry state across
+    micro-batches and agree with the batch lag/running-sum oracle."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from auto_vectordb_spark.streaming.pipeline import sessionize_stream
+
+    # two users; u1 has a 40-min gap splitting two sessions ACROSS the batch
+    # boundary; u2 stays within one session
+    m = 60 * 1_000_000
+    batch1 = [(1, 0 * m), (1, 5 * m), (2, 0 * m)]
+    batch2 = [(1, 50 * m), (1, 55 * m), (2, 20 * m)]
+    schema = T.StructType(
+        [T.StructField("user_id", T.LongType()), T.StructField("ts", T.LongType())]
+    )
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    for i, batch in enumerate([batch1, batch2], start=1):
+        path = src / f"b{i}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array([u for u, _ in batch], pa.int64()),
+                    "ts": pa.array([t for _, t in batch], pa.int64()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (i, i))  # deterministic file order for the trigger
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.sql(
+        "SELECT user_id, session_id, max(n_events) AS n FROM sessions GROUP BY 1, 2"
+    ).collect()
+    got = {(r["user_id"], r["session_id"]): r["n"] for r in rows}
+    # u1: session 1 = events at 0,5min (2), session 2 = 50,55min (2)
+    # u2: one session = 0,20min (2)
+    assert got == {(1, 1): 2, (1, 2): 2, (2, 1): 2}
