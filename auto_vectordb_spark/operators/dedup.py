@@ -343,3 +343,104 @@ def embedding_neardup_pairs_blas(
     return vectors.select(id_col, vec_col).mapInPandas(
         part, schema="id_a long, id_b long, cosine double"
     )
+
+
+def embedding_neardup_lsh(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_tables: int | None = None,
+    bits_per_table: int = 8,
+    recall_target: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for :func:`embedding_neardup_pairs`: sign-LSH bucketing,
+    exact cosine only within buckets.
+
+    Random-hyperplane (SimHash-for-vectors) LSH: ``num_tables`` independent
+    tables of ``bits_per_table`` hyperplanes each (fixed ``seed`` →
+    deterministic). A vector's bucket in table t is the sign-bit pattern of
+    its ``bits_per_table`` projections. Two vectors at cosine angle θ agree
+    on one bit with prob 1−θ/π, so near-dup pairs collide in ≥1 table with
+    high probability while the corpus never meets itself outside buckets:
+    the plan is bucket-assign (one mapInPandas scan, matmul with the tiny
+    plane matrix) → explode tables → equi-join on (table, bucket) →
+    distinct candidate pairs → exact cosine ≥ threshold.
+
+    Recall vs the exact kernel is gated in tests/test_dedup.py.
+    ``num_tables`` defaults to the smallest T with
+    1-(1-p^b)^T >= recall_target at the threshold boundary, where
+    p = 1 - acos(threshold)/pi — the ES ``num_candidates``-style knob.
+    For loose thresholds (< ~0.7) lower ``bits_per_table`` (p^b collapses),
+    e.g. b=3; the default b=8 targets real near-dup thresholds (>= 0.9).
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if num_tables is None:
+        p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        p_tbl = p_bit**bits_per_table
+        num_tables = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_tbl)))
+
+    first = vectors.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * bits_per_table, dim))
+    sc = vectors.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    weights = np.power(2, np.arange(bits_per_table), dtype=np.int64)
+
+    def assign(it):
+        P = bp.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            signs = (M @ P.T) > 0  # (rows, T*B)
+            out = []
+            ids = pdf[id_col].to_numpy()
+            for t in range(num_tables):
+                block = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
+                buckets = block.astype(np.int64) @ weights
+                out.append(
+                    pd.DataFrame({"vid": ids, "tbl": t, "bucket": buckets})
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    assigned = vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema="vid long, tbl int, bucket long"
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+    prepped = vectors.select(
+        F.col(id_col).alias("vid"),
+        V.as_double_array(F.col(vec_col)).alias("v"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    pa_ = prepped.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    pb_ = prepped.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    scored = (
+        cand.join(pa_, "id_a")
+        .join(pb_, "id_b")
+        .withColumn(
+            "cosine",
+            V.cosine_with_norms(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")

@@ -196,3 +196,59 @@ def frame_sample_plan(media: DataFrame, every_n: int = 24) -> DataFrame:
     return media.select("media_id", "modality", "content").mapInPandas(
         batches, schema=out_schema
     )
+
+
+def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
+    """Image resize plumbing (1 row → 1 row, binary out).
+
+    Real pipelines decode → resize → re-encode inside the same Arrow batch
+    (PIL/opencv registered via DecoderRegistry); this container has no image
+    libs, so the resize emits the ORIGINAL bytes plus the target geometry a
+    real resizer would produce (aspect-preserving fit into max_side²),
+    computed from the decoded dims. Schema/batching/partitioning — the parts
+    Spark owns — are real and tested.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("out_width", T.IntegerType(), True),
+            T.StructField("out_height", T.IntegerType(), True),
+            T.StructField("content", T.BinaryType(), True),
+        ]
+    )
+    decoders = dict(DecoderRegistry._decoders)
+
+    def _decode(modality: str, content: bytes | None) -> dict:
+        if modality in decoders:
+            return decoders[modality](content or b"")
+        return _fake_decode(modality, content)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                if modality != "image":
+                    continue
+                feats = _decode(modality, content)
+                w, h = feats.get("width"), feats.get("height")
+                if not w or not h:
+                    rows.append(
+                        {"media_id": mid, "out_width": None, "out_height": None, "content": content}
+                    )
+                    continue
+                scale = min(1.0, max_side / max(w, h))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "out_width": max(1, round(w * scale)),
+                        "out_height": max(1, round(h * scale)),
+                        "content": content,  # real resizer re-encodes here
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        batches, schema=out_schema
+    )

@@ -100,3 +100,54 @@ def idempotent_dedup(df: DataFrame, id_col: str = "id") -> DataFrame:
     """§2.7 — ES ``_id`` overwrite semantics (elasticsearch_index.py:141):
     re-indexing the same id is an upsert, not a duplicate."""
     return df.dropDuplicates([id_col])
+
+
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    id_col: str = "id",
+    version_col: str = "updated_at",
+) -> DataFrame:
+    """Latest-wins upsert — the engine's MERGE (reference semantics: ES
+    ``_id`` overwrite on re-index, elasticsearch_index.py:141; Postgres has
+    no upsert in the reference, it just re-inserts).
+
+    Union both sides, keep the newest row per id (version desc, updates win
+    ties). One shuffle on the id; on Delta this maps 1:1 to ``MERGE INTO``.
+    """
+    tagged_e = existing.withColumn("__src", F.lit(0))
+    tagged_u = updates.withColumn("__src", F.lit(1))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col(version_col).desc(), F.col("__src").desc()
+    )
+    return (
+        tagged_e.unionByName(tagged_u)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__src")
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join with key salting for skew (result ≡ ``big.join(small,
+    key)``).
+
+    The big side gets a random-ish (deterministic: hash of all columns)
+    salt in [0, S); the small side is replicated S× with an exploded salt —
+    so one hot key's rows spread over S reducers instead of one. Use when a
+    single key dominates and AQE's size-based skew split isn't enough
+    (e.g. the skewed side is already pre-shuffled). Replication multiplies
+    the small side S× — keep it dimension-sized.
+    """
+    salt = (F.abs(F.xxhash64(*big.columns)) % salt_buckets).alias("__salt")
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast(b.schema["__salt"].dataType))
+    out = b.join(s, [key, "__salt"])
+    return out.drop("__salt")

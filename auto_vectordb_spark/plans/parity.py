@@ -1560,3 +1560,84 @@ def above_brand_average(spark, sf):
         (F.col("price_cents").cast("double") / 100).alias("price"),
         F.round(F.col("brand_avg_cents") / 100, 6).alias("brand_avg"),
     )
+
+
+# =========================================================================
+# Upsert / skew-salted join / embedding-LSH scale path
+# =========================================================================
+
+
+@_register(
+    "merge_upsert",
+    """
+    WITH tagged AS (
+      SELECT doc_id, text, lang, source, n_chars, 0 AS src FROM documents
+      UNION ALL
+      SELECT doc_id, upper(text), lang, 'patched', n_chars + 1, 1 AS src
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY n_chars DESC, src DESC
+      ) AS rn
+      FROM tagged
+    )
+    SELECT doc_id, text, lang, source, n_chars FROM ranked WHERE rn = 1
+    """,
+    doc="MERGE/upsert (latest-wins by version, updates win ties) — the "
+    "engine's form of the reference's ES _id overwrite "
+    "(elasticsearch_index.py:141); one shuffle on the id",
+)
+def merge_upsert_q(spark, sf):
+    t = load_views(spark, sf)
+    existing = t["documents"].select("doc_id", "text", "lang", "source", "n_chars")
+    updates = (
+        t["documents"]
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.upper("text").alias("text"),
+            "lang",
+            F.lit("patched").alias("source"),
+            (F.col("n_chars") + 1).alias("n_chars"),
+        )
+    )
+    return R.merge_upsert(existing, updates, id_col="doc_id", version_col="n_chars")
+
+
+@_register(
+    "skew_salted_join",
+    f"""
+    SELECT p.p_brand,
+           CAST(sum({cents_sql('l.l_extendedprice')}) AS DOUBLE) / 100 AS gross,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+    doc="Skew-salted inner join (hot keys spread over N salt buckets; small "
+    "side replicated N×) — result provably ≡ the plain join, which is the "
+    "oracle; for when AQE's size-based skew split can't help",
+)
+def skew_salted_join_q(spark, sf):
+    t = load_views(spark, sf)
+    li = t["lineitem"].withColumnRenamed("l_partkey", "p_partkey")
+    joined = R.salted_join(li, t["part"], "p_partkey", salt_buckets=8)
+    return joined.groupBy("p_brand").agg(
+        (F.sum(cents(F.col("l_extendedprice"))).cast("double") / 100).alias("gross"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_register(
+    "dedup_embedding_lsh",
+    None,
+    doc="Embedding near-dup at scale: sign-LSH (random-hyperplane) bucketing, "
+    "exact cosine only within buckets; num_tables auto-tuned to hit the "
+    "recall target at the threshold boundary (ES num_candidates analog). "
+    "Rows-only (random projections have no SQL twin); recall >= 0.85 and "
+    "zero-false-positive gates in tests/test_dedup.py",
+)
+def dedup_embedding_lsh_q(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.embedding_neardup_lsh(t["embeddings"], threshold=0.3, bits_per_table=3)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))

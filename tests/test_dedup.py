@@ -83,3 +83,45 @@ def test_neardup_scores_match_between_kernels(spark, sf_dir):
     j = e.join(b, ["id_a", "id_b"])
     bad = j.filter(F.abs(F.col("c1") - F.col("c2")) > 1e-9).count()
     assert bad == 0
+
+
+def test_embedding_lsh_recall_gate(spark, sf_dir):
+    """Sign-LSH bucketed near-dup must reach recall >= 0.85 vs exact pairs
+    (params auto-tuned from the threshold), with zero false positives
+    (candidates are exact-scored)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r["id_a"], r["id_b"]) for r in DD.embedding_neardup_pairs(emb, threshold=0.3).collect()}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in DD.embedding_neardup_lsh(emb, threshold=0.3, bits_per_table=3).collect()
+    }
+    assert not (lsh - exact)  # exact scoring within buckets: no false pairs
+    assert len(lsh & exact) / len(exact) >= 0.85
+
+
+def test_merge_upsert_latest_wins(spark):
+    from auto_vectordb_spark.operators.relational import merge_upsert
+
+    existing = spark.createDataFrame(
+        [("a", 1, "old"), ("b", 5, "keep")], ["id", "updated_at", "val"]
+    )
+    updates = spark.createDataFrame(
+        [("a", 3, "new"), ("b", 5, "tie-update-wins"), ("c", 1, "insert")],
+        ["id", "updated_at", "val"],
+    )
+    out = {r["id"]: r["val"] for r in merge_upsert(existing, updates, "id").collect()}
+    assert out == {"a": "new", "b": "tie-update-wins", "c": "insert"}
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from auto_vectordb_spark.operators.relational import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    cols = ["p_partkey", "l_orderkey", "l_linenumber", "p_brand", "p_size"]
+    plain = li.join(part, "p_partkey").select(*cols)
+    salted = salted_join(li, part, "p_partkey", salt_buckets=4).select(*cols)
+    assert plain.count() == salted.count()
+    assert plain.exceptAll(salted).count() == 0

@@ -11,9 +11,11 @@ def test_registry_shape():
     qs, osql = E.queries(), E.oracle_sql()
     assert len(qs) >= 30
     assert set(osql) <= set(qs)
-    # only ANN/BLAS entries may skip the oracle
+    # only ANN/BLAS/random-projection entries may skip the oracle
     for name in set(qs) - set(osql):
-        assert name.startswith(("ann_", "knn_blas", "dedup_embedding_blas")), name
+        assert name.startswith(
+            ("ann_", "knn_blas", "dedup_embedding_blas", "dedup_embedding_lsh")
+        ), name
 
 
 def test_oracle_sql_is_valid_duckdb(sf_dir):

@@ -97,3 +97,24 @@ def test_write_index_idempotent(spark, tmp_path):
     out = str(tmp_path / "idx")
     write_index(df, out, id_col="id")
     assert spark.read.parquet(out).count() == 2  # ES _id overwrite semantics
+
+
+def test_resize_images_geometry(spark):
+    from auto_vectordb_spark.operators.multimodal import (
+        DecoderRegistry,
+        resize_images,
+    )
+
+    DecoderRegistry.register("image", lambda b: {"width": 640, "height": 360})
+    try:
+        media = spark.createDataFrame(
+            [("m1", "image", bytearray(b"px")), ("m2", "video", bytearray(b"vid"))],
+            "media_id string, modality string, content binary",
+        )
+        rows = resize_images(media, max_side=224).collect()
+        assert len(rows) == 1  # non-images dropped
+        r = rows[0]
+        assert (r["out_width"], r["out_height"]) == (224, 126)
+        assert bytes(r["content"]) == b"px"
+    finally:
+        DecoderRegistry._decoders.pop("image", None)
