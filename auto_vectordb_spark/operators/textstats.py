@@ -131,3 +131,31 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return exploded.select("doc_id", term.alias("t")).groupBy("doc_id").agg(
         (F.sum("t") % F.lit(FINGERPRINT_PRIME)).alias("fp")
     )
+
+
+# ASCII-restricted so Spark (Java regex) and DuckDB (RE2) agree byte-for-byte;
+# the unicode version swaps in \p{L}/\p{N} classes.
+BPE_PIECE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_counts(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_ws_tokens, n_bpe_pieces, chars_per_piece) — cost estimators.
+
+    ``n_ws_tokens``: whitespace-split count (the classic heuristic);
+    ``n_bpe_pieces``: GPT-2-style pre-tokenizer pieces (letter runs / digit
+    runs / punctuation runs) — a deterministic, vocabulary-free proxy for BPE
+    token counts, good enough for batch-size/cost planning; a real tokenizer
+    drops into a pandas_udf with this exact signature.
+    """
+    ws = F.size(F.filter(F.split(F.col(text_col), r"\s+"), lambda t: t != ""))
+    pieces = F.regexp_count(F.col(text_col), F.lit(BPE_PIECE_RE))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.alias("n_ws_tokens"),
+        pieces.alias("n_bpe_pieces"),
+        F.when(pieces > 0, F.round(F.length(text_col) / pieces, 6))
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_piece"),
+    )

@@ -1641,3 +1641,25 @@ def dedup_embedding_lsh_q(spark, sf):
     t = load_views(spark, sf)
     pairs = DD.embedding_neardup_lsh(t["embeddings"], threshold=0.3, bits_per_table=3)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+@_register(
+    "text_bpe_tokens",
+    r"""
+    SELECT doc_id,
+           len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+             AS n_ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+             AS n_bpe_pieces,
+           CASE WHEN len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) > 0
+                THEN round(length(text) / len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')), 6)
+                ELSE 0.0 END AS chars_per_piece
+    FROM documents
+    """,
+    doc="Token counting for cost planning: whitespace tokens + GPT-2-style "
+    "pre-tokenizer piece count (BPE proxy, vocabulary-free) — pure regexp "
+    "expressions, engine-portable",
+)
+def text_bpe_tokens(spark, sf):
+    t = load_views(spark, sf)
+    return TS.bpe_token_counts(t["documents"])
