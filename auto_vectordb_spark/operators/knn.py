@@ -273,3 +273,29 @@ def lsh_search(
     return model.approxNearestNeighbors(
         indexed_corpus, Vectors.dense(query_vec), k, distCol="distance"
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """(centroid_id, centroid) via MLlib KMeans — the production IVF
+    coarse-quantizer ("MLlib for bulk index build"). Deterministic via fixed
+    seed; drop-in wherever :func:`label_centroids` is used. At 100 TB train
+    on a sample (`df.sample`) — KMeans quality needs only a representative
+    subset, and assignment (:func:`ivf_build`) stays a single full scan.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    with_vec = vectors.select(array_to_vector(F.col(vec_col)).alias("__features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="__features").fit(with_vec)
+    spark = vectors.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "centroid_id int, centroid array<double>",
+    )
+    return centers

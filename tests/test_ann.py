@@ -81,3 +81,17 @@ def test_lsh_returns_neighbors(spark, emb):
     assert rows[0]["vec_id"] == 0  # the query vector itself is its own NN
     dists = [r["distance"] for r in rows]
     assert dists == sorted(dists)
+
+
+def test_ivf_with_kmeans_centroids_recall(queries, emb, exact_topk):
+    """IVF over MLlib KMeans centroids must hit recall@10 >= 0.9 (the
+    production index-build path). The synthetic embeddings are near-random —
+    IVF's worst case, neighbors spread across centroids — so hitting the gate
+    needs nprobe=6 of 8 here; clustered real corpora prune far harder."""
+    from auto_vectordb_spark.operators.knn import ivf_build, ivf_search, kmeans_centroids
+
+    cents = kmeans_centroids(emb, k=8)
+    index = ivf_build(emb, cents)
+    got = ivf_search(queries, index, cents, k=10, nprobe=6)
+    recall = _recall(got.collect(), exact_topk)
+    assert recall >= 0.9, recall

@@ -151,3 +151,64 @@ def test_sessionize_stream_stateful_across_batches(spark, tmp_path):
     # u1: session 1 = events at 0,5min (2), session 2 = 50,55min (2)
     # u2: one session = 0,20min (2)
     assert got == {(1, 1): 2, (1, 2): 2, (2, 1): 2}
+
+
+def test_sessionize_stream_matches_batch_oracle(spark, sf_dir, tmp_path):
+    """Streamed stateful sessionization over the REAL events table (split into
+    3 time-ordered micro-batches) must equal the batch lag/running-sum
+    sessionization of plans/parity.py events_sessionize."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.plans.parity import REGISTRY, load_views
+    from auto_vectordb_spark.streaming.pipeline import sessionize_stream
+
+    t = load_views(spark, sf_dir)
+    ev = t["events"].select("user_id", F.unix_micros("ts").alias("ts"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    step = (hi - lo) // 3 + 1
+    for i in range(3):
+        part = ev.filter((F.col("ts") >= lo + i * step) & (F.col("ts") < lo + (i + 1) * step))
+        part.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        pq_file = next(
+            f for f in os.listdir(tmp_path / f"stage{i}") if f.endswith(".parquet")
+        )
+        os.rename(tmp_path / f"stage{i}" / pq_file, src / f"b{i}.parquet")
+        os.utime(src / f"b{i}.parquet", (i + 1, i + 1))
+
+    stream = (
+        spark.readStream.schema("user_id long, ts long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sessions_real")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["user_id"]): (r["n_sessions"], r["n_events"])
+        for r in spark.sql(
+            """
+            SELECT user_id, count(DISTINCT session_id) AS n_sessions,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM (SELECT user_id, session_id, max(n_events) AS n
+                  FROM sessions_real GROUP BY 1, 2)
+            GROUP BY user_id
+            """
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_sessions"], r["n_events"])
+        for r in REGISTRY["events_sessionize"].spark(spark, sf_dir).collect()
+    }
+    assert got == want
