@@ -1663,3 +1663,72 @@ def dedup_embedding_lsh_q(spark, sf):
 def text_bpe_tokens(spark, sf):
     t = load_views(spark, sf)
     return TS.bpe_token_counts(t["documents"])
+
+
+def _hybrid_rrf_sql() -> str:
+    """RRF fusion oracle: ranks from rounded leg scores, 1/(60+rank) sum."""
+    cos = V.cosine_sql("q.embedding", "c.embedding")
+    return f"""
+    WITH {_bm25_score_cte(BM25_QUERIES)},
+    vq AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {_N_HYBRID_QUERIES}
+    ),
+    vs AS (
+      SELECT q.query_id, c.vec_id AS doc_id, round({cos}, 6) AS score
+      FROM vq q CROSS JOIN embeddings c
+    ),
+    rb AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_b
+      FROM bm25
+    ),
+    rv AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_v
+      FROM vs
+    ),
+    fused AS (
+      SELECT COALESCE(rb.query_id, rv.query_id) AS query_id,
+             COALESCE(rb.doc_id, rv.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + rank_b), 0) + COALESCE(1.0 / (60 + rank_v), 0), 6)
+               AS score
+      FROM rb FULL OUTER JOIN rv
+        ON rb.query_id = rv.query_id AND rb.doc_id = rv.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rn
+      FROM fused
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """
+
+
+@_register(
+    "hybrid_rrf",
+    _hybrid_rrf_sql(),
+    doc="Reciprocal-rank fusion — the fusion the reference's comment promises "
+    "but never ships (elasticsearch_index.py:222): score = Σ 1/(60+rank_leg) "
+    "over the union of both legs; rank-space fusion is score-scale-free",
+)
+def hybrid_rrf(spark, sf):
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    index = BM25.build_index(t["documents"])
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    vq = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    v_scores = KNN.score_pairs(vq, t["embeddings"]).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+    fused = HY.fuse_rrf(b_scores, v_scores, k=_KNN_K)
+    return fused.withColumn("score", F.round("score", 6))

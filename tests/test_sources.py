@@ -1,0 +1,33 @@
+"""File sources/sinks (S3-S11): binaryFile scan, CSV null policy, idempotent index."""
+
+from auto_vectordb_spark.sources import files as S
+
+
+def test_scan_and_count_files(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("aa")
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "sub" / "b.txt").write_text("bb")
+    (tmp_path / "sub" / "c.bin").write_bytes(b"\x00")
+    df = S.scan_files(spark, str(tmp_path), glob="*.txt")
+    assert df.count() == 2  # recursive + glob filtered
+    assert S.count_files(spark, str(tmp_path)) == 3
+    row = df.orderBy("path").first()
+    assert bytes(row["content"]) == b"aa"
+
+
+def test_read_csv_null_policy(spark, tmp_path):
+    p = tmp_path / "x.csv"
+    p.write_text("id,name\n1,alpha\n2,\n")
+    df = S.read_csv(spark, str(p))
+    rows = {r["id"]: r["name"] for r in df.collect()}
+    assert rows == {"1": "alpha", "2": ""}  # NaN -> '' (reference F9)
+
+
+def test_write_index_idempotent_by_id(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], ["id", "v"])
+    out = str(tmp_path / "idx")
+    S.write_index(df, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 2  # duplicate id collapsed (ES _id overwrite)
+    S.write_index(df, out)  # re-index: overwrite, still 2
+    assert spark.read.parquet(out).count() == 2
