@@ -444,3 +444,65 @@ def embedding_neardup_lsh(
         )
     )
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(doc_id, component_id) over the near-dup pair graph — min-label
+    propagation, the iterative step that turns pairwise matches into
+    KEEP-ONE-PER-CLUSTER decisions (pairs alone over-delete: a~b, b~c must
+    collapse to ONE cluster {a,b,c}).
+
+    Each iteration joins labels across edges and keeps the per-node min —
+    one shuffle per iteration, converging in O(component diameter) rounds
+    (near-dup clusters are shallow; 20 covers pathological chains).
+    ``localCheckpoint`` truncates the growing lineage each round. Returns
+    only nodes that appear in ``pairs`` (singletons are their own keepers).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionAll(prop).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
+
+
+def apply_dedup(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every doc that is in a near-dup component but not its keeper
+    (min id). The end-to-end 'dedup the corpus' operation: pairs →
+    components → anti-join. Docs in no pair survive untouched."""
+    comps = connected_components(pairs)
+    losers = comps.filter(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return docs.join(
+        losers.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
+    )

@@ -1732,3 +1732,72 @@ def hybrid_rrf(spark, sf):
     )
     fused = HY.fuse_rrf(b_scores, v_scores, k=_KNN_K)
     return fused.withColumn("score", F.round("score", 6))
+
+
+_MINHASH_PAIRS_CTE = f"""
+    {_SHINGLE_HASH_CTE},
+    sig AS (
+      SELECT doc_id, {', '.join(_minhash_min_exprs())}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS ({_band_legs_sql()}),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+"""
+
+_COMPONENTS_CTE = """
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comps AS (
+      SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src
+    )
+"""
+
+
+@_register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE}
+    SELECT doc_id, component_id FROM comps
+    """,
+    doc="Iterative operator class: connected components over the MinHash-LSH "
+    "near-dup graph via min-label propagation (one shuffle per round, "
+    "converges in O(diameter)); oracle is a DuckDB recursive-CTE transitive "
+    "closure — a~b~c collapses to ONE keep-one cluster",
+)
+def dedup_components(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.minhash_lsh_pairs(t["documents"])
+    return DD.connected_components(pairs)
+
+
+@_register(
+    "dedup_apply_keep_one",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id
+    )
+    """,
+    doc="End-to-end corpus dedup: MinHash-LSH pairs → components → anti-join "
+    "keeps the min-id doc per cluster plus all singletons (the full "
+    "'dedup 100 TB of documents' flow in one lineage)",
+)
+def dedup_apply_keep_one(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.minhash_lsh_pairs(t["documents"])
+    return DD.apply_dedup(t["documents"], pairs).select("doc_id", "lang", "source")

@@ -125,3 +125,19 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     salted = salted_join(li, part, "p_partkey", salt_buckets=4).select(*cols)
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_connected_components_transitive(spark):
+    # a~b, b~c, and separately x~y: components {a,b,c} and {x,y}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    comps = {r["doc_id"]: r["component_id"] for r in DD.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_apply_dedup_keeps_one_per_cluster(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 3, 10, 11, 99]], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in DD.apply_dedup(docs, pairs).collect())
+    assert kept == [1, 10, 99]  # cluster keepers + untouched singleton
