@@ -43,3 +43,26 @@ def list_tables(spark: SparkSession, database: str | None = None) -> list[str]:
 
 def table_exists(spark: SparkSession, name: str) -> bool:
     return spark.catalog.tableExists(_check_ident(name))
+
+
+def create_bucketed_table(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    bucket_by: str,
+    num_buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Bucketed managed table — pre-shuffled storage for co-located joins.
+
+    Two tables bucketed on the same key/count join WITHOUT any exchange
+    (verified in tests): at 100 TB this converts every recurring
+    fact-to-fact join on the bucket key from a full shuffle into a local
+    zipper. The write pays one shuffle once; every downstream join rides it.
+    """
+    writer = df.write.mode("errorifexists").format("parquet").bucketBy(
+        num_buckets, bucket_by
+    )
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(_check_ident(name))

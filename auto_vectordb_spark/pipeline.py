@@ -299,6 +299,7 @@ class VectorPipeline:
         size: int = 10,
         min_score: float = 0.0,
         mode: str = "hybrid",
+        categories: list[str] | None = None,
     ) -> DataFrame:
         """Hybrid top-k search — the reference's POST /search.
 
@@ -306,6 +307,11 @@ class VectorPipeline:
         (minimum_should_match: 1), min_score cut, size clamped to the API
         bounds 1..100 (routers/es_index.py:45-46). Returns hits joined back
         to corpus columns (V5 — hits are already columnar here).
+
+        ``categories`` restricts the kNN leg to the given ``lv1_cat`` values —
+        since the corpus is WRITTEN partitioned by lv1_cat, this filter is a
+        partition-pruned scan (whole directories skipped, verified in
+        tests), not a row filter.
         """
         size = max(1, min(int(size), 100))
         if self._bm25 is None:
@@ -314,6 +320,8 @@ class VectorPipeline:
         if len(qvec) != self.dim:  # P6 dimension guard (es_index.py:107-111)
             raise ValueError(f"query embedding dim {len(qvec)} != {self.dim}")
         corpus = self.corpus().dropDuplicates(["id"])
+        if categories is not None:
+            corpus = corpus.filter(F.col("lv1_cat").isin(list(categories)))
         queries_df = self.spark.createDataFrame(
             [(0, query_text)], ["query_id", "query_text"]
         )
@@ -328,6 +336,12 @@ class VectorPipeline:
             corpus_vec="embeddings",
         ).select("query_id", "doc_id", "score")
         bm25_scores = BM25.search(self._bm25, queries_df, k=max(size * 10, 50))
+        if categories is not None:
+            # the BM25 index is corpus-wide; restrict its leg too, or
+            # out-of-category docs would occupy top-k slots pre-join
+            bm25_scores = bm25_scores.join(
+                corpus.select(F.col("id").alias("doc_id")), "doc_id", "left_semi"
+            )
         if mode == "hybrid":
             hits = HY.fuse_weighted(bm25_scores, knn_scores, min_score=min_score, k=size)
         elif mode == "bm25":
@@ -372,3 +386,51 @@ class VectorPipeline:
 
     def count(self) -> int:
         return self.corpus().count()
+
+
+def build_training_set(
+    docs: DataFrame,
+    quality_min: float = 0.5,
+    token_budget: int = 8_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The flagship LLM-data flow in ONE lineage: near-dup removal →
+    quality filter → deterministic budget sampling.
+
+    1. MinHash-LSH pairs → connected components → keep-one-per-cluster
+       (operators/dedup.py; never N², iterative label propagation);
+    2. quality_score ≥ ``quality_min`` (C4/Gopher-style cheap features);
+    3. order survivors by md5(id) — a deterministic shuffle-proof
+       pseudo-random permutation — and keep docs while the running token
+       total fits ``token_budget`` (cumulative window sum).
+
+    Every stage is oracle-verified (plans/parity.py training_set_build).
+    At 100 TB: stages 1-2 are the dedup/textstats operators at their
+    documented shuffle budgets; stage 3 is one window over the (small)
+    surviving set — or a per-partition running total with a final
+    prefix-sum fix-up if survivors are themselves huge.
+    """
+    from pyspark.sql.window import Window
+
+    from .operators import dedup as DD
+    from .operators import textstats as TS
+
+    pairs = DD.minhash_lsh_pairs(docs, id_col, text_col)
+    surviving = DD.apply_dedup(docs, pairs, id_col)
+    quality = (
+        TS.quality_score(surviving, id_col, text_col)
+        .filter(F.col("quality") >= quality_min)
+        .select("doc_id", "quality")
+    )
+    toks = TS.token_stats(surviving, id_col, text_col).select("doc_id", "n_tokens")
+    ranked = quality.join(toks, "doc_id").withColumn(
+        "__ord", F.md5(F.col("doc_id").cast("string"))
+    )
+    w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = (
+        ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select("doc_id", "n_tokens", "cum_tokens", "quality")
+    )
+    return out

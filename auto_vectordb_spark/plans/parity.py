@@ -1801,3 +1801,73 @@ def dedup_apply_keep_one(spark, sf):
     t = load_views(spark, sf)
     pairs = DD.minhash_lsh_pairs(t["documents"])
     return DD.apply_dedup(t["documents"], pairs).select("doc_id", "lang", "source")
+
+
+_QUALITY_CTE = """
+    qt AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+           FROM survivors),
+    qfeats AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             CAST(len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','with'))) AS INT) AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                  ELSE 0.0 END AS mean_wl
+      FROM qt
+    ),
+    qratios AS (
+      SELECT doc_id, n_tokens, mean_wl,
+             CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+             CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END AS len_ok,
+             CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0 THEN 1.0 ELSE 0.0 END AS wl_ok
+      FROM qfeats
+    ),
+    q AS (
+      SELECT doc_id, n_tokens,
+             round(0.25 * len_ok + 0.25 * wl_ok
+                   + 0.3 * least(stop_ratio * 5.0, 1.0)
+                   + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 6) AS quality
+      FROM qratios
+    )
+"""
+
+
+@_register(
+    "training_set_build",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE},
+    survivors AS (
+      SELECT d.* FROM documents d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id
+      )
+    ),
+    {_QUALITY_CTE},
+    ranked AS (
+      SELECT doc_id, n_tokens, quality, md5(CAST(doc_id AS VARCHAR)) AS ord_key,
+             sum(n_tokens) OVER (
+               ORDER BY md5(CAST(doc_id AS VARCHAR))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM q WHERE quality >= 0.5
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens, quality
+    FROM ranked WHERE cum_tokens <= 8000
+    """,
+    doc="FLAGSHIP training-data flow in one lineage: MinHash-LSH dedup "
+    "(keep-one-per-component) -> quality filter -> deterministic md5-ordered "
+    "token-budget sampling; the whole chain is a single Catalyst plan with "
+    "every stage oracle-verified",
+)
+def training_set_build(spark, sf):
+    from ..pipeline import build_training_set
+
+    t = load_views(spark, sf)
+    out = build_training_set(t["documents"], quality_min=0.5, token_budget=8_000)
+    return out.select(
+        "doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"), "quality"
+    )

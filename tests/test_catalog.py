@@ -31,3 +31,39 @@ def test_identifier_validation_blocks_injection(spark):
     for bad in ["t; DROP TABLE x", "t'--", "a.b", "1tab", ""]:
         with pytest.raises(ValueError):
             C.drop_table(spark, bad)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Join of two tables bucketed on the same key must plan with ZERO
+    shuffles (SortMergeJoin over bucketed scans)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    for t in ("b_orders", "b_lineitem"):
+        C.drop_table(spark, t)
+    C.create_bucketed_table(spark, "b_orders", orders, "o_orderkey", 8, "o_orderkey")
+    C.create_bucketed_table(
+        spark, "b_lineitem", lineitem, "l_orderkey", 8, "l_orderkey"
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path: at test scale the planner would rather
+        # broadcast (and skip bucketing entirely); real fact-to-fact joins
+        # can't broadcast, which is exactly when bucketing pays
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (
+            spark.table("b_lineitem")
+            .join(
+                spark.table("b_orders"),
+                spark.table("b_lineitem")["l_orderkey"]
+                == spark.table("b_orders")["o_orderkey"],
+            )
+            .select("l_orderkey", "o_totalprice", "l_quantity")
+        )
+        assert j.count() > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        C.drop_table(spark, "b_orders")
+        C.drop_table(spark, "b_lineitem")

@@ -111,3 +111,25 @@ def test_management_surface(spark, tmp_path):
     p.delete_by_ids([victim])
     assert p.count() == 1
     assert victim not in [r["id"] for r in p.corpus().collect()]
+
+
+def test_category_search_prunes_partitions(pipe):
+    """categories= must turn into a PARTITION filter on the lv1_cat-partitioned
+    corpus (directories skipped at planning), and only return in-category hits."""
+    hits = pipe.search("bread flour water", size=5, categories=["food"]).collect()
+    assert hits and all(r["lv1_cat"] == "food" for r in hits)
+    corpus = pipe.corpus().filter(F.col("lv1_cat").isin(["food"]))
+    plan = corpus._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "lv1_cat" in pf
+
+
+def test_training_set_build_respects_budget(spark, sf_dir):
+    from auto_vectordb_spark.pipeline import build_training_set
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = build_training_set(docs, quality_min=0.5, token_budget=2000).collect()
+    assert out
+    assert max(r["cum_tokens"] for r in out) <= 2000
+    assert all(r["quality"] >= 0.5 for r in out)
