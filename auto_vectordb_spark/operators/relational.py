@@ -151,3 +151,58 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast(b.schema["__salt"].dataType))
     out = b.join(s, [key, "__salt"])
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_value_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Backward as-of join: for every left row, the latest right row with
+    ``right_ts <= left_ts`` on the same key (DuckDB/kdb ASOF JOIN
+    semantics; Spark has no native operator).
+
+    Scale-first formulation: tag both sides, UNION, and run ONE window per
+    key ordered by (ts, side) taking ``last(value, ignorenulls=True)`` —
+    a single shuffle on the key, linear in rows. The naive alternative
+    (range-condition join) explodes to a near-cross-join per key and is
+    exactly what this operator exists to avoid. Right rows sort before left
+    rows at equal timestamps, so a tie matches (<= semantics); duplicate
+    right timestamps resolve to the last row in (ts) order.
+    """
+    lcols = left.columns
+    rvals = list(right_value_cols)
+    l_tagged = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in rvals],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"__rv_{c}") for c in rvals],
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(F.col(f"__rv_{c}"), ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in rvals
+        ],
+    )
+    out = merged.filter(F.col("__side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in rvals],
+    )
+    return out

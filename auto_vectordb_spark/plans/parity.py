@@ -1871,3 +1871,47 @@ def training_set_build(spark, sf):
     return out.select(
         "doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"), "quality"
     )
+
+
+@_register(
+    "asof_join_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (
+      SELECT user_id, ts, max(round(value, 2)) AS view_value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS asof_view_ts,
+           v.view_value AS asof_view_value
+    FROM purchases p
+    ASOF LEFT JOIN views v ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    doc="As-of join (kdb/DuckDB ASOF semantics — Spark has no native "
+    "operator): latest prior 'view' per 'purchase' per user, via tag-union + "
+    "one ordered window per key (single shuffle, linear — never the "
+    "range-join near-cross-join); oracle is DuckDB's native ASOF JOIN",
+)
+def asof_join_attribution(spark, sf):
+    t = load_views(spark, sf)
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round("value", 2)).alias("view_value"))
+    )
+    out = R.asof_join(
+        purchases, views, key="user_id", right_value_cols=["ts", "view_value"]
+    )
+    return out.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_view_ts"),
+        F.col("asof_view_value"),
+    )

@@ -33,6 +33,8 @@ HEADLINE = [
     "dedup_embedding_blas",
     "knn_blas_topk",
     "text_quality",
+    "hybrid_rrf",
+    "training_set_build",
 ]
 
 

@@ -119,3 +119,26 @@ def test_minhash_signatures_single_shuffle(spark, sf_dir):
     # the 60-bit hash is computed below the exchange, once — not inside aggs
     below_exchange = plan.split("Exchange")[1]
     assert "md5" in below_exchange
+
+
+def test_asof_join_semantics(spark):
+    from auto_vectordb_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame([(1, 10, "p1"), (1, 5, "p2"), (2, 7, "p3")], ["u", "ts", "oid"])
+    right = spark.createDataFrame([(1, 3, 100.0), (1, 10, 200.0), (2, 9, 300.0)], ["u", "ts", "v"])
+    out = {r["oid"]: (r["asof_ts"], r["asof_v"]) for r in
+           asof_join(left, right, "u", right_value_cols=["ts", "v"]).collect()}
+    assert out == {"p1": (10, 200.0), "p2": (3, 100.0), "p3": (None, None)}
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    from auto_vectordb_spark.operators.relational import asof_join
+    from auto_vectordb_spark.plans.parity import load_views
+
+    t = load_views(spark, sf_dir)
+    ev = t["events"]
+    left = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(left, right, "user_id", right_value_cols=["value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(__k") == 1
