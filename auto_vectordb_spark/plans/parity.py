@@ -1915,3 +1915,90 @@ def asof_join_attribution(spark, sf):
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_view_ts"),
         F.col("asof_view_value"),
     )
+
+
+@_register(
+    "events_sliding_windows",
+    f"""
+    WITH legs AS (
+      SELECT date_trunc('hour', ts) AS w_start, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:00') AS window_start,
+           event_type, count(*) AS n_events,
+           CAST(sum({cents_sql('value')}) AS DOUBLE) / 100 AS sum_value
+    FROM legs GROUP BY 1, 2
+    """,
+    doc="Sliding window agg (2h window, 1h slide): each event lands in 2 "
+    "overlapping windows (Spark Expand, one shuffle); oracle materializes "
+    "the window membership as a 2-leg union",
+)
+def events_sliding_windows(spark, sf):
+    t = load_views(spark, sf)
+    return (
+        t["events"]
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@_register(
+    "events_session_window",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, value,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
+    FROM sessioned GROUP BY user_id, session_seq
+    """,
+    doc="Spark-native session_window (30min gap) grouped agg — the built-in "
+    "form of sessionization (works identically on streams with a watermark); "
+    "oracle is the lag/island method. Spark closes a session when the NEXT "
+    "event is >= gap away, i.e. gap-exclusive boundaries",
+)
+def events_session_window(spark, sf):
+    t = load_views(spark, sf)
+    return (
+        t["events"]
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(cents(F.col("value"))).cast("double") / 100).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

@@ -40,3 +40,15 @@ def test_entry_returns_rows(spark):
 def test_docs_cite_survey():
     for name, q in REGISTRY.items():
         assert q.doc, f"{name} has no doc string"
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    """Every registered query must plan WITHOUT CartesianProduct — cross-join
+    shapes are only legal as broadcast nested-loop (small side broadcast);
+    a real cartesian at 100 TB is a plan bug."""
+    for name, q in REGISTRY.items():
+        df = q.spark(spark, sf_dir)
+        if df.isStreaming:
+            continue
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
