@@ -434,3 +434,55 @@ def build_training_set(
         .select("doc_id", "n_tokens", "cum_tokens", "quality")
     )
     return out
+
+
+def _ingest_stream_method(
+    self,
+    path: str | None = None,
+    checkpoint: str | None = None,
+    parser: str | ParserFn = "text",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental ingest: files arriving under the staging dir stream
+    through the SAME parse→embed→chunk lineage as batch (one code path,
+    SURVEY §3.1) and append to the corpus via idempotent foreachBatch.
+
+    Returns the StreamingQuery; callers own its lifecycle. Replays are safe:
+    each micro-batch is deduped by id and the corpus read path dedupes again
+    (ES _id overwrite semantics).
+    """
+    from .streaming.pipeline import foreach_batch_index_merge
+
+    src = str(self.base / "uploaded") if path is None else path
+    ckpt = checkpoint or str(self.base / "_ingest_ckpt")
+    binary_schema = T.StructType(
+        [
+            T.StructField("path", T.StringType()),
+            T.StructField("modificationTime", T.TimestampType()),
+            T.StructField("length", T.LongType()),
+            T.StructField("content", T.BinaryType()),
+        ]
+    )
+    files = (
+        self.spark.readStream.format("binaryFile")
+        .schema(binary_schema)  # streaming file sources require explicit schema
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger:
+        files = files.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = files.load(src).select("path", "content")
+    chunks = self.embed(self.parse_files_df(stream, parser))
+
+    def write_fn(batch: DataFrame, epoch: int) -> None:
+        ok = batch.filter(F.col("status") == "success").drop("error", "status")
+        if ok.take(1):
+            ok.write.mode("append").partitionBy("lv1_cat").parquet(
+                str(self.base / "corpus")
+            )
+            self._corpus_cache = None
+            self._bm25 = None
+
+    return foreach_batch_index_merge(chunks, write_fn, ckpt)
+
+
+VectorPipeline.ingest_stream = _ingest_stream_method

@@ -2002,3 +2002,68 @@ def events_session_window(spark, sf):
             "sum_value",
         )
     )
+
+
+@_register(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH avg_q AS (
+      SELECT l_partkey, avg(CAST(round(l_quantity * 100) AS BIGINT)) AS avg_qty_cents
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum({cents_sql('l.l_extendedprice')}) AS BIGINT) AS revenue_cents,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 10
+    JOIN avg_q a ON a.l_partkey = l.l_partkey
+    WHERE CAST(round(l.l_quantity * 100) AS BIGINT) < 0.2 * a.avg_qty_cents
+    """,
+    doc="TPC-H Q17 shape: correlated scalar subquery (below 20%% of the "
+    "part's average quantity) decorrelated into a grouped-average join — "
+    "one extra agg over lineitem instead of a per-row subquery; integer-"
+    "exact averages for the cross-engine boundary",
+)
+def q17_small_quantity_revenue(spark, sf):
+    t = load_views(spark, sf)
+    qty_cents = cents(F.col("l_quantity"))
+    avg_q = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.avg(qty_cents).alias("avg_qty_cents"))
+    )
+    small_parts = t["part"].filter(F.col("p_size") <= 10).select("p_partkey")
+    li = (
+        t["lineitem"]
+        .join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_q, "l_partkey")
+        .filter(qty_cents < 0.2 * F.col("avg_qty_cents"))
+    )
+    return li.agg(
+        F.sum(cents(F.col("l_extendedprice"))).alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )
+
+
+@_register(
+    "q13_custdist",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: LEFT OUTER join preserving order-less customers + "
+    "double aggregation (count per customer, then distribution of counts)",
+)
+def q13_custdist(spark, sf):
+    t = load_views(spark, sf)
+    per_cust = (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))

@@ -133,3 +133,25 @@ def test_training_set_build_respects_budget(spark, sf_dir):
     assert out
     assert max(r["cum_tokens"] for r in out) <= 2000
     assert all(r["quality"] >= 0.5 for r in out)
+
+
+def test_ingest_stream_appends_to_corpus(spark, tmp_path):
+    """Streaming ingest must flow new staged files through the same
+    parse->embed->chunk lineage and append them to the corpus idempotently."""
+    p = VectorPipeline(spark, str(tmp_path / "store_s"), dim=16)
+    up = tmp_path / "store_s" / "uploaded" / "tech"
+    up.mkdir(parents=True)
+    (up / "one.txt").write_text("first streamed document")
+    q = p.ingest_stream(max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+        assert p.count() == 1
+        # a second file arrives -> next micro-batch appends it
+        (up / "two.txt").write_text("second streamed document")
+        q.processAllAvailable()
+        assert p.count() == 2
+        cats = {r["lv1_cat"] for r in p.corpus().collect()}
+        assert cats == {"tech"}
+        assert all(r["embeddings"] is not None for r in p.corpus().collect())
+    finally:
+        q.stop()
