@@ -206,3 +206,37 @@ def asof_join(
         *[F.col(f"__m_{c}").alias(f"asof_{c}") for c in rvals],
     )
     return out
+
+
+def time_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    tolerance_us: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Range join: all (left, right) row pairs on the same key with
+    ``|left_ts - right_ts| <= tolerance_us`` (timestamps in integer µs).
+
+    Scale-safe formulation: quantize time into tolerance-wide bins; a left
+    row in bin b can only match right rows in bins {b-1, b, b+1}, so the
+    left side explodes 3× onto bin keys and the join is a plain equi-join
+    on (key, bin) + exact filter. One shuffle each side, output-bounded —
+    never the non-equi nested-loop Spark would otherwise plan (a per-key
+    cross join). Returns left.* + right columns suffixed ``_r``.
+    """
+    bin_l = (F.col(left_ts) / F.lit(tolerance_us)).cast("long")
+    bin_r = (F.col(right_ts) / F.lit(tolerance_us)).cast("long")
+    l = left.withColumn(
+        "__bin", F.explode(F.array(bin_l - 1, bin_l, bin_l + 1))
+    ).withColumn("__k", F.col(key))
+    r = right.select(
+        F.col(key).alias("__k"),
+        bin_r.alias("__bin"),
+        *[F.col(c).alias(f"{c}_r") for c in right.columns],
+    )
+    joined = l.join(r, ["__k", "__bin"]).filter(
+        F.abs(F.col(left_ts) - F.col(f"{right_ts}_r")) <= tolerance_us
+    )
+    return joined.drop("__k", "__bin")

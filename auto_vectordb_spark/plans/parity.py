@@ -2067,3 +2067,43 @@ def q13_custdist(spark, sf):
         .agg(F.count("o_orderkey").alias("c_count"))
     )
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@_register(
+    "range_join_context",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+      WHERE event_type = 'purchase'
+    ),
+    e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+    SELECT p.event_id, count(e.event_id) AS n_context
+    FROM p LEFT JOIN e
+      ON e.user_id = p.user_id
+     AND e.event_id <> p.event_id
+     AND abs(e.us - p.us) <= 300000000
+    GROUP BY p.event_id
+    """,
+    doc="Range join (context harvesting): all same-user events within ±5min "
+    "of each purchase, via tolerance-wide time BINNING -> plain equi-join on "
+    "(key, bin) + exact filter (one shuffle each side, output-bounded) — "
+    "never the non-equi nested-loop Spark would otherwise plan; oracle is "
+    "DuckDB's non-equi join",
+)
+def range_join_context(spark, sf):
+    t = load_views(spark, sf)
+    ev = t["events"].select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    purchases = (
+        t["events"]
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.unix_micros("ts").alias("us"))
+    )
+    pairs = R.time_range_join(
+        purchases, ev, key="user_id", tolerance_us=300_000_000, left_ts="us", right_ts="us"
+    ).filter(F.col("event_id") != F.col("event_id_r"))
+    counts = pairs.groupBy("event_id").agg(F.count("*").alias("n_context"))
+    return (
+        purchases.select("event_id")
+        .join(counts, "event_id", "left_outer")
+        .select("event_id", F.coalesce("n_context", F.lit(0)).alias("n_context"))
+    )

@@ -142,3 +142,33 @@ def test_asof_join_single_shuffle(spark, sf_dir):
     out = asof_join(left, right, "user_id", right_value_cols=["value"])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(__k") == 1
+
+
+def test_time_range_join_matches_bruteforce(spark):
+    import itertools
+    import random
+
+    from auto_vectordb_spark.operators.relational import time_range_join
+
+    rng = random.Random(7)
+    rows = [(rng.randrange(3), i, rng.randrange(0, 1000)) for i in range(120)]
+    df = spark.createDataFrame(rows, ["k", "rid", "ts"])
+    tol = 50
+    got = {
+        (r["rid"], r["rid_r"])
+        for r in time_range_join(df, df, "k", tol).collect()
+    }
+    brute = {
+        (a[1], b[1])
+        for a, b in itertools.product(rows, rows)
+        if a[0] == b[0] and abs(a[2] - b[2]) <= tol
+    }
+    assert got == brute
+
+
+def test_time_range_join_is_equi_not_nested_loop(spark):
+    from auto_vectordb_spark.operators.relational import time_range_join
+
+    df = spark.createDataFrame([(1, 1, 10)], ["k", "rid", "ts"])
+    plan = time_range_join(df, df, "k", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
