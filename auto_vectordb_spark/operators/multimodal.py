@@ -182,13 +182,16 @@ def frame_sample_plan(media: DataFrame, every_n: int = 24) -> DataFrame:
                     continue
                 feats = DecoderRegistry.decode(modality, content)
                 for i in range(0, int(feats.get("n_frames") or 0), every_n):
+                    # engine-portable placeholder: sha256 over the UPPERCASE
+                    # hex of the bytes + '#' + index (SQL oracles can only
+                    # hash VARCHAR, not BLOB); a real sampler emits the
+                    # decoded frame bytes here
+                    tag = (content or b"").hex().upper() + f"#{i}"
                     rows.append(
                         {
                             "media_id": mid,
                             "frame_idx": i,
-                            "frame_sha": hashlib.sha256(
-                                (content or b"") + i.to_bytes(4, "big")
-                            ).hexdigest(),
+                            "frame_sha": hashlib.sha256(tag.encode()).hexdigest(),
                         }
                     )
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_sha"])

@@ -2107,3 +2107,48 @@ def range_join_context(spark, sf):
         .join(counts, "event_id", "left_outer")
         .select("event_id", F.coalesce("n_context", F.lit(0)).alias("n_context"))
     )
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH media AS (
+      SELECT md5(source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,
+             encode(text) AS content,
+             md5(text) AS h  -- DuckDB md5 is VARCHAR-only; hashes utf-8 bytes
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    nf AS (
+      SELECT media_id, content,
+             24 * (1 + (CAST(('0x' || substring(h, 9, 2)) AS INT) % 120)) AS n_frames
+      FROM media
+    ),
+    frames AS (
+      SELECT media_id, content, unnest(range(0, n_frames, 24)) AS frame_idx FROM nf
+    )
+    SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+           sha256(hex(content) || '#' || CAST(frame_idx AS VARCHAR)) AS frame_sha
+    FROM frames
+    """,
+    doc="Video frame-sampling plumbing (1 row -> n_frames/24 rows via "
+    "mapInPandas): deterministic fake decoder (n_frames from content md5 "
+    "byte 4) lets the oracle rebuild every frame row including its "
+    "sha256(hex(content)#idx) placeholder in SQL — the Spark-side "
+    "batch explosion contract is what's under test",
+)
+def multimodal_frame_sample(spark, sf):
+    from ..operators.multimodal import frame_sample_plan
+
+    t = load_views(spark, sf)
+    media = (
+        t["documents"]
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.md5(F.concat_ws("/", "source", F.col("doc_id").cast("string"))).alias(
+                "media_id"
+            ),
+            F.lit("video").alias("modality"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    return frame_sample_plan(media, every_n=24)
