@@ -2152,3 +2152,66 @@ def multimodal_frame_sample(spark, sf):
         )
     )
     return frame_sample_plan(media, every_n=24)
+
+
+@_register(
+    "set_ops_union_intersect",
+    """
+    SELECT o_custkey, 'both' AS src FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION
+    SELECT o_custkey, 'high_value' AS src
+    FROM orders WHERE o_totalprice > 400000
+    """,
+    doc="§2.7 set ops (INTERSECT + UNION distinct): customers with both a "
+    "finished and an urgent order, unioned with high-value order customers",
+)
+def set_ops_union_intersect(spark, sf):
+    t = load_views(spark, sf)
+    f_cust = t["orders"].filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    both = f_cust.intersect(urgent).withColumn("src", F.lit("both"))
+    high = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+        .withColumn("src", F.lit("high_value"))
+    )
+    return both.unionByName(high).distinct()
+
+
+@_register(
+    "deterministic_sample",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 10
+    """,
+    doc="Reproducible 10%% sampling via hash-mod on the key — unlike "
+    "rand()/TABLESAMPLE, identical across engines, runs, partitionings, and "
+    "retries; the ONLY sane way to sample at 100 TB (stable membership "
+    "under re-execution)",
+)
+def deterministic_sample(spark, sf):
+    t = load_views(spark, sf)
+    return t["documents"].filter(
+        H.stable_hash60(F.col("doc_id").cast("string")) % 100 < 10
+    ).select("doc_id", "lang")
+
+
+@_register(
+    "approx_distinct_users",
+    None,
+    doc="HLL approximate aggregates (approx_count_distinct, rsd=0.02) per "
+    "event_type — the sketch tier for 100 TB cardinality; no SQL oracle "
+    "(sketch internals differ per engine), relative-error <= 5%% vs the "
+    "exact count gated in tests/test_relational.py",
+)
+def approx_distinct_users(spark, sf):
+    t = load_views(spark, sf)
+    return t["events"].groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count("*").alias("n_events"),
+    )

@@ -11,10 +11,16 @@ def test_registry_shape():
     qs, osql = E.queries(), E.oracle_sql()
     assert len(qs) >= 30
     assert set(osql) <= set(qs)
-    # only ANN/BLAS/random-projection entries may skip the oracle
+    # only ANN/BLAS/random-projection/sketch entries may skip the oracle
     for name in set(qs) - set(osql):
         assert name.startswith(
-            ("ann_", "knn_blas", "dedup_embedding_blas", "dedup_embedding_lsh")
+            (
+                "ann_",
+                "knn_blas",
+                "dedup_embedding_blas",
+                "dedup_embedding_lsh",
+                "approx_",
+            )
         ), name
 
 

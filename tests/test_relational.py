@@ -172,3 +172,22 @@ def test_time_range_join_is_equi_not_nested_loop(spark):
     df = spark.createDataFrame([(1, 1, 10)], ["k", "rid", "ts"])
     plan = time_range_join(df, df, "k", 5)._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    from auto_vectordb_spark.plans.parity import REGISTRY, load_views
+
+    t = load_views(spark, sf_dir)
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in REGISTRY["approx_distinct_users"].spark(spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact"]
+        for r in t["events"]
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) / ex <= 0.05, (et, approx[et], ex)
