@@ -472,23 +472,22 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # Convergence via Σlabel: min-label propagation only ever DECREASES
+    # labels, so an unchanged sum ⇔ a fixed point — one scan-agg on the
+    # (checkpointed, tiny) label table instead of a join-and-count per round.
+    prev_sum = None
     for _ in range(max_iterations):
         prop = (
             edges.join(labels, edges["src"] == labels["node"])
             .select(F.col("dst").alias("node"), "label")
         )
-        new_labels = (
+        labels = (
             labels.unionAll(prop).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component_id"))
 
