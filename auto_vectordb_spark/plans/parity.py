@@ -2215,3 +2215,101 @@ def approx_distinct_users(spark, sf):
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@_register(
+    "q12_shipmode_priority",
+    """
+    SELECT l.l_returnflag,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    doc="TPC-H Q12 shape: join + grouped conditional counts (CASE inside "
+    "SUM — one pass, no per-branch scans)",
+)
+def q12_shipmode_priority(spark, sf):
+    t = load_views(spark, sf)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1996-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@_register(
+    "q14_promo_share",
+    f"""
+    SELECT round(
+             100.0 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                              THEN {cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS DOUBLE),
+             6) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    """,
+    doc="TPC-H Q14 shape: conditional revenue share (CASE numerator over "
+    "total denominator in ONE aggregation; broadcast part dim)",
+)
+def q14_promo_share(spark, sf):
+    t = load_views(spark, sf)
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    promo = F.col("p_type").startswith("PROMO")
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(promo, rev).otherwise(0)).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@_register(
+    "q19_disjunctive_filter",
+    f"""
+    SELECT CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS BIGINT)
+             AS revenue_4c,
+           count(*) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size <= 5  AND l.l_quantity >= 1  AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size <= 10 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size <= 15 AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    doc="TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst "
+    "extracts the common per-side disjuncts below the join (brand/size to "
+    "the part scan, quantity to the lineitem scan) before evaluating the "
+    "full residual",
+)
+def q19_disjunctive_filter(spark, sf):
+    t = load_views(spark, sf)
+    j = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey")
+    )
+    b, s, q = F.col("p_brand"), F.col("p_size"), F.col("l_quantity")
+    cond = (
+        ((b == "Brand#1") & (s <= 5) & q.between(1, 11))
+        | ((b == "Brand#2") & (s <= 10) & q.between(10, 20))
+        | ((b == "Brand#3") & (s <= 15) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+            "revenue_4c"
+        ),
+        F.count("*").alias("n_items"),
+    )
