@@ -159,3 +159,44 @@ def bpe_token_counts(
         .otherwise(F.lit(0.0))
         .alias("chars_per_piece"),
     )
+
+
+def chunk_text(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text) — fixed-window token
+    chunking with overlap, the canonical context-window prep transform.
+
+    Chunk i covers tokens [i·stride, i·stride + max_tokens) with
+    stride = max_tokens − overlap; the last chunk may be short; docs shorter
+    than one window yield one chunk. Pure array expressions, row-local
+    (1 → ceil(n/stride) rows), zero shuffle at any scale.
+    """
+    assert 0 <= overlap < max_tokens
+    stride = max_tokens - overlap
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    # number of chunks: 1 + ceil(max(n - max_tokens, 0) / stride)
+    extra = F.greatest(n - max_tokens, F.lit(0))
+    n_chunks = F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.slice(toks, i * stride + 1, max_tokens).alias("ctoks"),
+        ),
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(chunks).alias("c")
+    ).filter(F.size("c.ctoks") > 0)
+    return exploded.select(
+        "doc_id",
+        F.col("c.chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("c.ctoks").alias("n_tokens"),
+        F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
+    )

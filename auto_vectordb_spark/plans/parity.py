@@ -2313,3 +2313,37 @@ def q19_disjunctive_filter(spark, sf):
         ),
         F.count("*").alias("n_items"),
     )
+
+
+@_register(
+    "text_chunking",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    sized AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             1 + CAST(ceil(greatest(len(toks) - 32, 0) / 24.0) AS INT) AS n_chunks
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(range(0, n_chunks)) AS chunk_idx,
+             toks
+      FROM sized
+    ),
+    sliced AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32] AS ctoks
+      FROM chunks
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(ctoks) AS INT) AS n_tokens,
+           array_to_string(ctoks, ' ') AS chunk_text
+    FROM sliced WHERE len(ctoks) > 0
+    """,
+    doc="Context-window chunking (32 tokens, overlap 8 → stride 24): "
+    "1 doc → ceil-stride rows, pure array expressions, zero shuffle; the "
+    "canonical LLM training prep transform",
+)
+def text_chunking(spark, sf):
+    t = load_views(spark, sf)
+    return TS.chunk_text(t["documents"], max_tokens=32, overlap=8)

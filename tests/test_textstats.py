@@ -42,3 +42,23 @@ def test_fingerprint_order_sensitive(spark):
     assert out[1] == out[3]  # identical token stream → same fp
     assert out[1] != out[2]  # permutation → different fp
     assert all(0 <= v < TS.FINGERPRINT_PRIME for v in out.values())
+
+
+def test_chunk_text_windows_and_overlap(spark):
+    from auto_vectordb_spark.operators.textstats import chunk_text
+
+    text = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame([(1, text), (2, "short doc")], ["doc_id", "text"])
+    rows = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in chunk_text(docs, max_tokens=4, overlap=2).collect()
+    )
+    # doc1: stride 2 → starts 0,2,4,6 — the last window already reaches the
+    # final token, so no redundant tail chunk; doc2: one short chunk
+    assert rows == [
+        (1, 0, "t0 t1 t2 t3"),
+        (1, 1, "t2 t3 t4 t5"),
+        (1, 2, "t4 t5 t6 t7"),
+        (1, 3, "t6 t7 t8 t9"),
+        (2, 0, "short doc"),
+    ]
