@@ -2347,3 +2347,44 @@ def q19_disjunctive_filter(spark, sf):
 def text_chunking(spark, sf):
     t = load_views(spark, sf)
     return TS.chunk_text(t["documents"], max_tokens=32, overlap=8)
+
+
+@_register(
+    "q10_returned_revenue_topk",
+    f"""
+    WITH per_cust AS (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS BIGINT)
+               AS revenue_4c
+      FROM customer c
+      JOIN orders o   ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      JOIN nation n   ON n.n_nationkey = c.c_nationkey
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY revenue_4c DESC, c_custkey ASC) AS rn
+      FROM per_cust
+    )
+    SELECT c_custkey, c_name, n_name, revenue_4c FROM ranked WHERE rn <= 20
+    """,
+    doc="TPC-H Q10 shape: 4-way join filtered on returned lineitems, grouped "
+    "revenue, global top-20 (TakeOrderedAndProject over integer-exact cents)",
+)
+def q10_returned_revenue_topk(spark, sf):
+    t = load_views(spark, sf)
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    per_cust = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("revenue_4c"))
+    )
+    return (
+        per_cust.orderBy(F.col("revenue_4c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "n_name", "revenue_4c")
+    )
