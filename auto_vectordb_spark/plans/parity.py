@@ -2388,3 +2388,594 @@ def q10_returned_revenue_topk(spark, sf):
         .limit(20)
         .select("c_custkey", "c_name", "n_name", "revenue_4c")
     )
+
+
+# =========================================================================
+# TPC-H decorrelation / multi-join / subquery shapes (optimizer coverage)
+# =========================================================================
+
+
+@_register(
+    "q2_cheapest_supplier",
+    f"""
+    WITH pairs AS (
+      SELECT l.l_partkey, l.l_suppkey, p.p_name, p.p_size,
+             CAST(sum({cents_sql('l.l_extendedprice', 4)}) AS BIGINT) AS sp4,
+             CAST(sum({cents_sql('l.l_quantity', 2)}) AS BIGINT) AS sq2
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_size <= 5
+      GROUP BY 1, 2, 3, 4
+    ),
+    priced AS (
+      SELECT *, round(CAST(sp4 AS DOUBLE) / CAST(sq2 AS DOUBLE) / 100, 6) AS unit_price
+      FROM pairs
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY l_partkey ORDER BY unit_price ASC, l_suppkey ASC
+             ) AS rn
+      FROM priced
+    )
+    SELECT r.l_partkey AS p_partkey, r.p_name, r.p_size,
+           s.s_name, r.unit_price
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rn = 1
+    """,
+    doc="TPC-H Q2 shape: correlated MIN subquery decorrelated to a window "
+    "rank per part (cheapest observed supplier unit price; partsupp table "
+    "absent so unit price derives from lineitem). Rank on rounded price "
+    "with suppkey tie-break per determinism rules.",
+)
+def q2_cheapest_supplier(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    pairs = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_size") <= 5)),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy("l_partkey", "l_suppkey", "p_name", "p_size")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"), 4)).alias("sp4"),
+            F.sum(cents(F.col("l_quantity"), 2)).alias("sq2"),
+        )
+        .withColumn(
+            "unit_price",
+            F.round(F.col("sp4").cast("double") / F.col("sq2").cast("double") / 100, 6),
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_price").asc(), F.col("l_suppkey").asc()
+    )
+    best = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return best.join(
+        F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        "p_name",
+        "p_size",
+        "s_name",
+        "unit_price",
+    )
+
+
+@_register(
+    "q7_bination_volume",
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)}) AS BIGINT)
+             AS revenue_4c
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey  = l.l_orderkey
+    JOIN customer c ON c.c_custkey   = o.o_custkey
+    JOIN supplier s ON s.s_suppkey   = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: 6-way join, cross-nation volume by ship year; "
+    "nation dims broadcast, the OR-of-pairs predicate evaluated after "
+    "both nation joins (Catalyst pushes the shipdate range to the scan)",
+)
+def q7_bination_volume(spark, sf):
+    t = load_views(spark, sf)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    j = (
+        li.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("c_nk") == F.col("c_nationkey"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+                "revenue_4c"
+            )
+        )
+    )
+
+
+@_register(
+    "q8_market_share",
+    f"""
+    WITH flows AS (
+      SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+             {cents_sql('l.l_extendedprice * (1 - l.l_discount)', 4)} AS rev4,
+             n1.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey  = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_2' THEN rev4 ELSE 0 END) AS DOUBLE)
+                 / CAST(sum(rev4) AS DOUBLE), 6) AS mkt_share
+    FROM flows GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: market share of one supplier nation inside one "
+    "customer region's PROMO-part market, per order year — 8-way join with "
+    "every dim broadcast, share as conditional-over-total in one aggregate",
+)
+def q8_market_share(spark, sf):
+    t = load_views(spark, sf)
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    asia_nk = (
+        t["nation"]
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    j = (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(asia_nk), F.col("c_nk") == F.col("c_nationkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nk") == F.col("s_nationkey"))
+    )
+    rev4 = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+    return (
+        j.withColumn("o_year", F.year("o_orderdate"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_2", rev4).otherwise(0)).cast(
+                    "double"
+                )
+                / F.sum(rev4).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+@_register(
+    "q9_profit_by_nation",
+    f"""
+    SELECT n.n_name AS nation,
+           CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+           CAST(sum({cents_sql(
+               'l.l_extendedprice * (1 - l.l_discount) - 0.6 * p.p_retailprice * l.l_quantity', 4
+           )}) AS BIGINT) AS profit_4c
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%widget%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation and ship year over a "
+    "part-name LIKE filter (no partsupp table: supply cost stands in as "
+    "0.6*retailprice; identical expression tree both engines for "
+    "bit-identical doubles before cent quantization)",
+)
+def q9_profit_by_nation(spark, sf):
+    t = load_views(spark, sf)
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t["lineitem"]
+        .join(
+            F.broadcast(t["part"].filter(F.col("p_name").like("%widget%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .withColumn("l_year", F.year("l_shipdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("l_year"))
+        .agg(F.sum(cents(amount, 4)).alias("profit_4c"))
+    )
+
+
+@_register(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+               AS revenue_4c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.revenue_4c
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.revenue_4c = (SELECT max(revenue_4c) FROM rev)
+    """,
+    doc="TPC-H Q15 shape: scalar MAX subquery against a derived revenue "
+    "view — the max computed once on the (small, post-agg) revenue table "
+    "and broadcast back; exact int cents make the equality deterministic",
+)
+def q15_top_supplier(spark, sf):
+    t = load_views(spark, sf)
+    rev = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+                "revenue_4c"
+            )
+        )
+    )
+    mx = rev.agg(F.max("revenue_4c").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx), F.col("revenue_4c") == F.col("mx"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "revenue_4c")
+    )
+
+
+@_register(
+    "q16_supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 5, 10, 15, 20)
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q16 shape: distinct-supplier variety per (brand, type, size) "
+    "with negated + IN-list dim predicates (pushed to the part scan; "
+    "count-distinct expands to a two-phase aggregate)",
+)
+def q16_supplier_variety(spark, sf):
+    t = load_views(spark, sf)
+    p = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "q18_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum({cents_sql('l_quantity', 2)}) AS BIGINT) AS qty_2c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum({cents_sql('l_quantity', 2)}) > 25000
+    ),
+    ranked AS (
+      SELECT c.c_name, c.c_custkey, o.o_orderkey,
+             strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate_s,
+             round(o.o_totalprice, 2) AS o_totalprice,
+             CAST(b.qty_2c AS DOUBLE) / 100 AS total_qty,
+             row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey ASC) AS rn
+      FROM big b
+      JOIN orders o   ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate_s, o_totalprice, total_qty
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="TPC-H Q18 shape: HAVING-filtered group (orders with >250 total "
+    "qty) driving a semi-filtered join back to orders/customer, global "
+    "top-20 by order value (TakeOrderedAndProject; ties broken by key)",
+)
+def q18_large_orders(spark, sf):
+    t = load_views(spark, sf)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"), 2)).alias("qty_2c"))
+        .filter(F.col("qty_2c") > 25000)
+    )
+    return (
+        big.join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate_s"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            (F.col("qty_2c").cast("double") / 100).alias("total_qty"),
+            F.col("o_totalprice").alias("__sort"),
+        )
+        .orderBy(F.col("__sort").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .drop("__sort")
+    )
+
+
+@_register(
+    "q20_heavy_suppliers",
+    f"""
+    WITH heavy AS (
+      SELECT DISTINCT l_suppkey
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+      HAVING sum({cents_sql('l_quantity', 2)}) > 10500
+    )
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+    doc="TPC-H Q20 shape: IN-subquery over a HAVING aggregate (suppliers "
+    "that shipped >105 units of any single part) planned as a left-semi "
+    "join; the aggregate side shrinks to distinct keys before the semi",
+)
+def q20_heavy_suppliers(spark, sf):
+    t = load_views(spark, sf)
+    heavy = (
+        t["lineitem"]
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(cents(F.col("l_quantity"), 2)).alias("q2"))
+        .filter(F.col("q2") > 10500)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(heavy), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@_register(
+    "q22_idle_balance",
+    f"""
+    WITH avg_bal AS (
+      SELECT CAST(sum({cents_sql('c_acctbal', 2)}) AS DOUBLE) / count(*) AS ab2
+      FROM customer WHERE c_acctbal > 0.0
+    ),
+    active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    SELECT c.c_nationkey,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(sum({cents_sql('c_acctbal', 2)}) AS BIGINT) AS bal_2c
+    FROM customer c, avg_bal a
+    WHERE {cents_sql('c.c_acctbal', 2)} > a.ab2
+      AND c.c_custkey NOT IN (SELECT o_custkey FROM active)
+    GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 shape: scalar AVG subquery (broadcast) + NOT-IN "
+    "decorrelated to a left-anti join — rich customers with no recent "
+    "orders, grouped by nation",
+)
+def q22_idle_balance(spark, sf):
+    t = load_views(spark, sf)
+    avg_bal = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(cents(F.col("c_acctbal"))).cast("double") / F.count("*")).alias("ab2")
+        )
+    )
+    active = (
+        t["orders"]
+        .filter(F.col("o_orderdate") >= "2001-01-01")
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        t["customer"]
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(cents(F.col("c_acctbal")) > F.col("ab2"))
+        .join(active, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum(cents(F.col("c_acctbal"))).alias("bal_2c"),
+        )
+    )
+
+
+# =========================================================================
+# Window analytics extensions (lag/lead, frames, ntile, grouping sets)
+# =========================================================================
+
+
+@_register(
+    "events_user_gaps",
+    """
+    WITH lagged AS (
+      SELECT user_id,
+             date_diff('microsecond',
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM lagged GROUP BY user_id
+    """,
+    doc="LAG inter-arrival gaps per user (integer microseconds, exact "
+    "int64 sums) — one shuffle on user_id shared by window and aggregate",
+)
+def events_user_gaps(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = t["events"].withColumn(
+        "gap_us", F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("gap_us").alias("n_gaps"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@_register(
+    "events_moving_avg",
+    f"""
+    WITH sampled AS (
+      SELECT user_id, event_id, ts, {cents_sql('value')} AS v2
+      FROM events
+      WHERE CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 10 = 0
+    )
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+           round(CAST(sum(v2) OVER w AS DOUBLE)
+                 / CAST(count(v2) OVER w AS DOUBLE) / 100, 4) AS mavg
+    FROM sampled
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+    doc="5-row moving average per user (ROWS frame) on a deterministic "
+    "hash-sampled 10%% of users; cents quantized before the frame sum so "
+    "the double division is bit-identical cross-engine",
+)
+def events_moving_avg(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    sampled = t["events"].filter(
+        H.stable_hash60(F.col("user_id").cast("string")) % 10 == 0
+    ).withColumn("v2", cents(F.col("value")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return sampled.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        F.round(
+            F.sum("v2").over(w).cast("double") / F.count("v2").over(w).cast("double") / 100,
+            4,
+        ).alias("mavg"),
+    )
+
+
+@_register(
+    "events_ntile",
+    f"""
+    WITH ranked AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           count(*) AS n,
+           CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_value_2c,
+           round(min(value), 2) AS min_value,
+           round(max(value), 2) AS max_value
+    FROM ranked GROUP BY 1
+    """,
+    doc="NTILE(10) decile summary over event value. NOTE: a global ntile "
+    "is a single-partition sort — correctness shape only; at 100 TB the "
+    "scale path is approx_percentile bucket boundaries + a broadcast "
+    "range lookup (no global sort)",
+)
+def events_ntile(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    ranked = t["events"].withColumn(
+        "decile", F.ntile(10).over(Window.orderBy("value", "event_id"))
+    )
+    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("value"))).alias("sum_value_2c"),
+        F.round(F.min("value"), 2).alias("min_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
+
+
+@_register(
+    "grouping_sets_docs",
+    """
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(grouping(lang) AS INT) AS g_lang,
+           CAST(grouping(source) AS INT) AS g_source
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+    doc="GROUPING SETS ((lang),(source),()) with GROUPING() markers — "
+    "explicit multi-granularity aggregate (A2 extension; single Expand + "
+    "one aggregate, not three scans)",
+)
+def grouping_sets_docs(spark, sf):
+    load_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+               CAST(grouping(lang) AS INT) AS g_lang,
+               CAST(grouping(source) AS INT) AS g_source
+        FROM documents
+        GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )

@@ -191,3 +191,49 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     }
     for et, ex in exact.items():
         assert abs(approx[et] - ex) / ex <= 0.05, (et, approx[et], ex)
+
+
+def test_q2_decorrelated_no_extra_shuffle(spark, sf_dir):
+    """Q2 shape: the per-part min must come from ONE rank window reusing the
+    groupBy's partitioning — not a re-join of lineitem against itself."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["q2_cheapest_supplier"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # lineitem is scanned exactly once (no self-join decorrelation blowup)
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q20_plans_semi_join(spark, sf_dir):
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["q20_heavy_suppliers"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+
+
+def test_q18_take_ordered(spark, sf_dir):
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["q18_large_orders"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q7_broadcasts_all_dims(spark, sf_dir):
+    """Q7: supplier + both nation joins broadcast; only orders/customer may
+    shuffle (fact-to-fact)."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["q7_bination_volume"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_events_user_gaps_single_shuffle(spark, sf_dir):
+    """Window lag + groupBy share the user_id partitioning — one exchange."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["events_user_gaps"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
