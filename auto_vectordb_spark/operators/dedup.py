@@ -238,6 +238,14 @@ def ngram_jaccard_pairs(
     per-row from the distinct-shingle array (no shuffle); the self-join's two
     legs share one computation via ReusedExchange (identical subplans
     shuffled on the same key).
+
+    MEASURED (sf0.1, local[32]): carrying |A|,|B| on the exploded rows to
+    skip the post-agg size joins — and length-filtering inside the join —
+    is ~60% SLOWER than this formulation (6.3s vs 3.9s): the per-shingle
+    shuffle rows widen and the count-only partial aggregate degrades to a
+    3-column one, while the size joins it removes are broadcast-cheap on
+    the post-agg (per-pair, not per-shingle) table. Recomputing the shingle
+    array twice (sizes leg) is codegen-cheap by comparison.
     """
     sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k)
     sizes = docs.select(

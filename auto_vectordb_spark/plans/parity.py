@@ -973,6 +973,15 @@ BM25_QUERIES: list[tuple[int, str]] = [
     (2, "customer order line value"),
 ]
 
+# NOTE on index reuse: memoizing the BM25 index across the bm25/hybrid
+# entries (build once, cache=True, serve all three) was tried and MEASURED
+# SLOWER at sf0.1: the .cache() materialization of postings/doc_lens/term_df
+# cost ~+1.8s on the building query while saving only ~0.3-0.7s on each
+# reuse — in-memory cache round-trips break whole-stage pipelining, and at
+# this corpus size a fused rebuild is cheaper. Entries stay self-contained;
+# the pipeline facade (long-lived index, many queries) is where cache=True
+# pays.
+
 
 def _bm25_score_cte(queries: list[tuple[int, str]]) -> str:
     """CTEs computing (query_id, doc_id, score) — Lucene-style BM25."""
