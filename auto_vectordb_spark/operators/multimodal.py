@@ -201,6 +201,71 @@ def frame_sample_plan(media: DataFrame, every_n: int = 24) -> DataFrame:
     )
 
 
+def audio_window_plan(
+    media: DataFrame, window_ds: int = 100, stride_ds: int = 50
+) -> DataFrame:
+    """Audio→windows expansion plan (1 row → N rows): fixed-duration sliding
+    windows over the decoded clip, the audio analog of
+    :func:`frame_sample_plan` (a real pipeline emits resampled PCM per
+    window; the decoder here is the deterministic stub).
+
+    All arithmetic is INTEGER deciseconds — window boundaries are exact and
+    engine-portable (float second-arithmetic would drift between engines).
+    Windows start every ``stride_ds`` while start < duration; the last
+    window truncates at clip end. 1-row→N-rows via mapInPandas keeps the
+    binary content in one Arrow batch per partition — same contract a real
+    torchaudio/ffmpeg windower runs under.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.StringType(), False),
+            T.StructField("window_idx", T.IntegerType(), False),
+            T.StructField("start_ds", T.IntegerType(), False),
+            T.StructField("end_ds", T.IntegerType(), False),
+            T.StructField("window_sha", T.StringType(), False),
+        ]
+    )
+    decoders = dict(DecoderRegistry._decoders)
+
+    def _decode(modality: str, content: bytes | None) -> dict:
+        if modality in decoders:
+            return decoders[modality](content or b"")
+        return _fake_decode(modality, content)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, modality, content in zip(
+                pdf["media_id"], pdf["modality"], pdf["content"]
+            ):
+                if modality != "audio":
+                    continue
+                feats = _decode(modality, content)
+                dur_ds = int(round((feats.get("duration_s") or 0.0) * 10))
+                if dur_ds <= 0:
+                    continue
+                for idx, start in enumerate(range(0, dur_ds, stride_ds)):
+                    end = min(start + window_ds, dur_ds)
+                    # engine-portable placeholder (see frame_sample_plan):
+                    # sha256 over uppercase-hex bytes + '#' + start offset;
+                    # a real windower emits resampled PCM bytes here
+                    tag = (content or b"").hex().upper() + f"#{start}"
+                    rows.append(
+                        {
+                            "media_id": mid,
+                            "window_idx": idx,
+                            "start_ds": start,
+                            "end_ds": end,
+                            "window_sha": hashlib.sha256(tag.encode()).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def resize_images(media: DataFrame, max_side: int = 224) -> DataFrame:
     """Image resize plumbing (1 row → 1 row, binary out).
 

@@ -2988,3 +2988,84 @@ def grouping_sets_docs(spark, sf):
         GROUP BY GROUPING SETS ((lang), (source), ())
         """
     )
+
+
+@_register(
+    "multimodal_audio_windows",
+    """
+    WITH media AS (
+      SELECT md5(source || '/' || CAST(doc_id AS VARCHAR)) AS media_id,
+             encode(text) AS content,
+             md5(text) AS h  -- DuckDB md5 is VARCHAR-only; hashes utf-8 bytes
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    durs AS (
+      SELECT media_id, content,
+             5 + (CAST(('0x' || substring(h, 5, 2)) AS INT) % 600) AS dur_ds
+      FROM media
+    ),
+    wins AS (
+      SELECT media_id, content, dur_ds,
+             unnest(range(0, dur_ds, 50)) AS start_ds
+      FROM durs
+    )
+    SELECT media_id,
+           CAST(start_ds // 50 AS INT) AS window_idx,
+           CAST(start_ds AS INT) AS start_ds,
+           CAST(least(start_ds + 100, dur_ds) AS INT) AS end_ds,
+           sha256(hex(content) || '#' || CAST(start_ds AS VARCHAR)) AS window_sha
+    FROM wins
+    """,
+    doc="Audio windowing plumbing (1 clip -> ceil(dur/stride) rows via "
+    "mapInPandas; 10s window, 5s stride, integer-decisecond boundaries): "
+    "deterministic fake decoder (duration from content md5 byte 2) lets "
+    "the oracle rebuild every window row in SQL — completes the "
+    "image/video/audio modality triad",
+)
+def multimodal_audio_windows(spark, sf):
+    from ..operators.multimodal import audio_window_plan
+
+    t = load_views(spark, sf)
+    media = (
+        t["documents"]
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            F.md5(F.concat_ws("/", "source", F.col("doc_id").cast("string"))).alias(
+                "media_id"
+            ),
+            F.lit("audio").alias("modality"),
+            F.encode("text", "utf-8").alias("content"),
+        )
+    )
+    return audio_window_plan(media, window_ds=100, stride_ds=50)
+
+
+@_register(
+    "p6_dim_normalize",
+    f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           round(sqrt({V.dot_sql('embedding', 'embedding')}), 6) AS l2_norm,
+           round(CAST(embedding[1] AS DOUBLE)
+                 / sqrt({V.dot_sql('embedding', 'embedding')}), 6) AS e0_unit
+    FROM embeddings
+    WHERE len(embedding) = 64
+    """,
+    doc="P6 dimension guard + L2 normalization (reference rejects non-1024-d "
+    "query vectors at the API layer, es_index.py:107-111; fixtures are "
+    "64-d): guard as a pushable size() filter — at 100 TB a malformed row "
+    "fails the ROW, not the job — plus unit-norm scaling, the standard "
+    "pre-processing before cosine ANN",
+)
+def p6_dim_normalize(spark, sf):
+    t = load_views(spark, sf)
+    guarded = V.dim_guard(t["embeddings"], "embedding", dim=64)
+    nrm = V.norm(F.col("embedding"))
+    return guarded.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(nrm, 6).alias("l2_norm"),
+        F.round(
+            F.element_at(V.as_double_array(F.col("embedding")), 1) / nrm, 6
+        ).alias("e0_unit"),
+    )

@@ -118,3 +118,31 @@ def test_resize_images_geometry(spark):
         assert bytes(r["content"]) == b"px"
     finally:
         DecoderRegistry._decoders.pop("image", None)
+
+
+def test_audio_window_boundaries(spark):
+    from auto_vectordb_spark.operators.multimodal import (
+        DecoderRegistry,
+        audio_window_plan,
+    )
+
+    # 12.3 s clip, 10 s windows, 5 s stride -> [0,100) [50,123) [100,123)
+    DecoderRegistry.register("audio", lambda b: {"duration_s": 12.3})
+    try:
+        media = spark.createDataFrame(
+            [("a1", "audio", bytearray(b"pcm")), ("m2", "image", bytearray(b"px"))],
+            "media_id string, modality string, content binary",
+        )
+        rows = sorted(
+            audio_window_plan(media, window_ds=100, stride_ds=50).collect(),
+            key=lambda r: r["window_idx"],
+        )
+        assert [(r["start_ds"], r["end_ds"]) for r in rows] == [
+            (0, 100),
+            (50, 123),
+            (100, 123),
+        ]
+        assert all(r["media_id"] == "a1" for r in rows)  # non-audio dropped
+        assert len({r["window_sha"] for r in rows}) == 3  # offset-salted hashes
+    finally:
+        DecoderRegistry._decoders.pop("audio", None)
