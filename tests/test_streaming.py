@@ -212,3 +212,56 @@ def test_sessionize_stream_matches_batch_oracle(spark, sf_dir, tmp_path):
         for r in REGISTRY["events_sessionize"].spark(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_late_data_dropped_below_watermark(spark, tmp_path):
+    """Append-mode windowed agg: rows older than the watermark are DROPPED,
+    and finalized windows emit file-1-only counts.
+
+    Batch 1 spans 00:00-10:00 → after it, watermark = 10:00 - 2h = 08:00.
+    Batch 2 brings a LATE row at 07:30 (< watermark) and an on-time row at
+    10:30. Windows ending ≤ 08:00 finalize during batch 2; the 07:00 window
+    must count only the batch-1 event — the late row never reaches state.
+    """
+    import datetime as dt
+
+    src_dir = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    def rows(hours_minutes):
+        return [
+            (i, base + dt.timedelta(hours=h, minutes=m), 1, "click", 1.0, "{}")
+            for i, (h, m) in enumerate(hours_minutes)
+        ]
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    batch1 = spark.createDataFrame(rows([(h, 0) for h in range(11)]), schema)
+    batch1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    agg = windowed_event_counts(stream, watermark="2 hours")
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    batch2 = spark.createDataFrame(rows([(7, 30), (10, 30)]), schema)
+    batch2.coalesce(1).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["window_start"].hour: r["n_events"]
+        for r in spark.table(name).collect()
+    }
+    # windows 00..07 finalized (end <= 08:00 watermark); none beyond
+    assert set(got) == set(range(8))
+    # the late 07:30 row was dropped — window 07 counts ONLY the batch-1 row
+    assert got[7] == 1
