@@ -211,6 +211,65 @@ def ivf_search(
     )
 
 
+def ivf_write(index: DataFrame, path: str) -> None:
+    """Persist the IVF index partitioned by centroid_id — the durable "bulk
+    index build" artifact (BASELINE.json north star; the reference's analog
+    is the ES index, elasticsearch_index.py:145-172).
+
+    Directory-partitioning by centroid means a search that probes ``nprobe``
+    buckets reads ONLY those directories: partition pruning happens at file
+    listing, before any IO — at 100 TB with k=4096 centroids and nprobe=8,
+    a query touches ~0.2% of the index bytes.
+    """
+    index.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_read_pruned(spark, path: str, centroid_ids: list[int]) -> DataFrame:
+    """Read ONLY the probed buckets of a persisted IVF index.
+
+    The ``isin`` filter on the partition column becomes a PartitionFilter
+    (pruned at listing time, no data read) — asserted in tests via the scan
+    node's plan text.
+    """
+    df = spark.read.parquet(path)
+    return df.filter(F.col("centroid_id").isin([int(c) for c in centroid_ids]))
+
+
+def ivf_search_persisted(
+    queries: DataFrame,
+    spark,
+    path: str,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """:func:`ivf_search` against a disk-persisted partitioned index.
+
+    Probe selection runs on the (broadcast) centroid table; the union of all
+    probed centroid ids prunes the index scan to those partitions, then the
+    per-query semi-join restricts each query to its own probes.
+    """
+    probes = knn_exact(
+        queries,
+        centroids.select(F.col("centroid_id"), F.col("centroid").alias("embedding")),
+        k=nprobe,
+        corpus_id="centroid_id",
+    ).select("query_id", "centroid_id")
+    probe_ids = [r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()]
+    index = ivf_read_pruned(spark, path, probe_ids)
+    qv = queries.select("query_id", F.col(vec_col).alias("__qv"))
+    cand = (
+        F.broadcast(probes.join(qv, "query_id"))
+        .join(index, "centroid_id")
+        .withColumn("score", V.cosine(F.col("__qv"), F.col(vec_col)))
+    )
+    return top_k_per_group(
+        cand.select("query_id", corpus_id, "score"), ["query_id"], "score", k, tie_break=corpus_id
+    )
+
+
 def label_centroids(
     vectors: DataFrame,
     label_col: str = "label",

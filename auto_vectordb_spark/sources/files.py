@@ -62,6 +62,40 @@ def write_table(
     writer.save(path)
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_mb: int = 128,
+) -> int:
+    """Small-file compaction: rewrite a parquet location into ~``target_mb``
+    files. Returns the output file count.
+
+    Streaming ingest (foreachBatch appends) and fine-grained partitioning
+    accumulate small files; at 100 TB that multiplies task-scheduling and
+    file-open overhead and shrinks rowgroups below effective IO size.
+    Periodic compaction is standard table maintenance (Delta OPTIMIZE's
+    moral equivalent for plain parquet).
+
+    Sizing uses the actual input bytes (driver-side stat over
+    ``df.inputFiles()`` — on object stores swap in the FileSystem API);
+    the rewrite is one round-robin ``repartition(n)``, a single shuffle
+    that also rebalances skewed file sizes.
+    """
+    import os
+    from urllib.parse import urlparse
+
+    df = spark.read.parquet(path)
+    total = 0
+    for f in df.inputFiles():
+        p = urlparse(f)
+        if p.scheme in ("", "file"):
+            total += os.path.getsize(p.path)
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
+    df.repartition(n).write.mode("overwrite").parquet(out_path)
+    return len(spark.read.parquet(out_path).inputFiles())
+
+
 def write_index(
     df: DataFrame,
     path: str,

@@ -95,3 +95,31 @@ def test_ivf_with_kmeans_centroids_recall(queries, emb, exact_topk):
     got = ivf_search(queries, index, cents, k=10, nprobe=6)
     recall = _recall(got.collect(), exact_topk)
     assert recall >= 0.9, recall
+
+
+def test_ivf_persisted_index_prunes_partitions(spark, emb, exact_topk, tmp_path):
+    """ivf_write partitions by centroid; a probed read must plan partition
+    pruning (PartitionFilters on centroid_id) and persisted search must
+    match the in-memory IVF search exactly."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.operators import knn as KNN
+
+    centroids = KNN.label_centroids(emb)
+    index = KNN.ivf_build(emb, centroids)
+    path = str(tmp_path / "ivf_index")
+    KNN.ivf_write(index, path)
+
+    pruned = KNN.ivf_read_pruned(spark, path, [0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters")[1][:200]
+
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    mem = KNN.ivf_search(queries, index, centroids, k=10, nprobe=3)
+    disk = KNN.ivf_search_persisted(queries, spark, path, centroids, k=10, nprobe=3)
+    as_set = lambda df: {  # noqa: E731
+        (r["query_id"], r["vec_id"], round(r["score"], 9)) for r in df.collect()
+    }
+    assert as_set(mem) == as_set(disk)

@@ -31,3 +31,16 @@ def test_write_index_idempotent_by_id(spark, tmp_path):
     assert back.count() == 2  # duplicate id collapsed (ES _id overwrite)
     S.write_index(df, out)  # re-index: overwrite, still 2
     assert spark.read.parquet(out).count() == 2
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from auto_vectordb_spark.sources.files import compact_table
+
+    src = str(tmp_path / "frag")
+    out = str(tmp_path / "compacted")
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    df.repartition(50).write.parquet(src)
+    assert len(spark.read.parquet(src).inputFiles()) == 50
+    n_out = compact_table(spark, src, out, target_mb=128)
+    assert n_out == 1  # 50 tiny files -> one right-sized file
+    assert spark.read.parquet(out).count() == 10_000
