@@ -153,6 +153,35 @@ def salted_join(
     return out.drop("__salt")
 
 
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — domain-balanced corpus mixing
+    (the training-data "10% of en, 50% of de" knob).
+
+    Membership is ``hash60(key) % 1e6 < rate_of(stratum) * 1e6`` — stable
+    across runs, partitionings, and retries (unlike ``sampleBy``'s RNG), so
+    a resampled 100 TB corpus is reproducible and incrementally extendable:
+    re-running over new data keeps every previously selected row. Nested
+    rates (5% ⊂ 10%) select nested row sets, which makes rate sweeps
+    comparable.
+    """
+    from ..functions import hashing as H
+
+    scale = 1_000_000
+    threshold = F.lit(int(default_rate * scale))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(strata_col) == stratum, F.lit(int(rate * scale))
+        ).otherwise(threshold)
+    bucket = H.stable_hash60(F.col(key_col).cast("string")) % scale
+    return df.filter(bucket < threshold)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

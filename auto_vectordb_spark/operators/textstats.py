@@ -161,6 +161,61 @@ def bpe_token_counts(
     )
 
 
+# ASCII-restricted patterns, byte-identical under Java regex and RE2 —
+# the privacy-scrub analog of BPE_PIECE_RE's dialect discipline.
+URL_RE = r"https?://[^\s]+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9]{4,}"
+
+
+def scrub_text(col: Column) -> Column:
+    """PII/noise redaction: URLs → <URL>, emails → <EMAIL>, 4+-digit runs →
+    <NUM> (ids, phones, card fragments). Order matters: URLs first (they
+    contain digits and @-free hosts), then emails, then bare number runs.
+    Pure regexp_replace chain — JVM codegen, no UDF."""
+    out = F.regexp_replace(col, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, LONGNUM_RE, "<NUM>")
+
+
+def scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, n_urls, n_emails, n_longnums, scrubbed) — redaction plus
+    per-category match counts (the audit trail a compliance pass needs)."""
+    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_count(t, F.lit(URL_RE)).alias("n_urls"),
+        F.regexp_count(t, F.lit(EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(t, F.lit(LONGNUM_RE)).alias("n_longnums"),
+        scrub_text(t).alias("scrubbed"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """(doc_id, n_shingles, rep_ratio, dup_token_ratio) — Gopher-style
+    within-document repetition features: fraction of duplicate k-gram
+    occurrences and duplicate token occurrences. High values flag boilerplate
+    and degenerate generations; row-local array math, zero shuffle."""
+    from ..functions.text import shingles
+
+    toks = tokenize(F.col(text_col))
+    sh = shingles(toks, k)
+    n_sh, n_usp = F.size(sh), F.size(F.array_distinct(sh))
+    n_tok, n_utok = F.size(toks), F.size(F.array_distinct(toks))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_sh.alias("n_shingles"),
+        F.round(
+            F.when(n_sh > 0, 1.0 - n_usp / n_sh.cast("double")).otherwise(0.0), 6
+        ).alias("rep_ratio"),
+        F.round(
+            F.when(n_tok > 0, 1.0 - n_utok / n_tok.cast("double")).otherwise(0.0), 6
+        ).alias("dup_token_ratio"),
+    )
+
+
 def chunk_text(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -3069,3 +3069,95 @@ def p6_dim_normalize(spark, sf):
             F.element_at(V.as_double_array(F.col("embedding")), 1) / nrm, 6
         ).alias("e0_unit"),
     )
+
+
+@_register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % 1000000
+          < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000 ELSE 100000 END
+    """,
+    doc="Stratified deterministic sampling (en 50%%, de 25%%, rest 10%%) — "
+    "domain-balanced corpus mixing via per-stratum hash-mod thresholds; "
+    "reproducible and nested across rates, unlike RNG sampleBy",
+)
+def stratified_sample_docs(spark, sf):
+    t = load_views(spark, sf)
+    out = R.stratified_sample(
+        t["documents"],
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25},
+        key_col="doc_id",
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+@_register(
+    "text_scrub",
+    r"""
+    WITH pii AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or https://ex.com/p/' || CAST(doc_id AS VARCHAR)
+                  || ' ref 99' || CAST(1000000 + doc_id AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, 'https?://[^\s]+')) AS INT) AS n_urls,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '[0-9]{4,}')) AS INT) AS n_longnums,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g') AS scrubbed
+    FROM pii
+    """,
+    doc="PII scrubbing (URL/email/long-number redaction + audit counts) over "
+    "synthetically PII-injected docs — ASCII-restricted regexes chosen to "
+    "be byte-identical between Java regex and RE2; pure regexp_replace "
+    "chain, no UDF",
+)
+def text_scrub(spark, sf):
+    t = load_views(spark, sf)
+    pii = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or https://ex.com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ref 99"),
+            (F.lit(1000000) + F.col("doc_id")).cast("string"),
+        ).alias("text"),
+    )
+    return TS.scrub(pii)
+
+
+@_register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    s AS (SELECT doc_id, toks, {SHINGLES3_SQL.format(t='toks')} AS sh FROM t)
+    SELECT doc_id,
+           CAST(len(sh) AS INT) AS n_shingles,
+           round(CASE WHEN len(sh) > 0
+                      THEN 1.0 - len(list_distinct(sh)) / CAST(len(sh) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS rep_ratio,
+           round(CASE WHEN len(toks) > 0
+                      THEN 1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_token_ratio
+    FROM s
+    """,
+    doc="Gopher-style within-document repetition features (duplicate 3-gram "
+    "and duplicate-token occupancy) — boilerplate/degenerate-text detector; "
+    "row-local array math, zero shuffle",
+)
+def text_repetition(spark, sf):
+    t = load_views(spark, sf)
+    return TS.repetition_stats(t["documents"])

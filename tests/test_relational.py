@@ -237,3 +237,18 @@ def test_events_user_gaps_single_shuffle(spark, sf_dir):
     df = REGISTRY["events_user_gaps"].spark(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_stratified_sample_nested_and_deterministic(spark, sf_dir):
+    """Halving a stratum's rate must select a SUBSET of the higher-rate
+    sample (hash-threshold nesting), and reruns are identical."""
+    from auto_vectordb_spark.operators.relational import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hi = stratified_sample(docs, "lang", {"en": 0.5}, "doc_id")
+    lo = stratified_sample(docs, "lang", {"en": 0.25}, "doc_id")
+    hi_ids = {r["doc_id"] for r in hi.collect()}
+    lo_ids = {r["doc_id"] for r in lo.collect()}
+    assert lo_ids <= hi_ids and 0 < len(lo_ids) < len(hi_ids)
+    again = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
+    assert again == hi_ids

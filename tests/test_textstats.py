@@ -62,3 +62,31 @@ def test_chunk_text_windows_and_overlap(spark):
         (1, 3, "t6 t7 t8 t9"),
         (2, 0, "short doc"),
     ]
+
+
+def test_scrub_redacts_and_counts(spark):
+    from auto_vectordb_spark.operators.textstats import scrub
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.com see https://ex.com/p?q=1 ref 123456 and 123")],
+        ["doc_id", "text"],
+    )
+    r = scrub(df).collect()[0]
+    assert (r["n_urls"], r["n_emails"], r["n_longnums"]) == (1, 1, 1)
+    assert r["scrubbed"] == "mail <EMAIL> see <URL> ref <NUM> and 123"
+
+
+def test_repetition_ratio_values(spark):
+    from auto_vectordb_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "x y z w"), (3, "")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    # "a b c a b c": shingles [abc bca cab abc] -> 1 dup of 4 = 0.25;
+    # tokens 6 with 3 distinct -> 0.5
+    assert got[1]["n_shingles"] == 4
+    assert abs(got[1]["rep_ratio"] - 0.25) < 1e-9
+    assert abs(got[1]["dup_token_ratio"] - 0.5) < 1e-9
+    assert got[2]["rep_ratio"] == 0.0
+    assert got[3]["n_shingles"] == 0 and got[3]["rep_ratio"] == 0.0
