@@ -3161,3 +3161,101 @@ def text_scrub(spark, sf):
 def text_repetition(spark, sf):
     t = load_views(spark, sf)
     return TS.repetition_stats(t["documents"])
+
+
+@_register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey AND o.o_orderstatus = 'F'
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+    GROUP BY s.s_name
+    """,
+    doc="TPC-H Q21 shape: correlated EXISTS + NOT-EXISTS self-joins on the "
+    "fact table (multi-supplier finished orders where THIS supplier shipped "
+    "last; commit/receipt dates absent so lateness is last-ship-wins) — "
+    "plans as left-semi + left-anti hash joins on l_orderkey with the "
+    "inequality conditions as residual filters, never a nested loop",
+)
+def q21_waiting_suppliers(spark, sf):
+    t = load_views(spark, sf)
+    li = t["lineitem"]
+    l1 = li.select("l_orderkey", "l_suppkey", "l_shipdate")
+    l2 = li.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("a_orderkey"),
+        F.col("l_suppkey").alias("a_suppkey"),
+        F.col("l_shipdate").alias("a_shipdate"),
+    )
+    waiting = (
+        l1.join(
+            t["orders"].filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .join(
+            l2,
+            (F.col("r_orderkey") == F.col("l_orderkey"))
+            & (F.col("r_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("a_orderkey") == F.col("l_orderkey"))
+            & (F.col("a_suppkey") != F.col("l_suppkey"))
+            & (F.col("a_shipdate") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+@_register(
+    "q11_value_share",
+    f"""
+    WITH pr AS (
+      SELECT l_partkey,
+             CAST(sum({cents_sql('l_extendedprice * (1 - l_discount)', 4)}) AS BIGINT)
+               AS value_4c
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_4c
+    FROM pr, (SELECT sum(value_4c) AS total FROM pr) tot
+    WHERE value_4c > 0.00065 * total
+    """,
+    doc="TPC-H Q11 shape: HAVING against a global-scalar fraction (parts "
+    "holding > 0.065%% of total revenue; partsupp absent so revenue stands "
+    "in for stock value) — the per-group aggregate is computed ONCE and "
+    "reused for both the scalar total (broadcast) and the filter",
+)
+def q11_value_share(spark, sf):
+    t = load_views(spark, sf)
+    pr = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)).alias(
+                "value_4c"
+            )
+        )
+    )
+    tot = pr.agg(F.sum("value_4c").alias("total"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_4c") > 0.00065 * F.col("total"))
+        .select("l_partkey", "value_4c")
+    )

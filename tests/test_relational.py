@@ -252,3 +252,14 @@ def test_stratified_sample_nested_and_deterministic(spark, sf_dir):
     assert lo_ids <= hi_ids and 0 < len(lo_ids) < len(hi_ids)
     again = {r["doc_id"] for r in stratified_sample(docs, "lang", {"en": 0.5}, "doc_id").collect()}
     assert again == hi_ids
+
+
+def test_q21_semi_anti_no_nested_loop(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS must plan as hash semi/anti joins with the
+    inequality as residual — never BroadcastNestedLoopJoin."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    df = REGISTRY["q21_waiting_suppliers"].spark(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
