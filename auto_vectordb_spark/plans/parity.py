@@ -3259,3 +3259,154 @@ def q11_value_share(spark, sf):
         .filter(F.col("value_4c") > 0.00065 * F.col("total"))
         .select("l_partkey", "value_4c")
     )
+
+
+@_register(
+    "knn_filtered",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round({V.cosine_sql("qv", "c.embedding")}, 6) AS score
+      FROM q CROSS JOIN embeddings c
+      WHERE c.label IN (1, 2)
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="V2 with metadata pre-filter (the ES knn 'filter' clause analog): "
+    "the label predicate restricts the corpus BEFORE scoring — pushed to "
+    "the scan, so the crossJoin scores only the qualifying fraction",
+)
+def knn_filtered(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    corpus = t["embeddings"].filter(F.col("label").isin(1, 2))
+    return KNN.knn_exact(queries, corpus, k=_KNN_K, round_decimals=6)
+
+
+_E2E_EMBED_SQL_DOCS = f"""
+    dtok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                        t -> t <> '')) AS tok
+      FROM documents
+    ),
+    dh AS (SELECT doc_id, {{h}} AS h FROM dtok),
+    dagg AS (
+      SELECT doc_id, h % {_EMBED_DIM} AS bucket,
+             CAST(sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+      FROM dh GROUP BY doc_id, h % {_EMBED_DIM}
+    ),
+    dnrm AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM dagg GROUP BY doc_id),
+    dvec AS (
+      SELECT dagg.doc_id, bucket, CAST(CAST(w / n AS FLOAT) AS DOUBLE) AS w
+      FROM dagg JOIN dnrm ON dagg.doc_id = dnrm.doc_id WHERE w <> 0
+    )
+"""
+
+
+def _e2e_sql() -> str:
+    qvals = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
+    h_doc = H.stable_hash60_sql("tok")
+    return f"""
+    WITH {_E2E_EMBED_SQL_DOCS.format(h=h_doc)},
+    qraw AS (SELECT * FROM (VALUES {qvals}) AS v(query_id, query_text)),
+    qtok AS (
+      SELECT query_id, unnest(list_filter(string_split_regex(lower(query_text), '\\s+'),
+                                          t -> t <> '')) AS tok
+      FROM qraw
+    ),
+    qh AS (SELECT query_id, {h_doc} AS h FROM qtok),
+    qagg AS (
+      SELECT query_id, h % {_EMBED_DIM} AS bucket,
+             CAST(sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+      FROM qh GROUP BY query_id, h % {_EMBED_DIM}
+    ),
+    qnrm AS (SELECT query_id, sqrt(sum(w * w)) AS n FROM qagg GROUP BY query_id),
+    qvec AS (
+      SELECT qagg.query_id, bucket, CAST(CAST(w / n AS FLOAT) AS DOUBLE) AS w
+      FROM qagg JOIN qnrm ON qagg.query_id = qnrm.query_id WHERE w <> 0
+    ),
+    scored AS (
+      SELECT q.query_id, d.doc_id, round(sum(q.w * d.w), 6) AS score
+      FROM qvec q JOIN dvec d ON q.bucket = d.bucket
+      GROUP BY q.query_id, d.doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM scored WHERE score > 0
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """
+
+
+@_register(
+    "semantic_search_e2e",
+    _e2e_sql(),
+    doc="End-to-end semantic search in ONE lineage (SURVEY §3.3 minus the "
+    "HTTP hops): embed corpus + query texts (Arrow pandas_udf, V1) then "
+    "exact cosine top-k (V2); unit-norm embeddings make cosine = dot, so "
+    "the oracle runs the dense dot as a sparse bucket join. Positive-score "
+    "filter pins the cut deterministically in both engines.",
+)
+def semantic_search_e2e(spark, sf):
+    from ..functions.embedding import embed_udf
+
+    t = load_views(spark, sf)
+    docs_emb = t["documents"].select(
+        F.col("doc_id"), embed_udf(_EMBED_DIM)(F.col("text")).alias("embedding")
+    )
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"]).select(
+        "query_id", embed_udf(_EMBED_DIM)(F.col("query_text")).alias("embedding")
+    )
+    scored = (
+        KNN.score_pairs(queries, docs_emb)
+        .withColumn("score", F.round("score", 6))
+        .filter(F.col("score") > 0)
+    )
+    return R.top_k_per_group(
+        scored.select("query_id", "doc_id", "score"),
+        ["query_id"],
+        "score",
+        _KNN_K,
+        tie_break="doc_id",
+    )
+
+
+@_register(
+    "part_unpivot",
+    """
+    SELECT p_partkey, 'p_retailprice' AS attr, round(p_retailprice, 2) AS val
+    FROM part WHERE p_size <= 3
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val
+    FROM part WHERE p_size <= 3
+    """,
+    doc="UNPIVOT/melt (wide->long reshaping, DataFrame.unpivot): one Expand "
+    "node emits both measures in a single scan — the feature-table prep "
+    "step ML pipelines run before per-feature aggregation",
+)
+def part_unpivot(spark, sf):
+    t = load_views(spark, sf)
+    narrow = t["part"].filter(F.col("p_size") <= 3).select(
+        "p_partkey",
+        F.round("p_retailprice", 2).alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return narrow.unpivot("p_partkey", ["p_retailprice", "p_size"], "attr", "val")
