@@ -86,3 +86,36 @@ def test_merge_upsert_invariants(spark, updates):
     for r in out:
         versions = [v for v in (base.get(r["id"]), updates.get(r["id"])) if v is not None]
         assert r["updated_at"] == max(versions)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=0, max_value=90),
+    max_tokens=st.integers(min_value=4, max_value=16),
+    overlap=st.integers(min_value=0, max_value=8),
+)
+def test_chunk_text_covers_and_overlaps(spark, n_tokens, max_tokens, overlap):
+    """chunk_text invariants for ANY (doc length, window, overlap):
+    - stride reconstruction: chunk i starts at token i*stride;
+    - full coverage: chunks concatenated with overlap removed == tokens;
+    - adjacent chunks share exactly `overlap` tokens (when both are full)."""
+    from auto_vectordb_spark.operators.textstats import chunk_text
+
+    overlap = min(overlap, max_tokens - 1)
+    stride = max_tokens - overlap
+    toks = [f"t{i}" for i in range(n_tokens)]
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    rows = sorted(
+        chunk_text(df, max_tokens=max_tokens, overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    got_chunks = [r["chunk_text"].split(" ") for r in rows]
+    if not toks:
+        # an empty doc still yields its (empty-filtered) single chunk = none
+        assert got_chunks == []
+        return
+    for i, c in enumerate(got_chunks):
+        assert c == toks[i * stride : i * stride + max_tokens]
+    # coverage: de-overlapped concatenation reconstructs the token stream
+    rebuilt = got_chunks[0] + [t for c in got_chunks[1:] for t in c[overlap:]]
+    assert rebuilt == toks
