@@ -3234,13 +3234,14 @@ def q21_waiting_suppliers(spark, sf):
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_partkey, value_4c
-    FROM pr, (SELECT sum(value_4c) AS total FROM pr) tot
-    WHERE value_4c > 0.00065 * total
+    FROM pr, (SELECT CAST(sum(value_4c) AS DOUBLE) / count(*) AS avg_v FROM pr) tot
+    WHERE value_4c > 1.3 * avg_v
     """,
-    doc="TPC-H Q11 shape: HAVING against a global-scalar fraction (parts "
-    "holding > 0.065%% of total revenue; partsupp absent so revenue stands "
-    "in for stock value) — the per-group aggregate is computed ONCE and "
-    "reused for both the scalar total (broadcast) and the filter",
+    doc="TPC-H Q11 shape: HAVING against a global scalar (parts whose "
+    "revenue exceeds 1.3x the mean part revenue; partsupp absent so revenue "
+    "stands in for stock value; mean-relative rather than total-fraction so "
+    "the cut is scale-invariant) — the per-group aggregate is computed ONCE "
+    "and reused for both the broadcast scalar and the filter",
 )
 def q11_value_share(spark, sf):
     t = load_views(spark, sf)
@@ -3253,10 +3254,12 @@ def q11_value_share(spark, sf):
             )
         )
     )
-    tot = pr.agg(F.sum("value_4c").alias("total"))
+    tot = pr.agg(
+        (F.sum("value_4c").cast("double") / F.count("*")).alias("avg_v")
+    )
     return (
         pr.crossJoin(F.broadcast(tot))
-        .filter(F.col("value_4c") > 0.00065 * F.col("total"))
+        .filter(F.col("value_4c") > 1.3 * F.col("avg_v"))
         .select("l_partkey", "value_4c")
     )
 
