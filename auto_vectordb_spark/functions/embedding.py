@@ -64,6 +64,30 @@ def hash_projection_embedder(dim: int) -> EmbedFn:
 register_backend("hash", hash_projection_embedder)
 
 
+def parse_legacy_embedding(col: Column) -> Column:
+    """F10 — legacy TEXT-stored embeddings ``'{-0.07,0.01,...}'`` →
+    ``array<float>``.
+
+    The reference persists embeddings as a string in Postgres and re-parses
+    them on the way to ES (strip braces, split on commas, float() each —
+    /root/reference/backend/process/elasticsearch_index.py:84-111), returning
+    [] when the value is malformed. Same contract here, as pure column
+    expressions: any element that fails the float cast degrades the WHOLE
+    value to an empty array (per-row failure isolation — a bad row never
+    fails the job). Native ArrayType storage makes this a migration shim
+    only.
+    """
+    trimmed = F.regexp_replace(col, r"^\{|\}$", "")
+    parts = F.filter(F.split(trimmed, ","), lambda x: x != "")
+    # try_cast, not cast: ANSI mode (Spark 4 default) makes a failed string
+    # cast throw; the F10 contract degrades the row to [] instead
+    floats = F.transform(parts, lambda x: x.try_cast("float"))
+    return F.when(
+        col.isNull() | F.exists(floats, lambda x: x.isNull()),
+        F.array().cast("array<float>"),
+    ).otherwise(floats)
+
+
 def embed_udf(dim: int = 1024, backend: str = "hash") -> Column:
     """Returns a pandas_udf column fn: text → array<float>[dim].
 

@@ -3413,3 +3413,64 @@ def part_unpivot(spark, sf):
         F.col("p_size").cast("double").alias("p_size"),
     )
     return narrow.unpivot("p_partkey", ["p_retailprice", "p_size"], "attr", "val")
+
+
+@_register(
+    "f10_embedding_parse",
+    """
+    WITH legacy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN '{a,b}'
+                  ELSE '{' || CAST(doc_id AS VARCHAR) || '.5,-0.25,'
+                       || CAST(doc_id % 7 AS VARCHAR) || '}' END AS s
+      FROM documents
+    ),
+    parsed AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split(trim(s, '{}'), ','), x -> x <> ''),
+               x -> TRY_CAST(x AS FLOAT)) AS raw
+      FROM legacy
+    ),
+    clean AS (
+      SELECT doc_id,
+             CASE WHEN len(list_filter(raw, x -> x IS NULL)) > 0
+                  THEN CAST([] AS FLOAT[]) ELSE raw END AS v
+      FROM parsed
+    )
+    SELECT doc_id,
+           CAST(len(v) AS INT) AS n,
+           round(CAST(v[1] AS DOUBLE), 4) AS e0,
+           round(CAST(v[3] AS DOUBLE), 4) AS e2
+    FROM clean
+    """,
+    doc="F10 legacy embedding-string parse ('{...}' TEXT -> array<float>, "
+    "malformed -> [] per the reference's failure contract, "
+    "elasticsearch_index.py:84-111): strings synthesized from integer "
+    "columns (engine-stable formatting), every 10th row malformed",
+)
+def f10_embedding_parse(spark, sf):
+    from ..functions.embedding import parse_legacy_embedding
+
+    t = load_views(spark, sf)
+    legacy = t["documents"].select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, F.lit("{a,b}"))
+        .otherwise(
+            F.concat(
+                F.lit("{"),
+                F.col("doc_id").cast("string"),
+                F.lit(".5,-0.25,"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("}"),
+            )
+        )
+        .alias("s"),
+    )
+    parsed = legacy.select("doc_id", parse_legacy_embedding(F.col("s")).alias("v"))
+    return parsed.select(
+        "doc_id",
+        F.size("v").alias("n"),
+        F.round(F.try_element_at("v", F.lit(1)).cast("double"), 4).alias("e0"),
+        F.round(F.try_element_at("v", F.lit(3)).cast("double"), 4).alias("e2"),
+    )

@@ -42,8 +42,14 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_csv(spark: SparkSession, path: str, **options) -> DataFrame:
-    """S9 — header CSV with the reference's null policy (NaN → '')."""
-    opts = {"header": "true", "encoding": "UTF-8", **options}
+    """S9 — header CSV with the reference's null policy (NaN → '').
+
+    ``escape='"'`` matches the reference's pandas reader (RFC-4180 doubled
+    quotes, postgres.py:151) — Spark's default escape is backslash, which
+    would leave ``"q""q"`` unparsed. The UTF-8 BOM (utf-8-sig) is stripped
+    by Spark's reader natively.
+    """
+    opts = {"header": "true", "encoding": "UTF-8", "escape": '"', **options}
     df = spark.read.options(**opts).csv(path)
     return df.na.fill("")
 

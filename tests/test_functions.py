@@ -102,3 +102,29 @@ def test_hash_embedder_deterministic_and_normalized(spark):
     out = df.select(embed_udf(dim=32)(F.col("text")).alias("e")).collect()
     assert len(out[0]["e"]) == 32
     assert np.allclose(np.array(out[0]["e"]), m1[0], atol=1e-6)
+
+
+def test_parse_legacy_embedding_f10(spark):
+    """F10 contract: '{...}' strings -> array<float>; malformed -> []."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.functions.embedding import parse_legacy_embedding
+
+    df = spark.createDataFrame(
+        [
+            ("a", "{-0.07,0.01,2.5}"),
+            ("b", "{}"),
+            ("c", ""),
+            ("d", "{a,b}"),
+            ("e", "{1.0,bad}"),
+            ("f", None),
+        ],
+        ["id", "s"],
+    )
+    got = {
+        r["id"]: r["v"]
+        for r in df.select("id", parse_legacy_embedding(F.col("s")).alias("v")).collect()
+    }
+    assert [round(x, 4) for x in got["a"]] == [-0.07, 0.01, 2.5]
+    assert got["b"] == [] and got["c"] == []
+    assert got["d"] == [] and got["e"] == [] and got["f"] == []

@@ -44,3 +44,21 @@ def test_compact_table_reduces_files(spark, tmp_path):
     n_out = compact_table(spark, src, out, target_mb=128)
     assert n_out == 1  # 50 tiny files -> one right-sized file
     assert spark.read.parquet(out).count() == 10_000
+
+
+def test_read_csv_bom_korean_quotes(spark, tmp_path):
+    """FIXTURES §5 CSV micro-fixture: utf-8-sig BOM (postgres.py:151), missing
+    values -> '' (postgres.py:152-154), Korean text, embedded comma/quotes."""
+    from auto_vectordb_spark.sources.files import read_csv
+
+    p = tmp_path / "bom.csv"
+    p.write_bytes(
+        b"\xef\xbb\xbf"
+        + 'name,val\n\xed\x95\x9c\xea\xb8\x80,"a,b"\n,2\n"q""q",3\n'.encode("latin-1")
+    )
+    df = read_csv(spark, str(p))
+    assert df.columns == ["name", "val"]  # BOM stripped from the header
+    rows = {r["name"]: r["val"] for r in df.collect()}
+    assert rows["한글"] == "a,b"  # quoted comma preserved
+    assert rows[""] == "2"  # null -> '' policy
+    assert rows['q"q'] == "3"  # escaped quote
