@@ -235,19 +235,23 @@ def ngram_jaccard_pairs(
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|). The equi-join on shingle hash means
     only docs sharing ≥1 shingle are ever paired. Set sizes are computed
-    per-row from the distinct-shingle array (no shuffle); the self-join's two
-    legs share one computation via ReusedExchange (identical subplans
-    shuffled on the same key).
+    per-row from the distinct-shingle array (no shuffle).
 
-    MEASURED (sf0.1, local[32]): carrying |A|,|B| on the exploded rows to
-    skip the post-agg size joins — and length-filtering inside the join —
-    is ~60% SLOWER than this formulation (6.3s vs 3.9s): the per-shingle
-    shuffle rows widen and the count-only partial aggregate degrades to a
-    3-column one, while the size joins it removes are broadcast-cheap on
-    the post-agg (per-pair, not per-shingle) table. Recomputing the shingle
-    array twice (sizes leg) is codegen-cheap by comparison.
+    The explicit ``repartition(sh)`` before the self-join is the key cost
+    control: without an Exchange node the planner broadcasts one leg, and a
+    broadcast build has nothing to reuse — the tokenize→shingle→md5
+    pipeline (≈90% of query cost) runs once per leg. Shuffling on the join
+    key instead lets the two identical legs share ONE shuffle-stage
+    computation (AQE stage reuse). MEASURED at sf0.1/local[32]: 2.6s vs
+    4.0s broadcast-recompute.
+
+    Other measured dead-ends (don't retry): carrying |A|,|B| on the
+    exploded rows to skip the post-agg size joins was ~60% slower (wider
+    per-shingle shuffle + 3-column partial agg); deriving sizes from the
+    exchanged shingle table (groupBy doc_id) was ~0.3s slower than this
+    per-row recompute (two extra 260k-row shuffles beat one codegen scan).
     """
-    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k)
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k).repartition(F.col("sh"))
     sizes = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k))).alias("sz"),
