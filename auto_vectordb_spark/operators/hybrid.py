@@ -83,3 +83,54 @@ def fuse_rrf(
         ).alias("score"),
     )
     return top_k_per_group(fused, ["query_id"], "score", k, tie_break="doc_id")
+
+
+def rerank_token_overlap(
+    candidates: DataFrame,
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Second-stage reranking: rescore first-stage candidates by query↔doc
+    token Jaccard and keep the top-k per query.
+
+    The deterministic overlap scorer is the SQL-expressible stand-in for a
+    cross-encoder — a real model replaces ONLY the scoring expression with
+    an Arrow-batched pandas_udf of the same (query_text, doc_text) → score
+    signature; the dataflow shape is the part that matters at scale: the
+    candidate set (queries × N, tiny) is broadcast against the corpus, so
+    reranking reads each candidate document exactly once and the corpus is
+    never shuffled. Ties break (rerank DESC, first-stage score DESC, id).
+
+    ``candidates``: (query_id, doc_id, score) from any first stage;
+    ``queries``: (query_id, query_text); ``docs``: (id_col, text_col).
+    """
+    from ..functions.text import tokenize
+    from .relational import top_k_per_group
+
+    q = queries.select(
+        "query_id", F.array_distinct(tokenize(F.col("query_text"))).alias("__qt")
+    )
+    cand = F.broadcast(
+        candidates.select("query_id", id_col, F.col("score").alias("stage1_score"))
+        .join(q, "query_id")
+    )
+    d = docs.select(
+        F.col(id_col), F.array_distinct(tokenize(F.col(text_col))).alias("__dt")
+    )
+    inter = F.size(F.array_intersect(F.col("__qt"), F.col("__dt")))
+    union = F.size(F.col("__qt")) + F.size(F.col("__dt")) - inter
+    scored = cand.join(d, id_col).withColumn(
+        "rerank_score",
+        F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
+    )
+    ranked = top_k_per_group(
+        scored.select("query_id", id_col, "rerank_score", "stage1_score"),
+        ["query_id"],
+        F.struct(F.col("rerank_score"), F.col("stage1_score")),
+        k,
+        tie_break=id_col,
+    )
+    return ranked

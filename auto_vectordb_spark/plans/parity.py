@@ -3474,3 +3474,66 @@ def f10_embedding_parse(spark, sf):
         F.round(F.try_element_at("v", F.lit(1)).cast("double"), 4).alias("e0"),
         F.round(F.try_element_at("v", F.lit(3)).cast("double"), 4).alias("e2"),
     )
+
+
+def _rerank_sql() -> str:
+    stage1 = _hybrid_sql().replace(f"rn <= {_KNN_K}", "rn <= 20")
+    qvals = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
+    toks_q = TOKS_SQL.format(c="query_text")
+    inter = "len(list_distinct(list_intersect(qt, dt)))"
+    return f"""
+    WITH stage1 AS ({stage1}),
+    qraw AS (SELECT * FROM (VALUES {qvals}) AS v(query_id, query_text)),
+    qtt AS (SELECT query_id, list_distinct({toks_q}) AS qt FROM qraw),
+    dtt AS (SELECT doc_id, list_distinct({_TOKS_DOC}) AS dt FROM documents),
+    scored AS (
+      SELECT s.query_id, s.doc_id, s.score AS stage1_score,
+             round(CASE WHEN (len(qt) + len(dt) - {inter}) > 0
+                        THEN {inter} * 1.0 / (len(qt) + len(dt) - {inter})
+                        ELSE 0.0 END, 6) AS rerank_score
+      FROM stage1 s
+      JOIN qtt ON qtt.query_id = s.query_id
+      JOIN dtt ON dtt.doc_id = s.doc_id
+    ),
+    rr AS (
+      SELECT query_id, doc_id, rerank_score, stage1_score,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rerank_score DESC, stage1_score DESC, doc_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, doc_id, rerank_score, stage1_score FROM rr WHERE rn <= {_KNN_K}
+    """
+
+
+@_register(
+    "rerank_hybrid",
+    _rerank_sql(),
+    doc="Two-stage retrieval: hybrid weighted top-20 candidates reranked to "
+    "top-10 by query<->doc token Jaccard (the deterministic SQL-expressible "
+    "stand-in for a cross-encoder; a real model swaps in as a pandas_udf "
+    "with the same signature). Candidates broadcast against the corpus — "
+    "each candidate doc read once, corpus never shuffled.",
+)
+def rerank_hybrid(spark, sf):
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    index = BM25.build_index(t["documents"])
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    vq = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    v_scores = (
+        KNN.score_pairs(vq, t["embeddings"])
+        .select("query_id", F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("score"))
+    )
+    cand = HY.fuse_weighted(b_scores, v_scores, min_score=HYBRID_MIN_SCORE, k=20)
+    return HY.rerank_token_overlap(cand, queries, t["documents"], k=_KNN_K)

@@ -64,3 +64,21 @@ def test_fuse_rrf(spark):
     assert abs(out[10] - (1 / 61 + 1 / 61)) < 1e-12  # rank 1 both legs
     assert abs(out[11] - 1 / 62) < 1e-12
     assert abs(out[12] - 1 / 62) < 1e-12
+
+
+def test_rerank_token_overlap_orders_by_jaccard(spark):
+    from auto_vectordb_spark.operators.hybrid import rerank_token_overlap
+
+    cand = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 8.0), (0, 3, 7.0)], ["query_id", "doc_id", "score"]
+    )
+    queries = spark.createDataFrame([(0, "alpha beta")], ["query_id", "query_text"])
+    docs = spark.createDataFrame(
+        [(1, "zeta"), (2, "alpha beta"), (3, "alpha gamma")], ["doc_id", "text"]
+    )
+    rows = rerank_token_overlap(cand, queries, docs, k=2).collect()
+    got = [(r["doc_id"], r["rerank_score"]) for r in rows]
+    # doc 2 is a perfect overlap (1.0), doc 3 shares 1 of 3 distinct tokens
+    assert got == [(2, 1.0), (3, round(1 / 3, 6))]
+    # stage-1 score survives for downstream fusion/inspection
+    assert {r["doc_id"]: r["stage1_score"] for r in rows} == {2: 8.0, 3: 7.0}
