@@ -98,6 +98,40 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_bucket_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(doc_id, band, bkey) — the LSH bucket table, i.e. the *persistable
+    dedup index artifact*. Write it partitioned/bucketed by (band, bkey) and
+    incremental batches join against it without touching old documents
+    (:func:`minhash_lsh_pairs_incremental`).
+
+    ONE pass over the signatures: band keys as an array of structs exploded
+    1→bands rows. A union of per-band projections would recompute the whole
+    shingle→minhash pipeline once per band.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    band_structs = []
+    for bi in range(bands):
+        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
+        band_structs.append(
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -113,24 +147,7 @@ def minhash_lsh_pairs(
     only docs in the same bucket ever meet, so at 100 TB the plan is
     shuffle-on-bucket-key + within-bucket pairing, never N².
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
-    # ONE pass over the signatures: band keys as an array of structs exploded
-    # 1→bands rows. A union of per-band projections would recompute the whole
-    # shingle→minhash pipeline once per band.
-    band_structs = []
-    for bi in range(bands):
-        cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
-        band_structs.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
-            )
-        )
-    buckets = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    buckets = minhash_bucket_table(docs, id_col, text_col, num_hashes, bands, shingle_k)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -145,6 +162,42 @@ def minhash_lsh_pairs(
         )
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_docs: DataFrame,
+    bucket_table: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup: candidate pairs (id_a < id_b) where at least one
+    side is in ``new_docs``, against a PERSISTED bucket table — the
+    production flow (a 100 TB corpus is deduped once; daily batches must
+    not reprocess it).
+
+    Only the new batch is shingled/hashed; the join probes the existing
+    bucket table (partition-pruned when it is stored partitioned by band).
+    New×new pairs surface from the union side, normalized via
+    least/greatest + per-(pair,band) dedup so each collision counts once —
+    identical pair set to a from-scratch :func:`minhash_lsh_pairs` run
+    restricted to pairs touching the batch.
+    """
+    nb = minhash_bucket_table(new_docs, id_col, text_col, num_hashes, bands, shingle_k)
+    all_b = bucket_table.unionByName(nb)
+    a, b = nb.alias("a"), all_b.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("id_b"),
+    )
+    return cand.distinct()
 
 
 def simhash_values(

@@ -3537,3 +3537,75 @@ def rerank_hybrid(spark, sf):
     )
     cand = HY.fuse_weighted(b_scores, v_scores, min_score=HYBRID_MIN_SCORE, k=20)
     return HY.rerank_token_overlap(cand, queries, t["documents"], k=_KNN_K)
+
+
+_INCR_SPLIT = 400  # doc_id >= split = the "new batch"
+
+
+@_register(
+    "dedup_incremental",
+    f"""
+    WITH {_MINHASH_PAIRS_CTE}
+    SELECT id_a, id_b FROM pairs
+    WHERE id_a >= {_INCR_SPLIT} OR id_b >= {_INCR_SPLIT}
+    """,
+    doc="Incremental near-dup: a new batch (doc_id >= 400) probes the "
+    "PERSISTED LSH bucket table of the existing corpus — only the batch is "
+    "re-shingled; result equals a from-scratch run restricted to pairs "
+    "touching the batch (the oracle computes exactly that)",
+)
+def dedup_incremental(spark, sf):
+    t = load_views(spark, sf)
+    existing = t["documents"].filter(F.col("doc_id") < _INCR_SPLIT)
+    new = t["documents"].filter(F.col("doc_id") >= _INCR_SPLIT)
+    bucket_table = DD.minhash_bucket_table(existing)
+    return DD.minhash_lsh_pairs_incremental(new, bucket_table)
+
+
+@_register(
+    "training_pack_bins",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, CAST(len({_TOKS_DOC}) AS INT) AS n FROM documents
+    ),
+    c AS (
+      SELECT lang, n,
+             sum(n) OVER (
+               PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM t
+    )
+    SELECT lang, CAST((cum - n) // 512 AS INT) AS bin,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+    doc="Sequence packing: greedy assignment of docs into ~512-token "
+    "training bins per language (bin = prior cumulative tokens // budget "
+    "over a deterministic md5 order) — the context-window packing step of "
+    "an LLM data pipeline; the window partitions by lang, so packing "
+    "parallelizes across strata instead of one global sort",
+)
+def training_pack_bins(spark, sf):
+    from pyspark.sql.window import Window
+
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    docs = t["documents"].select(
+        "doc_id", "lang", F.size(tokenize(F.col("text"))).alias("n")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = docs.withColumn("cum", F.sum("n").over(w))
+    return (
+        c.withColumn(
+            "bin", F.floor((F.col("cum") - F.col("n")) / F.lit(512)).cast("int")
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
+    )

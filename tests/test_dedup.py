@@ -141,3 +141,27 @@ def test_apply_dedup_keeps_one_per_cluster(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"])
     kept = sorted(r["doc_id"] for r in DD.apply_dedup(docs, pairs).collect())
     assert kept == [1, 10, 99]  # cluster keepers + untouched singleton
+
+
+def test_incremental_pairs_match_full_run(spark, sf_dir):
+    """Incremental (batch vs persisted bucket table) must produce EXACTLY the
+    full-run pair set restricted to pairs touching the batch."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.operators import dedup as DD
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split = 400
+    existing = docs.filter(F.col("doc_id") < split)
+    new = docs.filter(F.col("doc_id") >= split)
+    bucket_table = DD.minhash_bucket_table(existing)
+    inc = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs_incremental(new, bucket_table).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(docs).collect()
+        if r["id_a"] >= split or r["id_b"] >= split
+    }
+    assert inc == full and len(inc) > 0
