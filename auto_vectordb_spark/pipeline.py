@@ -350,6 +350,20 @@ class VectorPipeline:
             hits = HY.fuse_weighted(
                 knn_scores.limit(0), knn_scores, min_score=min_score, k=size
             )
+        elif mode == "rerank":
+            # two-stage: hybrid top-(4*size) candidates, reranked by the
+            # pluggable second-stage scorer (token-overlap stand-in; a real
+            # cross-encoder swaps in via operators/hybrid.py)
+            cand = HY.fuse_weighted(
+                bm25_scores, knn_scores, min_score=min_score, k=max(4 * size, 20)
+            )
+            hits = HY.rerank_token_overlap(
+                cand,
+                queries_df,
+                corpus.select(F.col("id").alias("doc_id"), F.col("page_content")),
+                k=size,
+                text_col="page_content",
+            ).select("query_id", "doc_id", F.col("rerank_score").alias("score"))
         else:
             raise ValueError(f"unknown mode {mode!r}")
         return (

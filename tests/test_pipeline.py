@@ -89,6 +89,8 @@ def test_hybrid_search_ranks_relevant_doc_first(pipe):
 def test_search_modes_and_guards(pipe):
     assert pipe.search("bread flour", mode="bm25", size=2).count() >= 1
     assert pipe.search("bread flour", mode="knn", size=2).count() == 2
+    rr = pipe.search("bread flour", mode="rerank", size=2).collect()
+    assert len(rr) >= 1 and "bread" in rr[0]["page_content"]
     with pytest.raises(ValueError):
         pipe.search("x", mode="nope")
     # min_score cuts everything at an absurd threshold
