@@ -1,0 +1,82 @@
+"""Null/empty-text robustness: every text operator must tolerate NULL and
+empty documents (at 100 TB there WILL be malformed rows; a null must never
+fail the job — SURVEY §1.3 'dynamic fields' / error-row stance)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def dirty_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a normal document with several tokens"),
+            (2, ""),
+            (3, None),
+            (4, "   "),
+            (5, "!!! ??? ..."),  # punctuation only -> zero tokens
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_token_stats_null_safe(dirty_docs):
+    from auto_vectordb_spark.operators.textstats import token_stats
+
+    got = {r["doc_id"]: r for r in token_stats(dirty_docs).collect()}
+    assert got[1]["n_tokens"] == 6
+    for d in (2, 4, 5):
+        assert got[d]["n_tokens"] == 0 and got[d]["ttr"] == 0.0
+    # null text: size(null)=-1 is NOT acceptable; row must still exist
+    assert 3 in got
+
+
+def test_quality_and_langid_null_safe(dirty_docs):
+    from auto_vectordb_spark.operators.textstats import language_id, quality_score
+
+    q = {r["doc_id"]: r for r in quality_score(dirty_docs).collect()}
+    assert len(q) == 5
+    assert all(r["quality"] is None or 0.0 <= r["quality"] <= 1.0 for r in q.values())
+    lang = {r["doc_id"]: r["lang_guess"] for r in language_id(dirty_docs).collect()}
+    assert lang[2] == "und" and lang[5] == "und"
+
+
+def test_dedup_tiers_null_safe(dirty_docs):
+    from auto_vectordb_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    assert exact_dedup(dirty_docs).count() >= 3  # null+'' hash differently or drop
+    # pair generators must simply not crash / not pair empty docs
+    assert minhash_lsh_pairs(dirty_docs).count() == 0
+    assert ngram_jaccard_pairs(dirty_docs, threshold=0.1).count() == 0
+    assert simhash_pairs(dirty_docs).count() == 0
+
+
+def test_chunk_scrub_repetition_null_safe(dirty_docs):
+    from auto_vectordb_spark.operators.textstats import (
+        bpe_token_counts,
+        chunk_text,
+        repetition_stats,
+        scrub,
+    )
+
+    assert chunk_text(dirty_docs).filter(F.col("doc_id") == 1).count() == 1
+    assert chunk_text(dirty_docs).filter(F.col("doc_id").isin(2, 3, 4, 5)).count() == 0
+    assert scrub(dirty_docs).count() == 5
+    assert repetition_stats(dirty_docs).count() == 5
+    assert bpe_token_counts(dirty_docs).count() == 5
+
+
+def test_embedder_null_safe(spark, dirty_docs):
+    from auto_vectordb_spark.functions.embedding import embed_udf
+
+    out = dirty_docs.select("doc_id", embed_udf(16)(F.col("text")).alias("e")).collect()
+    got = {r["doc_id"]: r["e"] for r in out}
+    assert len(got[1]) == 16 and any(v != 0 for v in got[1])
+    # empty/null docs embed to the zero vector, not an error
+    for d in (2, 3, 4):
+        assert got[d] is not None and all(v == 0.0 for v in got[d])
