@@ -516,18 +516,50 @@ def connected_components(
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iterations: int = 20,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """(doc_id, component_id) over the near-dup pair graph — min-label
     propagation, the iterative step that turns pairwise matches into
     KEEP-ONE-PER-CLUSTER decisions (pairs alone over-delete: a~b, b~c must
     collapse to ONE cluster {a,b,c}).
 
-    Each iteration joins labels across edges and keeps the per-node min —
-    one shuffle per iteration, converging in O(component diameter) rounds
-    (near-dup clusters are shallow; 20 covers pathological chains).
-    ``localCheckpoint`` truncates the growing lineage each round. Returns
-    only nodes that appear in ``pairs`` (singletons are their own keepers).
+    ADAPTIVE execution: the pair graph after LSH blocking is typically
+    minuscule relative to the corpus (dup pairs, not documents). When it
+    fits comfortably on the driver (≤ ``driver_threshold`` edges) a local
+    union-find resolves it in one pass — no per-iteration shuffle, no
+    checkpoint churn. Above the threshold, distributed min-label
+    propagation: one shuffle per round, converging in O(component
+    diameter) rounds, ``localCheckpoint`` truncating lineage. Both paths
+    produce identical min-id labels. (This is the sanctioned use of
+    collect: a size-gated final-stage fold over an already-reduced
+    result, not a driver loop over corpus data.)
     """
+    # ONE guarded collect decides the path AND feeds the fast one — a
+    # count() probe would recompute the (expensive, uncached) pair
+    # lineage twice; limit(T+1) caps driver memory identically.
+    probe = pairs.select(
+        F.col(a_col).alias("a").cast("long"), F.col(b_col).alias("b").cast("long")
+    ).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        rows = probe
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["a"], r["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out = [(n, find(n)) for n in parent]
+        spark = pairs.sparkSession
+        return spark.createDataFrame(out, "doc_id long, component_id long")
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionAll(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -165,3 +165,23 @@ def test_incremental_pairs_match_full_run(spark, sf_dir):
         if r["id_a"] >= split or r["id_b"] >= split
     }
     assert inc == full and len(inc) > 0
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find (small graphs) and distributed propagation must
+    produce identical min-id labels."""
+    from auto_vectordb_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (7, 8), (10, 11), (11, 3)], ["id_a", "id_b"]
+    )
+    fast = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["component_id"])
+        for r in connected_components(pairs, driver_threshold=0).collect()
+    }
+    assert fast == dist
+    assert fast == {(5, 2), (9, 2), (2, 2), (7, 7), (8, 7), (10, 3), (11, 3), (3, 3)}
