@@ -3609,3 +3609,49 @@ def training_pack_bins(spark, sf):
         .groupBy("lang", "bin")
         .agg(F.count("*").alias("n_docs"), F.sum("n").alias("sum_tokens"))
     )
+
+
+@_register(
+    "corpus_report",
+    f"""
+    WITH feat AS (
+      SELECT lang,
+             CAST(len({_TOKS_DOC}) AS BIGINT) AS n_tokens,
+             n_chars,
+             md5(text) AS content_hash
+      FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(quantile_cont(n_tokens, 0.5), 4) AS p50_tokens,
+           round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+           CAST(count(*) - count(DISTINCT content_hash) AS BIGINT) AS n_exact_dups,
+           round(CAST(sum(n_chars) AS DOUBLE) / sum(n_tokens), 4) AS chars_per_token
+    FROM feat GROUP BY lang
+    """,
+    doc="Corpus card: the per-language summary report an LLM data team "
+    "publishes with a training set — doc/token totals, token-length "
+    "percentiles, exact-dup counts, chars-per-token — composed as ONE "
+    "grouped aggregate over a single corpus scan (no per-metric passes)",
+)
+def corpus_report(spark, sf):
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    feat = t["documents"].select(
+        "lang",
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+        "n_chars",
+        F.md5("text").alias("content_hash"),
+    )
+    return feat.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
+        (F.count("*") - F.countDistinct("content_hash")).alias("n_exact_dups"),
+        F.round(F.sum("n_chars").cast("double") / F.sum("n_tokens"), 4).alias(
+            "chars_per_token"
+        ),
+    )
