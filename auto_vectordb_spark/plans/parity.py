@@ -3655,3 +3655,93 @@ def corpus_report(spark, sf):
             "chars_per_token"
         ),
     )
+
+
+# =========================================================================
+# SQL sugar surface (SURVEY §4/§7 optional extension) — Spark 4 SQL UDFs
+# =========================================================================
+
+_SQL_SUGAR_QUERY = BM25_QUERIES[0][1]  # 'spark join filter'
+
+
+@_register(
+    "sql_similarity_topk",
+    _knn_sql(V.cosine_sql("qv", "c.embedding")),
+    doc="V2 exposed as SQL sugar: SELECT * FROM similarity_top_k(qid, k) — "
+    "a Spark 4 SQL table function whose body Catalyst inlines (no Python, "
+    "no custom rule); same plan shape and bit-identical scores as "
+    "knn_exact_cosine (sql_surface.py)",
+)
+def sql_similarity_topk(spark, sf):
+    from ..sql_surface import register_sql_surface
+
+    load_views(spark, sf)
+    register_sql_surface(spark)
+    union = " UNION ALL ".join(
+        f"SELECT * FROM similarity_top_k({qid}, {_KNN_K})"
+        for qid in range(_N_QUERY_VECS)
+    )
+    return spark.sql(union)
+
+
+@_register(
+    "sql_bm25_topk",
+    f"""
+    WITH {_bm25_score_cte([(0, _SQL_SUGAR_QUERY)])},
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      FROM bm25
+    )
+    SELECT doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="V3 exposed as SQL sugar: SELECT * FROM lexical_top_k(query, k) — "
+    "full BM25 (postings/df/dl, Lucene formula) as one inlined SQL table "
+    "function (sql_surface.py)",
+)
+def sql_bm25_topk(spark, sf):
+    from ..sql_surface import register_sql_surface
+
+    load_views(spark, sf)
+    register_sql_surface(spark)
+    return spark.sql(
+        f"SELECT * FROM lexical_top_k('{_SQL_SUGAR_QUERY}', {_KNN_K})"
+    )
+
+
+@_register(
+    "sql_hybrid_topk",
+    f"""
+    WITH {_bm25_score_cte([(0, _SQL_SUGAR_QUERY)])},
+    vq AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    vs AS (
+      SELECT c.vec_id AS doc_id,
+             round({V.cosine_sql("q.embedding", "c.embedding")}, 6) AS knn
+      FROM vq q CROSS JOIN embeddings c
+    ),
+    fused AS (
+      SELECT COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             {HY.TEXT_BOOST} * COALESCE(b.score, 0.0)
+               + {HY.VECTOR_BOOST} * COALESCE(v.knn, 0.0) AS score
+      FROM bm25 b FULL OUTER JOIN vs v ON b.doc_id = v.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+      FROM fused WHERE score >= {HYBRID_MIN_SCORE}
+    )
+    SELECT doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="V4 exposed as SQL sugar: SELECT * FROM hybrid_top_k(qid, query, k, "
+    "min_score) — weighted bool-should fusion (1.0/0.8, min_score cut) as "
+    "one inlined SQL table function (sql_surface.py)",
+)
+def sql_hybrid_topk(spark, sf):
+    from ..sql_surface import register_sql_surface
+
+    load_views(spark, sf)
+    register_sql_surface(spark)
+    return spark.sql(
+        f"SELECT * FROM hybrid_top_k(0, '{_SQL_SUGAR_QUERY}', "
+        f"{_KNN_K}, {HYBRID_MIN_SCORE})"
+    )
