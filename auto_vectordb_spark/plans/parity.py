@@ -3745,3 +3745,40 @@ def sql_hybrid_topk(spark, sf):
         f"SELECT * FROM hybrid_top_k(0, '{_SQL_SUGAR_QUERY}', "
         f"{_KNN_K}, {HYBRID_MIN_SCORE})"
     )
+
+
+@_register(
+    "jsonl_roundtrip",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({H.stable_hash60_sql('text')} % 1000003) AS BIGINT)
+             AS text_checksum
+    FROM documents GROUP BY lang
+    """,
+    doc="JSONL source/sink round-trip (sources/files.py): documents exported "
+    "as JSON-lines (the LLM-corpus interchange format) and read back with an "
+    "explicit schema; the per-lang MD5 checksum proves text survives JSON "
+    "escaping (newlines, quotes, unicode) byte-identically — the oracle "
+    "computes the same checksum off the original parquet",
+)
+def jsonl_roundtrip(spark, sf):
+    import tempfile
+
+    from ..sources import files as SRC
+
+    t = load_views(spark, sf)
+    path = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    SRC.write_jsonl(
+        t["documents"].select("doc_id", "lang", "text", "n_chars"),
+        path,
+        compression=None,
+    )
+    back = SRC.read_jsonl(
+        spark, path, schema="doc_id bigint, lang string, text string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(H.stable_hash60(F.col("text")) % F.lit(1000003)).alias("text_checksum"),
+    )

@@ -112,3 +112,37 @@ def write_index(
     (ES _id overwrite semantics, elasticsearch_index.py:141) then overwrite
     the index location."""
     write_table(idempotent_dedup(df, id_col), path, mode="overwrite", partition_by=partition_by)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None, **options
+) -> DataFrame:
+    """JSON-lines source — the interchange format of LLM training corpora.
+
+    Pass ``schema`` in production: without it Spark runs a full inference
+    pass over the data before the real scan, which at 100 TB doubles the
+    read. Corrupt lines land in ``_corrupt_record`` (PERMISSIVE mode) so a
+    bad row fails the row, not the job.
+    """
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = "gzip",
+    partition_by: list[str] | None = None,
+) -> None:
+    """JSON-lines sink. Files come out one-per-partition (splittable when
+    uncompressed; gzip trades split-ability for size — use it for export,
+    not for data you'll re-scan)."""
+    writer = df.write.mode(mode).format("json")
+    if compression:
+        writer = writer.option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

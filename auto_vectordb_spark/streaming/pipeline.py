@@ -198,3 +198,20 @@ def sessionize_stream(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state.
+
+    Plain ``dropDuplicates`` on a stream keeps every key seen forever —
+    state grows without bound at ingest scale. ``dropDuplicatesWithinWatermark``
+    expires a key once the watermark passes its event time + ``delay``, so
+    state holds only the dedup horizon (duplicate ingests — retried uploads,
+    replayed queue segments — arrive close together in event time).
+    """
+    return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(keys)

@@ -62,3 +62,30 @@ def test_read_csv_bom_korean_quotes(spark, tmp_path):
     assert rows["한글"] == "a,b"  # quoted comma preserved
     assert rows[""] == "2"  # null -> '' policy
     assert rows['q"q'] == "3"  # escaped quote
+
+
+def test_jsonl_roundtrip_nulls_and_partitions(spark, tmp_path):
+    """JSONL sink/source: nulls, newlines/quotes/unicode survive the
+    round-trip; partitioned export restores the partition column."""
+    from auto_vectordb_spark.sources.files import read_jsonl, write_jsonl
+
+    schema = "doc_id bigint, lang string, text string"
+    df = spark.createDataFrame(
+        [
+            (0, "en", 'line1\nline2 "quoted" \\slash'),
+            (1, "ko", "한글 텍스트"),
+            (2, "en", None),
+            (3, None, ""),
+        ],
+        schema,
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, path, compression=None, partition_by=["lang"])
+    back = read_jsonl(spark, path, schema=schema)
+    got = {r["doc_id"]: (r["lang"], r["text"]) for r in back.collect()}
+    assert got == {
+        0: ("en", 'line1\nline2 "quoted" \\slash'),
+        1: ("ko", "한글 텍스트"),
+        2: ("en", None),
+        3: (None, ""),
+    }

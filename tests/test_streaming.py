@@ -265,3 +265,56 @@ def test_late_data_dropped_below_watermark(spark, tmp_path):
     assert set(got) == set(range(8))
     # the late 07:30 row was dropped — window 07 counts ONLY the batch-1 row
     assert got[7] == 1
+
+
+def test_dedup_stream_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates arriving within the delay
+    collapse to one row; the streaming result matches batch distinct-by-key."""
+    import datetime as dt
+
+    from auto_vectordb_spark.streaming.pipeline import dedup_stream
+
+    src_dir = str(tmp_path / "dedup_src")
+    ckpt = str(tmp_path / "dedup_ckpt")
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    base = dt.datetime(2024, 1, 1)
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    # batch 1: ids 0,1,2 (id 1 duplicated in-batch)
+    b1 = spark.createDataFrame(
+        [
+            (0, base, 1, "click", 1.0, "{}"),
+            (1, base + dt.timedelta(minutes=1), 1, "click", 1.0, "{}"),
+            (1, base + dt.timedelta(minutes=2), 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(minutes=3), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    deduped = dedup_stream(stream, ["event_id"], "ts", delay="30 minutes")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: id 2 replayed minutes later (within horizon) + new id 3
+    b2 = spark.createDataFrame(
+        [
+            (2, base + dt.timedelta(minutes=4), 1, "click", 1.0, "{}"),
+            (3, base + dt.timedelta(minutes=5), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.mode("append").parquet(src_dir)
+    q.processAllAvailable()
+    q.stop()
+
+    got = sorted(r["event_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+    assert got == [0, 1, 2, 3]
