@@ -128,3 +128,28 @@ def test_parse_legacy_embedding_f10(spark):
     assert [round(x, 4) for x in got["a"]] == [-0.07, 0.01, 2.5]
     assert got["b"] == [] and got["c"] == []
     assert got["d"] == [] and got["e"] == [] and got["f"] == []
+
+
+def test_quantize_int8_roundtrip_and_zero_guard(spark):
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.functions import vector as V
+
+    df = spark.createDataFrame(
+        [(0, [0.5, -1.0, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    scale, q = V.quantize_int8(F.col("embedding"))
+    out = df.select(
+        "vec_id", "embedding", scale.alias("scale"), q.alias("q"),
+        V.dequantize_int8(q, scale).alias("back"),
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    r0 = by_id[0]
+    assert r0["scale"] == 127.0  # max|a| = 1.0
+    assert r0["q"] == [64, -127, 32, 0]  # round(0.5*127)=64 (HALF_UP)
+    for a, b in zip(r0["embedding"], r0["back"]):
+        assert abs(a - b) <= 0.5 / r0["scale"] + 1e-12
+    r1 = by_id[1]  # all-zero vector: scale 0, q all zero, back all zero
+    assert r1["scale"] == 0.0
+    assert r1["q"] == [0, 0, 0, 0] and r1["back"] == [0.0, 0.0, 0.0, 0.0]
