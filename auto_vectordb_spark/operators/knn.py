@@ -358,3 +358,54 @@ def kmeans_centroids(
         "centroid_id int, centroid array<double>",
     )
     return centers
+
+
+def knn_exact_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Cosine top-k over int8-quantized vectors (the 4x-smaller storage tier).
+
+    Symmetric per-vector scales cancel in cosine — cos(q/s_q, c/s_c) =
+    cos(q, c) — so scoring is pure int64 arithmetic (exact, engine-portable:
+    no float reduction-order drift) plus one double division at the end.
+    At 100 TB the pair stage scans a quarter of the bytes of the float path;
+    recall@10 vs exact float kNN is gated in tests (≥0.9). Zero vectors
+    score 0 (guarded).
+    """
+
+    def prep(df, vec_col, id_expr, qn, nn):
+        _, q = V.quantize_int8(F.col(vec_col))
+        ql = q.cast("array<long>")
+        return df.select(
+            id_expr,
+            ql.alias(qn),
+            F.aggregate(ql, F.lit(0).cast("long"), lambda a, x: a + x * x).alias(nn),
+        )
+
+    qs = F.broadcast(prep(queries, query_vec, F.col("query_id"), "__qq", "__qn2"))
+    cs = prep(corpus, corpus_vec, F.col(corpus_id), "__cq", "__cn2")
+    idot = F.aggregate(
+        F.zip_with(F.col("__qq"), F.col("__cq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    score = F.when(
+        (F.col("__qn2") > 0) & (F.col("__cn2") > 0),
+        idot.cast("double") / (F.sqrt(F.col("__qn2")) * F.sqrt(F.col("__cn2"))),
+    ).otherwise(F.lit(0.0))
+    scored = qs.crossJoin(cs).withColumn("score", score)
+    if round_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", round_decimals))
+    return top_k_per_group(
+        scored.select("query_id", corpus_id, "score"),
+        ["query_id"],
+        "score",
+        k,
+        tie_break=corpus_id,
+    )

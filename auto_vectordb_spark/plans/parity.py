@@ -3875,3 +3875,59 @@ def embedding_quantize_int8(spark, sf):
     return t["embeddings"].select(
         "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
     )
+
+
+@_register(
+    "knn_int8_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+               AS amax
+      FROM embeddings
+    ),
+    qz AS (
+      SELECT vec_id,
+             list_transform(
+               emb, x -> CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
+                                              ELSE 0.0 END)) AS BIGINT)) AS q
+      FROM base
+    ),
+    n2 AS (
+      SELECT vec_id, q, list_sum(list_transform(q, x -> x * x)) AS n2 FROM qz
+    ),
+    qs AS (
+      SELECT vec_id AS query_id, q AS qq, n2 AS qn2 FROM n2
+      WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT qs.query_id, c.vec_id,
+             round(CASE WHEN qs.qn2 > 0 AND c.n2 > 0 THEN
+               list_sum(list_transform(range(1, len(qs.qq) + 1),
+                                       i -> qs.qq[i] * c.q[i]))
+               / (sqrt(qs.qn2) * sqrt(c.n2)) ELSE 0.0 END, 6) AS score
+      FROM qs CROSS JOIN n2 c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="V2 over the int8-quantized tier (operators/knn.py::knn_exact_int8): "
+    "per-vector scales cancel in cosine, so scoring is exact int64 "
+    "arithmetic + one division — engine-portable with no float reduction-"
+    "order drift; recall vs the float path gated in tests",
+)
+def knn_int8_topk(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return KNN.knn_exact_int8(queries, t["embeddings"], k=_KNN_K, round_decimals=6)

@@ -123,3 +123,13 @@ def test_ivf_persisted_index_prunes_partitions(spark, emb, exact_topk, tmp_path)
         (r["query_id"], r["vec_id"], round(r["score"], 9)) for r in df.collect()
     }
     assert as_set(mem) == as_set(disk)
+
+
+def test_int8_recall_gate(queries, emb, exact_topk):
+    """int8-quantized cosine must keep recall@10 ≥ 0.9 vs the float oracle."""
+    rows = KNN.knn_exact_int8(queries, emb, k=K).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(got[q] & exact_topk[q]) / K for q in exact_topk]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
