@@ -602,3 +602,39 @@ def apply_dedup(
     return docs.join(
         losers.withColumnRenamed("doc_id", id_col), on=id_col, how="left_anti"
     )
+
+
+def decontaminate_flags(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word k-gram
+    with an evaluation set (the standard guard against test-set leakage in
+    training corpora; production uses k≈13 on much longer docs — k is a
+    parameter).
+
+    Returns (id_col, n_shared) for every contaminated doc; drop them with
+    ``docs.join(flags, id_col, "left_anti")``.
+
+    Scale shape: corpus shingles pay ONE (id, shingle) distinct shuffle
+    (map-side combined); the eval side is tiny by construction (benchmarks
+    are ~10³-10⁵ rows) → broadcast semi-style join, the corpus is never
+    re-shuffled on the eval key.
+    """
+    from ..functions.text import shingles, tokenize
+
+    def sh(df):
+        return df.select(
+            F.col(id_col), F.explode(shingles(tokenize(F.col(text_col)), k)).alias("sh")
+        ).distinct()
+
+    eval_sh = F.broadcast(sh(eval_docs).select("sh").distinct())
+    return (
+        sh(docs)
+        .join(eval_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_shared"))
+    )

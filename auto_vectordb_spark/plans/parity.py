@@ -3931,3 +3931,28 @@ def knn_int8_topk(spark, sf):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return KNN.knn_exact_int8(queries, t["embeddings"], k=_KNN_K, round_decimals=6)
+
+
+@_register(
+    "decontaminate_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    shl AS (SELECT doc_id, {SHINGLES3_SQL.format(t='toks')} AS shs FROM tok),
+    ds AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+    ev AS (SELECT DISTINCT sh FROM ds WHERE doc_id < 3),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM ds JOIN ev USING (sh) WHERE doc_id >= 3 GROUP BY doc_id
+    )
+    SELECT doc_id, n_shared FROM hits
+    """,
+    doc="Benchmark decontamination (operators/dedup.py::decontaminate_flags): "
+    "docs sharing any word 3-gram with the simulated eval set (doc_id < 3) "
+    "are flagged with their shared-shingle count; one corpus-side distinct "
+    "shuffle + broadcast join against the tiny eval side",
+)
+def decontaminate_docs(spark, sf):
+    t = load_views(spark, sf)
+    corpus = t["documents"].filter(F.col("doc_id") >= 3)
+    eval_set = t["documents"].filter(F.col("doc_id") < 3)
+    return DD.decontaminate_flags(corpus, eval_set, k=3)

@@ -185,3 +185,25 @@ def test_connected_components_paths_agree(spark):
     }
     assert fast == dist
     assert fast == {(5, 2), (9, 2), (2, 2), (7, 7), (8, 7), (10, 3), (11, 3), (3, 3)}
+
+
+def test_decontaminate_flags_leaked_doc(spark):
+    from auto_vectordb_spark.operators.dedup import decontaminate_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "completely unrelated text about spark shuffles"),
+            (12, "short"),  # < 3 tokens -> no shingles, never flagged
+        ],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(0, "we evaluate on the quick brown fox sentences")],
+        "doc_id long, text string",
+    )
+    flags = decontaminate_flags(corpus, eval_set, k=3)
+    got = {r["doc_id"]: r["n_shared"] for r in flags.collect()}
+    assert got == {10: 2}  # 'the quick brown' + 'quick brown fox'
+    clean = corpus.join(flags, "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in clean.collect()) == [11, 12]
