@@ -57,8 +57,22 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any SparkSession (including a vanilla driver-built one) able to
+    run the registry: both confs are runtime-settable SQLConfs.
+
+    - ``nanosAsLong``: events.parquet carries TIMESTAMP(NANOS); without this
+      a bare session throws PARQUET_TYPE_ILLEGAL before any query logic runs.
+    - ``timeZone=UTC``: parity rule 3 formats timestamps to strings, which
+      must not drift with the host TZ.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read the driver tables and register temp views (idempotent)."""
+    ensure_session_confs(spark)
     out = {}
     for t in TABLES:
         df = _fix_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
@@ -520,6 +534,7 @@ def streaming_hourly(spark, sf):
 
     from ..streaming.pipeline import run_stream_to_memory, stream_files, windowed_event_counts
 
+    ensure_session_confs(spark)
     batch = spark.read.parquet(f"{sf}/events.parquet")
     stream = _fix_nanos(stream_files(spark, sf, batch.schema, glob="events.parquet"))
     agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")

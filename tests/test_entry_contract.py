@@ -48,6 +48,35 @@ def test_docs_cite_survey():
         assert q.doc, f"{name} has no doc string"
 
 
+def test_registry_runs_on_bare_driver_session(sf_dir):
+    """Round-1 postmortem (VERDICT.md): the driver invokes registry callables
+    with a VANILLA SparkSession — no nanosAsLong, no UTC TZ — and every query
+    died in load_views before round-2's runtime conf-set. Re-create that exact
+    condition in a subprocess (same-JVM sessions would inherit our confs) and
+    run one timestamp-formatting, one window, and one retrieval query."""
+    import subprocess
+    import sys
+
+    script = f"""
+import sys; sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "8").getOrCreate())
+import __spark_entry__ as E
+qs = E.queries()
+for name in ("events_hourly", "window_running_revenue", "hybrid_search"):
+    n = qs[name](spark, {sf_dir!r}).count()
+    assert n > 0, name
+    print("OK", name, n)
+spark.stop()
+"""
+    proc = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+    )
+    assert proc.returncode == 0, f"bare-session run failed:\n{proc.stderr[-4000:]}"
+    assert proc.stdout.count("OK") == 3, proc.stdout
+
+
 def test_no_cartesian_products_anywhere(spark, sf_dir):
     """Every registered query must plan WITHOUT CartesianProduct — cross-join
     shapes are only legal as broadcast nested-loop (small side broadcast);
