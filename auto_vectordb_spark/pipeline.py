@@ -417,13 +417,29 @@ def build_training_set(
     2. quality_score ≥ ``quality_min`` (C4/Gopher-style cheap features);
     3. order survivors by md5(id) — a deterministic shuffle-proof
        pseudo-random permutation — and keep docs while the running token
-       total fits ``token_budget`` (cumulative window sum).
+       total fits ``token_budget``.
 
-    Every stage is oracle-verified (plans/parity.py training_set_build).
+    Stage 3 is a **distributed two-level prefix sum**, not a global window
+    (``Window.orderBy`` with no partition serializes the whole corpus
+    through one task — the round-1 scale-killer):
+
+    - bucket = first 2 hex chars of the md5 order key. Hex strings of equal
+      length sort lexicographically = numerically, so the 256 buckets are
+      *contiguous ranges* of the global order — deterministic, no
+      repartitionByRange sampling, no spark_partition_id.
+    - running sum *within* each bucket (windows parallelize across buckets);
+    - per-bucket totals (256 rows) get their own running sum — a global
+      window over provably tiny data — and broadcast-join back as offsets.
+
+    global cum = in-bucket cum + offset of all preceding buckets. Output is
+    bit-identical to the single-window form (oracle-verified,
+    plans/parity.py training_set_build). Catalyst reuses the bucket-window
+    exchange for the totals branch (ReusedExchange), so the expensive dedup
+    front end is computed once.
+
     At 100 TB: stages 1-2 are the dedup/textstats operators at their
-    documented shuffle budgets; stage 3 is one window over the (small)
-    surviving set — or a per-partition running total with a final
-    prefix-sum fix-up if survivors are themselves huge.
+    documented shuffle budgets; stage 3 adds one hash shuffle on the bucket
+    key plus a 256-row broadcast.
     """
     from pyspark.sql.window import Window
 
@@ -441,9 +457,33 @@ def build_training_set(
     ranked = quality.join(toks, "doc_id").withColumn(
         "__ord", F.md5(F.col("doc_id").cast("string"))
     )
-    w = Window.orderBy("__ord").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ranked.withColumn("__bkt", F.substring("__ord", 1, 2))
+    in_bucket = Window.partitionBy("__bkt").orderBy("__ord").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = ranked.withColumn("__cum_local", F.sum("n_tokens").over(in_bucket))
+    # 256-row side: total per bucket, then exclusive running sum = offset.
+    totals = local.groupBy("__bkt").agg(F.max("__cum_local").alias("__tot"))
+    # Exclusive prefix sum over the ≤256 bucket totals, computed on one
+    # sorted array instead of an unpartitioned window (a windowless shape —
+    # nothing here can ever trip the single-partition WindowExec path, and
+    # the O(B²) in-row aggregate is 256² trivial ops).
+    offsets = (
+        totals.agg(F.sort_array(F.collect_list(F.struct("__bkt", "__tot"))).alias("a"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(a, (e, i) -> struct(e.__bkt AS __bkt, "
+                    "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), "
+                    "(acc, x) -> acc + x.__tot) AS __off))"
+                )
+            ).alias("e")
+        )
+        .select("e.__bkt", "e.__off")
+    )
     out = (
-        ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        local.join(F.broadcast(offsets), "__bkt")
+        .withColumn("cum_tokens", F.col("__cum_local") + F.col("__off"))
         .filter(F.col("cum_tokens") <= token_budget)
         .select("doc_id", "n_tokens", "cum_tokens", "quality")
     )
