@@ -361,25 +361,46 @@ def embedding_neardup_pairs(
     return pairs.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 
+def _auto_num_tables(threshold: float, bits_per_table: int, recall_target: float) -> int:
+    """Smallest T with 1-(1-p^b)^T >= recall_target at the threshold boundary,
+    where p = 1 - acos(threshold)/pi (sign-LSH bit-agreement probability)."""
+    import math
+
+    p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    p_tbl = p_bit**bits_per_table
+    return max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_tbl)))
+
+
 def embedding_neardup_pairs_blas(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    max_collect_rows: int = 100_000,
 ) -> DataFrame:
     """BLAS-kernel variant of :func:`embedding_neardup_pairs` (throughput path).
 
     The full normalized matrix is broadcast (fits executor memory for the
-    within-bucket sizes this is meant for — at 100 TB you LSH/IVF-bucket
-    FIRST, then run this kernel per bucket); each partition computes
+    within-bucket sizes this is meant for); each partition computes
     ``block @ M.T`` and emits only pairs ≥ threshold with id_a < id_b.
     Last-ulp cosine differences vs the expression kernel are possible (BLAS
     reduction order).
+
+    SIZE-GUARDED: this form collects the corpus to the driver, which is only
+    legitimate for an already-bucketed slice. Above ``max_collect_rows`` it
+    fails fast — use :func:`embedding_neardup_pairs_blas_bucketed`, which
+    composes the same kernel with sign-LSH bucketing and never collects.
     """
     import numpy as np
     import pandas as pd
 
-    rows = vectors.select(id_col, vec_col).collect()
+    rows = vectors.select(id_col, vec_col).limit(max_collect_rows + 1).collect()
+    if len(rows) > max_collect_rows:
+        raise ValueError(
+            f"embedding_neardup_pairs_blas collects the corpus to the driver "
+            f"and got > {max_collect_rows} rows; use "
+            f"embedding_neardup_pairs_blas_bucketed for unbucketed corpora"
+        )
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
@@ -408,6 +429,102 @@ def embedding_neardup_pairs_blas(
     return vectors.select(id_col, vec_col).mapInPandas(
         part, schema="id_a long, id_b long, cosine double"
     )
+
+
+def embedding_neardup_pairs_blas_bucketed(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_tables: int | None = None,
+    bits_per_table: int = 8,
+    recall_target: float = 0.95,
+    seed: int = 42,
+) -> DataFrame:
+    """The 100 TB shape of the BLAS near-dup kernel: sign-LSH bucket
+    assignment → per-bucket all-pairs BLAS matmul → max-merge across tables.
+
+    Nothing is ever collected to the driver and the corpus never meets
+    itself outside a bucket:
+
+    1. one ``mapInPandas`` scan assigns each vector to ``num_tables``
+       (table, bucket) cells — a matmul against the tiny broadcast plane
+       matrix — carrying the vector along (shuffle volume = T × corpus,
+       the honest cost of multi-table LSH grouping);
+    2. ``groupBy(tbl, bucket).applyInPandas`` runs the exact BLAS all-pairs
+       kernel within each cell (bucket size is the ``bits_per_table`` knob:
+       b bits → 2^b buckets/table; raise b to shrink task memory);
+    3. pairs colliding in several tables are merged with ``max(cosine)``
+       (BLAS reduction order may differ at last ulp between cells).
+
+    Recall vs the exact kernel ≥ ``recall_target`` by the table-count bound
+    (see :func:`_auto_num_tables`); precision is exact: every emitted pair's
+    cosine was computed from the full vectors and thresholded. Gated in
+    tests/test_dedup.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if num_tables is None:
+        num_tables = _auto_num_tables(threshold, bits_per_table, recall_target)
+
+    first = vectors.select(vec_col).first()
+    dim = len(first[vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables * bits_per_table, dim))
+    sc = vectors.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+    weights = np.power(2, np.arange(bits_per_table), dtype=np.int64)
+    vec_type = vectors.schema[vec_col].dataType.simpleString()
+
+    def assign(it):
+        P = bp.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            signs = (M @ P.T) > 0
+            out = []
+            for t in range(num_tables):
+                block = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vid": pdf[id_col].to_numpy(),
+                            "tbl": t,
+                            "bucket": block.astype(np.int64) @ weights,
+                            "vec": pdf[vec_col],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    assigned = vectors.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"vid long, tbl int, bucket long, vec {vec_type}"
+    )
+
+    def kernel(pdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+        if len(pdf) < 2:
+            return empty
+        M = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
+        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = Mn @ Mn.T
+        ids = pdf["vid"].to_numpy()
+        i, j = np.nonzero(S >= threshold)
+        keep = ids[i] < ids[j]
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[i][keep], "id_b": ids[j][keep], "cosine": S[i, j][keep]}
+        )
+
+    per_cell = assigned.groupBy("tbl", "bucket").applyInPandas(
+        kernel, schema="id_a long, id_b long, cosine double"
+    )
+    return per_cell.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
 
 
 def embedding_neardup_lsh(
@@ -440,15 +557,11 @@ def embedding_neardup_lsh(
     For loose thresholds (< ~0.7) lower ``bits_per_table`` (p^b collapses),
     e.g. b=3; the default b=8 targets real near-dup thresholds (>= 0.9).
     """
-    import math
-
     import numpy as np
     import pandas as pd
 
     if num_tables is None:
-        p_bit = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-        p_tbl = p_bit**bits_per_table
-        num_tables = max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p_tbl)))
+        num_tables = _auto_num_tables(threshold, bits_per_table, recall_target)
 
     first = vectors.select(vec_col).first()
     dim = len(first[vec_col])

@@ -1197,13 +1197,17 @@ def knn_blas_topk(spark, sf):
 @_register(
     "dedup_embedding_blas",
     None,
-    doc="Embedding near-dup pairs via the BLAS kernel (broadcast normalized "
-    "matrix + per-partition block matmul); at 100 TB runs within LSH/IVF "
-    "buckets. Pair-set equality vs the exact kernel gated in tests",
+    doc="Embedding near-dup pairs via the bucket-composed BLAS kernel: "
+    "sign-LSH bucket assignment -> per-bucket all-pairs matmul "
+    "(applyInPandas) -> max-merge across tables. Never collects the corpus "
+    "(the whole-corpus kernel is size-guarded and bucket-scoped only). "
+    "Recall/score agreement vs the exact kernel gated in tests",
 )
 def dedup_embedding_blas(spark, sf):
     t = load_views(spark, sf)
-    pairs = DD.embedding_neardup_pairs_blas(t["embeddings"], threshold=0.3)
+    pairs = DD.embedding_neardup_pairs_blas_bucketed(
+        t["embeddings"], threshold=0.3, bits_per_table=3
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

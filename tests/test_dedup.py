@@ -85,6 +85,32 @@ def test_neardup_scores_match_between_kernels(spark, sf_dir):
     assert bad == 0
 
 
+def test_blas_size_guard_fails_fast(spark, sf_dir):
+    """The whole-corpus BLAS kernel is bucket-scoped only: above the collect
+    guard it must refuse rather than pull the corpus to the driver."""
+    import pytest
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="bucketed"):
+        DD.embedding_neardup_pairs_blas(emb, threshold=0.3, max_collect_rows=10)
+
+
+def test_blas_bucketed_recall_and_precision(spark, sf_dir):
+    """Bucket-composed BLAS kernel: no false pairs (exact scoring within
+    buckets), recall >= 0.85 vs the exact kernel, and cosines of common
+    pairs agree to 1e-9."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = DD.embedding_neardup_pairs(emb, threshold=0.3)
+    bucketed = DD.embedding_neardup_pairs_blas_bucketed(
+        emb, threshold=0.3, bits_per_table=3
+    )
+    e = {(r["id_a"], r["id_b"]): r["cosine"] for r in exact.collect()}
+    b = {(r["id_a"], r["id_b"]): r["cosine"] for r in bucketed.collect()}
+    assert not (set(b) - set(e))  # precision 1: every emitted pair is real
+    assert len(set(b) & set(e)) / len(e) >= 0.85
+    assert all(abs(e[k] - b[k]) <= 1e-9 for k in set(b) & set(e))
+
+
 def test_embedding_lsh_recall_gate(spark, sf_dir):
     """Sign-LSH bucketed near-dup must reach recall >= 0.85 vs exact pairs
     (params auto-tuned from the threshold), with zero false positives
