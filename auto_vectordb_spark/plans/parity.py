@@ -2959,19 +2959,65 @@ def events_moving_avg(spark, sf):
            round(max(value), 2) AS max_value
     FROM ranked GROUP BY 1
     """,
-    doc="NTILE(10) decile summary over event value. NOTE: a global ntile "
-    "is a single-partition sort — correctness shape only; at 100 TB the "
-    "scale path is approx_percentile bucket boundaries + a broadcast "
-    "range lookup (no global sort)",
+    doc="NTILE(10) decile summary over event value, computed WITHOUT a "
+    "global sort yet bit-identical to SQL ntile: approx_percentile "
+    "boundaries split the order key into contiguous value ranges (boundary "
+    "placement affects only balance, never correctness), rank-within-range "
+    "windows run in parallel, and tiny per-range counts broadcast back as "
+    "prefix offsets so global rank = local rank + offset; the exact "
+    "ntile(rank, N) formula then reproduces SQL tile assignment. Scale "
+    "shape: one boundary-sketch pass + one hash shuffle on the range key",
 )
 def events_ntile(spark, sf):
     from pyspark.sql.window import Window
 
     t = load_views(spark, sf)
-    ranked = t["events"].withColumn(
-        "decile", F.ntile(10).over(Window.orderBy("value", "event_id"))
+    ev = t["events"].select("event_id", "value")
+    # 9 decile boundary candidates; placement only affects bucket balance.
+    bounds = ev.agg(
+        F.expr(
+            "approx_percentile(value, "
+            "array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("__b")
     )
-    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+    # value is the leading sort key, so value-range buckets are contiguous
+    # runs of the global (value, event_id) order; equal values never split.
+    bkt = sum(
+        (F.when(F.col("value") > F.col("__b")[i], 1).otherwise(0) for i in range(9)),
+        start=F.lit(0),
+    )
+    bucketed = ev.join(F.broadcast(bounds)).withColumn("__bkt", bkt)
+    w = Window.partitionBy("__bkt").orderBy("value", "event_id")
+    loc = bucketed.withColumn("__lr", F.row_number().over(w))
+    counts = loc.groupBy("__bkt").agg(F.max("__lr").alias("__cnt"))
+    offsets = counts.agg(
+        F.sort_array(F.collect_list(F.struct("__bkt", "__cnt"))).alias("a")
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(a, (e, i) -> struct(e.__bkt AS __bkt, "
+                "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + x.__cnt) AS __off))"
+            )
+        ).alias("e"),
+        F.expr(
+            "aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x.__cnt)"
+        ).alias("__n"),
+    ).select("e.__bkt", "e.__off", "__n")
+    ranked = (
+        loc.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__r", F.col("__lr") + F.col("__off"))
+        .withColumn(
+            "decile",
+            F.expr(
+                "CAST(CASE WHEN __r <= (__n % 10) * (__n div 10 + 1) "
+                "THEN (__r - 1) div (__n div 10 + 1) + 1 "
+                "ELSE __n % 10 + (__r - (__n % 10) * (__n div 10 + 1) - 1) "
+                "div (__n div 10) + 1 END AS INT)"
+            ),
+        )
+    )
+    return ranked.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.sum(cents(F.col("value"))).alias("sum_value_2c"),
         F.round(F.min("value"), 2).alias("min_value"),
