@@ -59,7 +59,8 @@ def main() -> int:
         if q.sql is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             if len(s_rows) == 0:
-                print(f"  WARN {name}: zero rows")
+                print(f"FAIL  {name}: zero rows — a rows-only check proves nothing empty")
+                failures.append(name)
             continue
         try:
             res = con.execute(q.sql)
@@ -89,7 +90,8 @@ def main() -> int:
         else:
             print(f"{status} {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
         if not s_rows:
-            print(f"  WARN {name}: zero rows")
+            print(f"FAIL  {name}: zero rows — an empty hash-match is vacuous")
+            failures.append(name)
     print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
     spark.stop()
     return 1 if failures else 0
