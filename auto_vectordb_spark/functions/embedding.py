@@ -64,6 +64,73 @@ def hash_projection_embedder(dim: int) -> EmbedFn:
 register_backend("hash", hash_projection_embedder)
 
 
+def random_projection_embedder(dim: int, input_dim: int = 4096, seed: int = 7) -> EmbedFn:
+    """Second first-class backend: hashed bag-of-tokens → fixed random
+    Gaussian projection → L2 norm (the classic random-projection text
+    embedder).
+
+    Unlike ``hash``, this backend has *model-like* mechanics: a weight
+    matrix is materialized once per worker (the per-worker init path a real
+    ONNX/sentence-transformers session uses) and inference is a matmul over
+    the whole Arrow batch. It exists to prove the backend seam end-to-end
+    with a genuinely different implementation — see
+    tests/test_pipeline.py::test_embed_backend_seam.
+    """
+
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((input_dim, dim)).astype(np.float32) / math.sqrt(dim)
+
+    def embed(texts: list[str]) -> np.ndarray:
+        bow = np.zeros((len(texts), input_dim), dtype=np.float32)
+        for i, text in enumerate(texts):
+            for tok in str(text or "").lower().split():
+                h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                bow[i, h % input_dim] += 1.0 if (h >> 59) & 1 else -1.0
+        out = bow @ proj  # one matmul per Arrow batch
+        norms = np.linalg.norm(out, axis=1, keepdims=True)
+        np.divide(out, norms, out=out, where=norms > 0)
+        return out
+
+    return embed
+
+
+register_backend("randproj", random_projection_embedder)
+
+
+def sentence_transformers_embedder(dim: int, model: str = "BAAI/bge-m3") -> EmbedFn:
+    """Production backend slot: the reference's actual model (bge-m3,
+    /root/reference/backend/process/parsing.py:49) via sentence-transformers.
+
+    The library (and its weights) are not bundled in this container, so the
+    factory raises ImportError at *construction* time when absent — the
+    registry entry below is only added when the import succeeds, and
+    tests/test_pipeline.py gates its test with importorskip. When present,
+    the session loads once per python worker (the ``embed_udf`` lazy-init
+    contract) and encodes whole Arrow batches.
+    """
+    from sentence_transformers import SentenceTransformer
+
+    session = SentenceTransformer(model)
+
+    def embed(texts: list[str]) -> np.ndarray:
+        vecs = session.encode(
+            [str(t or "") for t in texts], normalize_embeddings=True, convert_to_numpy=True
+        )
+        if vecs.shape[1] != dim:
+            raise ValueError(f"model dim {vecs.shape[1]} != requested {dim}")
+        return vecs.astype(np.float32)
+
+    return embed
+
+
+try:  # register the real-model backend only where the library exists
+    import sentence_transformers  # noqa: F401
+
+    register_backend("bge-m3", sentence_transformers_embedder)
+except ImportError:
+    pass
+
+
 def parse_legacy_embedding(col: Column) -> Column:
     """F10 — legacy TEXT-stored embeddings ``'{-0.07,0.01,...}'`` →
     ``array<float>``.

@@ -158,6 +158,25 @@ class VectorPipeline:
             out.append(str(dest))
         return out
 
+    def clear_staging(self, path: str | None = None) -> None:
+        """S17 — staging cleanup (reference ``_clear_folder``,
+        /root/reference/backend/process/parsing.py:157-169): delete every
+        file and subfolder *inside* the staging dir but keep the dir itself;
+        raise if the dir does not exist (same contract).
+
+        Driver-side fs op by design (SURVEY maps S17 to "not a Spark
+        operator") — exposed here for endpoint parity with the reference's
+        ``remove_original`` flow (parsing.py:286-287).
+        """
+        target = Path(path) if path is not None else self.base / "uploaded"
+        if not target.exists():
+            raise FileNotFoundError(f"staging folder does not exist: {target}")
+        for item in target.iterdir():
+            if item.is_file() or item.is_symlink():
+                item.unlink()
+            else:
+                shutil.rmtree(item)
+
     # ---- parse (S3–S7, F1–F8) --------------------------------------------
 
     def parse(self, path: str | None = None, parser: str | ParserFn = "text") -> DataFrame:
@@ -262,13 +281,23 @@ class VectorPipeline:
 
     # ---- persist + index (S10, S11) ---------------------------------------
 
-    def save_corpus(self, chunks: DataFrame, mode: str = "append") -> None:
+    def save_corpus(
+        self, chunks: DataFrame, mode: str = "append", remove_original: bool = False
+    ) -> None:
         """Write the corpus parquet partitioned by lv1_cat (partition pruning
-        for category-scoped reads; the reference's Postgres insert S10)."""
+        for category-scoped reads; the reference's Postgres insert S10).
+
+        ``remove_original`` mirrors the reference's post-parse staging wipe
+        (parsing.py:286-287) — gated HERE, after the write action has
+        materialized the chunks, because the lazy ``parse`` plan re-reads the
+        staged files; clearing before the action would read deleted inputs.
+        """
         ok = chunks.filter(F.col("status") == "success").drop("error", "status")
         ok.write.mode(mode).partitionBy("lv1_cat").parquet(str(self.base / "corpus"))
         self._corpus_cache = None
         self._bm25 = None
+        if remove_original:
+            self.clear_staging()
 
     def corpus(self) -> DataFrame:
         if self._corpus_cache is None:

@@ -137,6 +137,90 @@ def test_training_set_build_respects_budget(spark, sf_dir):
     assert all(r["quality"] >= 0.5 for r in out)
 
 
+def test_clear_staging_keeps_folder(spark, tmp_path):
+    """S17 — reference _clear_folder contract (parsing.py:157-169): wipe the
+    staging dir's contents (files AND subfolders), keep the dir, raise when
+    it does not exist."""
+    p = VectorPipeline(spark, str(tmp_path / "store_s17"), dim=16)
+    up = tmp_path / "store_s17" / "uploaded"
+    (up / "cat").mkdir(parents=True)
+    (up / "top.txt").write_text("x")
+    (up / "cat" / "nested.txt").write_text("y")
+    p.clear_staging()
+    assert up.exists() and list(up.iterdir()) == []
+    with pytest.raises(FileNotFoundError):
+        p.clear_staging(str(tmp_path / "nope"))
+
+
+def test_save_corpus_remove_original_gating(spark, tmp_path):
+    """remove_original mirrors parsing.py:286-287 — staged originals are
+    wiped only AFTER the corpus write materialized them."""
+    src = tmp_path / "src17"
+    src.mkdir()
+    (src / "doc.txt").write_text("gamma delta")
+    p = VectorPipeline(spark, str(tmp_path / "store_s17b"), dim=16)
+    p.stage_files([str(src / "doc.txt")], server_path="misc")
+    staged = p.base / "uploaded" / "misc" / "doc.txt"
+    assert staged.exists()
+    p.save_corpus(p.embed(p.parse()), mode="overwrite", remove_original=True)
+    assert not staged.exists()
+    assert p.count() == 1  # data survived the wipe — it was written first
+
+
+def test_embed_backend_seam(spark, tmp_path):
+    """register_backend → embed_udf → VectorPipeline.embed with a genuinely
+    different backend (randproj: per-worker weight matrix + batch matmul —
+    the mechanics a real model backend uses). Distinct from `hash` output,
+    still unit-normalized, deterministic across runs."""
+    src = tmp_path / "srcb"
+    src.mkdir()
+    (src / "a.txt").write_text("spark catalyst tungsten")
+    p_hash = VectorPipeline(spark, str(tmp_path / "sb1"), dim=32, embed_backend="hash")
+    p_rand = VectorPipeline(spark, str(tmp_path / "sb2"), dim=32, embed_backend="randproj")
+    v_hash = p_hash.embed(p_hash.parse(str(src))).first()["embeddings"]
+    v_rand = p_rand.embed(p_rand.parse(str(src))).first()["embeddings"]
+    v_rand2 = p_rand.embed(p_rand.parse(str(src))).first()["embeddings"]
+    assert abs(float(np.linalg.norm(v_rand)) - 1.0) < 1e-5
+    assert list(v_rand) == list(v_rand2)  # deterministic
+    assert list(v_rand) != list(v_hash)  # a real second implementation
+    # driver-side query embedding goes through the same registry
+    q = p_rand.embed_texts(["spark catalyst tungsten"])[0]
+    assert len(q) == 32 and abs(float(np.linalg.norm(q)) - 1.0) < 1e-5
+
+
+def test_embed_backend_custom_registration(spark, tmp_path):
+    """A user-registered backend (the production seam) flows end-to-end."""
+    from auto_vectordb_spark.functions.embedding import register_backend
+
+    def constant_factory(dim):
+        def embed(texts):
+            out = np.zeros((len(texts), dim), dtype=np.float32)
+            out[:, 0] = 1.0
+            return out
+
+        return embed
+
+    register_backend("const-test", constant_factory)
+    src = tmp_path / "srcc"
+    src.mkdir()
+    (src / "a.txt").write_text("anything")
+    p = VectorPipeline(spark, str(tmp_path / "sbc"), dim=8, embed_backend="const-test")
+    v = p.embed(p.parse(str(src))).first()["embeddings"]
+    assert list(v) == [1.0] + [0.0] * 7
+
+
+def test_sentence_transformers_backend_when_available(spark):
+    """Real-model backend (reference bge-m3): green where the lib exists,
+    cleanly skipped where not (this container lacks it by design)."""
+    pytest.importorskip("sentence_transformers")
+    from auto_vectordb_spark.functions.embedding import _BACKENDS
+
+    assert "bge-m3" in _BACKENDS
+    fn = _BACKENDS["bge-m3"](1024)
+    vecs = fn(["hello world"])
+    assert vecs.shape == (1, 1024)
+
+
 def test_ingest_stream_appends_to_corpus(spark, tmp_path):
     """Streaming ingest must flow new staged files through the same
     parse->embed->chunk lineage and append them to the corpus idempotently."""
