@@ -1,0 +1,173 @@
+"""Embedding-space clustering for corpus curation (cluster → inspect →
+filter/rebalance — the standard "topic cluster" pass of a training-data
+pipeline; SemDeDup-style near-dup pruning and cluster-balanced sampling both
+start from exactly this assignment).
+
+The reference has no clustering (its corpus fits in one Postgres table,
+backend/utils/database.py), but its IVF-style retrieval knobs
+(elasticsearch_index.py:261-277 ``num_candidates``) assume a coarse
+quantizer; this module IS that quantizer, exposed as a first-class operator.
+
+Scale design
+------------
+* **Assignment is a pure map.** Centroids are a tiny k×d table; we inline
+  them as literals so scoring is one JVM expression per row — the 100 TB
+  corpus is scanned once, never shuffled, and no join appears in the plan.
+* **Mean recomputation is a short-key shuffle.** posexplode → (cluster, pos)
+  partial sums (map-side combine) → k·d rows. Per-element values are
+  quantized to int64 *before* summation (``_Q = 1e7``) so the mean is an
+  exact integer sum in any reduction order — both deterministic for the
+  DuckDB oracle and stable across cluster re-runs.
+* **Lloyd iterations collect only k×d doubles per round** (the centroid
+  matrix), the same sanctioned tiny-collect as BM25's two scalars.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+
+# per-element quantization for exact (order-independent) centroid means:
+# embeddings are unit-scale floats, 1e7 keeps 7 decimals in int64 with room
+# for 2^30 rows per (cluster, pos) group.
+_Q = 10_000_000
+
+
+def sqdist(a, b) -> F.Column:
+    """Sequential-order squared L2 — bit-identical to the DuckDB twin
+    ``list_sum(list_transform(range(...), i -> (a[i]-b[i])^2))``."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_centroids(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """(id, cluster_id, dist) — nearest centroid per vector, map-only.
+
+    ``centroids`` is driver-side (k×d, tiny by construction); each centroid
+    becomes a literal array in ONE whole-stage-codegen'd projection:
+    ``array_min(array(struct(d_0, 0), ..., struct(d_{k-1}, k-1)))`` — argmin
+    by (rounded distance, cluster id), zero shuffle, zero join. This is the
+    plan that survives 100 TB: assignment cost is exactly one corpus scan.
+    """
+    v = V.as_double_array(F.col(vec_col))
+    candidates = F.array(
+        *[
+            F.struct(
+                F.round(sqdist(v, F.array(*[F.lit(float(x)) for x in c])), round_decimals).alias(
+                    "d"
+                ),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_min(candidates)
+    return vectors.select(
+        F.col(id_col),
+        best["cid"].alias("cluster_id"),
+        best["d"].alias("dist"),
+    )
+
+
+def centroid_means_exact(
+    assigned: DataFrame,
+    cluster_col: str = "cluster_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster_id, centroid array<double>, n) — exact quantized-int means.
+
+    posexplode → int64 partial sums per (cluster, pos) → reassemble ordered.
+    Deterministic in any reduction order (parity rule 1), so the same code
+    is both the oracle twin and the production path.
+    """
+    exploded = assigned.select(
+        F.col(cluster_col).alias("cluster_id"),
+        F.posexplode(V.as_double_array(F.col(vec_col))).alias("pos", "v"),
+    ).withColumn("qv", F.round(F.col("v") * _Q).cast("long"))
+    sums = exploded.groupBy("cluster_id", "pos").agg(
+        F.sum("qv").alias("s"), F.count("*").alias("n")
+    )
+    return (
+        sums.groupBy("cluster_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"),
+            F.first("n").alias("n"),
+        )
+        .select(
+            "cluster_id",
+            F.transform(F.col("ps"), lambda x: x["s"].cast("double") / (F.col("n") * _Q)).alias(
+                "centroid"
+            ),
+            "n",
+        )
+    )
+
+
+def lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Deterministic distributed k-means: init = the k lowest-id vectors,
+    then ``iters`` rounds of (map-only assign → exact-mean update).
+
+    Returns (final assignment, final centroids, per-iteration inertia).
+    Per round the cluster-side work is one scan + one k·d-key shuffle; only
+    the k×d centroid matrix ever reaches the driver. Empty clusters keep
+    their previous centroid (the standard Lloyd fix).
+    """
+    first = (
+        vectors.orderBy(F.col(id_col))
+        .limit(k)
+        .select(V.as_double_array(F.col(vec_col)).alias("c"))
+        .collect()
+    )
+    centroids: list[list[float]] = [list(r["c"]) for r in first]
+    inertia: list[float] = []
+    for _ in range(iters):
+        assigned = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
+        joined = vectors.join(assigned.select(id_col, "cluster_id", "dist"), id_col)
+        stats = centroid_means_exact(joined, "cluster_id", vec_col)
+        agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).cast("long")).alias("qi"))
+        inertia.append(agg.first()["qi"] / 1_000_000)
+        new = {r["cluster_id"]: list(r["centroid"]) for r in stats.collect()}
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col), centroids, inertia
+
+
+def outliers_by_group_centroid(
+    vectors: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    top_n: int = 20,
+) -> DataFrame:
+    """(id, group, dist) — the ``top_n`` vectors farthest from their own
+    group's centroid: embedding-space mislabel/garbage detection.
+
+    Centroids via :func:`centroid_means_exact` (exact, tiny result) are
+    re-joined broadcast; distance is one map-side expression; the final cut
+    is a TakeOrderedAndProject, not a global sort.
+    """
+    cents = centroid_means_exact(
+        vectors.withColumnRenamed(group_col, "cluster_id"), "cluster_id", vec_col
+    ).select(F.col("cluster_id").alias(group_col), "centroid")
+    d = F.round(sqdist(V.as_double_array(F.col(vec_col)), F.col("centroid")), 6)
+    scored = (
+        vectors.join(F.broadcast(cents), group_col)
+        .select(F.col(id_col), F.col(group_col), d.alias("dist"))
+    )
+    return scored.orderBy(F.desc("dist"), F.asc(id_col)).limit(top_n)

@@ -1,0 +1,187 @@
+"""Corpus-level quality / data-mixing operators for training-set curation:
+DSIR-style importance weights, n-gram LM scoring, and domain rebalancing.
+
+These extend the per-document heuristics in :mod:`textstats` (length /
+punctuation / stopword ratios) with *corpus-relative* signals — the ones a
+100 TB pretraining pipeline actually ranks and samples by (cf. DSIR, Xie et
+al. 2023, arXiv:2302.03169; CCNet's LM-perplexity filter, Wenzek et al.
+2019). The reference has no corpus-level statistics at all (it scores
+nothing; backend/process/parsing.py ingests every page) — this is a scale
+extension, not a port.
+
+Scale design
+------------
+* Every operator is (token explode → short-key groupBy with map-side
+  combine → broadcast-join the tiny model back). Token/bigram count tables
+  are vocabulary-sized, orders of magnitude smaller than the corpus; the
+  corpus itself is scanned once and never shuffled on a wide key.
+* Log-probabilities are rounded per token (1e-6) and summed as exact int64
+  (parity rule 1) — deterministic across engines and reduction orders.
+* :func:`domain_rebalance` is fully declarative (two window functions over
+  source partitions + one broadcast join of per-source quotas); the sample
+  is hash-ordered, so re-runs and incremental extensions are reproducible
+  (same contract as relational.deterministic_sample).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions.text import tokenize
+
+_Q = 1_000_000  # log-prob quantization (6 decimals, exact int64 sums)
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, weight) — hashed-unigram importance weight of each
+    document toward a target domain: w(d) = Σ_t [ln p_target(t) − ln p_raw(t)],
+    add-one smoothed over the joint vocabulary (DSIR §2.2 with unigram
+    features).
+
+    ``target_pred`` selects the in-domain rows (e.g. ``F.col("lang")=="en"``
+    or a curated id list). Docs that look like the target get weight > 0 and
+    are favored by importance resampling.
+
+    One (term) shuffle builds the two count tables in a single pass (count +
+    conditional count); the resulting vocabulary table is broadcast back —
+    the corpus is never shuffled.
+    """
+    toks = docs.select(F.col(id_col), target_pred.alias("__tgt")).join(
+        _doc_tokens(docs, id_col, text_col), id_col
+    )
+    vocab = toks.groupBy("term").agg(
+        F.count("*").alias("c_raw"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("n_raw"), F.sum("c_tgt").alias("n_tgt"), F.count("*").alias("v")
+    )
+    scored = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.round(
+            (
+                F.log((F.col("c_tgt") + 1).cast("double") / (F.col("n_tgt") + F.col("v")))
+                - F.log((F.col("c_raw") + 1).cast("double") / (F.col("n_raw") + F.col("v")))
+            )
+            * _Q
+        )
+        .cast("long")
+        .alias("qlr"),
+    )
+    per_doc = (
+        _doc_tokens(docs, id_col, text_col)
+        .join(F.broadcast(scored), "term")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("qlr").alias("qw"))
+    )
+    return per_doc.select(
+        id_col, "n_tokens", (F.col("qw").cast("double") / _Q).alias("weight")
+    )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, nll) — average negative log-likelihood of each
+    document under an add-one-smoothed bigram LM trained on the corpus
+    itself (the CCNet-style fluency filter: high nll = atypical/garbled
+    text, low nll = repetitive boilerplate).
+
+    −ln P(w2|w1) = −ln (c(w1 w2)+1) + ln (c(w1)+V); both count tables come
+    out of one token explode, and scoring re-joins them broadcast. The only
+    wide operation is the (bigram) groupBy — vocabulary-sized, map-side
+    combined.
+    """
+    from ..functions.text import shingles
+
+    bg = docs.select(
+        F.col(id_col),
+        F.explode(shingles(tokenize(F.col(text_col)), k=2)).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    bigram_counts = bg.groupBy("bigram").agg(F.count("*").alias("c2"))
+    unigram_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    v = bg.agg(F.countDistinct("w1").alias("v"))
+    model = (
+        bigram_counts.withColumn("w1", F.split(F.col("bigram"), " ")[0])
+        .join(unigram_counts, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bigram",
+            F.round(
+                (F.log((F.col("c1") + F.col("v")).cast("double")) - F.log((F.col("c2") + 1).cast("double")))
+                * _Q
+            )
+            .cast("long")
+            .alias("qnll"),
+        )
+    )
+    per_doc = (
+        bg.join(F.broadcast(model), "bigram")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"), F.sum("qnll").alias("q"))
+    )
+    return per_doc.select(
+        id_col,
+        "n_bigrams",
+        F.round(F.col("q").cast("double") / (F.col("n_bigrams") * _Q), 6).alias("nll"),
+    )
+
+
+def domain_rebalance(
+    docs: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Deterministic down-sample to a target domain mix.
+
+    With no ``shares`` the target is a uniform mix: every group keeps
+    ``min_g count(g)`` docs (the largest uniform mix the data supports).
+    With explicit shares {group: fraction}, the feasible total is
+    ``T = min_g floor(count_g / share_g)`` and each group keeps
+    ``floor(T · share_g)``.
+
+    Membership is the ``top-quota by portable hash`` per group — stable
+    under re-runs and under corpus growth (a doc already selected stays
+    selected while its group's quota holds). Plan: one per-group window
+    rank (partitioned sort, no global order) + a broadcast quota join.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(group_col).agg(F.count("*").alias("n"))
+    if shares is None:
+        quota = counts.crossJoin(
+            F.broadcast(counts.agg(F.min("n").alias("q")))
+        ).select(group_col, "q")
+    else:
+        spark = docs.sparkSession
+        sh = spark.createDataFrame(
+            [(k, float(v)) for k, v in shares.items()], f"{group_col} string, share double"
+        )
+        with_share = counts.join(F.broadcast(sh), group_col)
+        feasible = with_share.agg(
+            F.min(F.floor(F.col("n") / F.col("share"))).alias("t")
+        )
+        quota = with_share.crossJoin(F.broadcast(feasible)).select(
+            group_col, F.floor(F.col("t") * F.col("share")).cast("long").alias("q")
+        )
+    w = Window.partitionBy(group_col).orderBy(H.stable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+    ranked = docs.withColumn("__rk", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(quota), group_col)
+        .filter(F.col("__rk") <= F.col("q"))
+        .drop("__rk", "q")
+    )

@@ -83,11 +83,14 @@ def top_k_per_group(
     score: Column | str,
     k: int,
     tie_break: str | None = None,
+    ascending: bool = False,
 ) -> DataFrame:
     """Windowed top-k per group (our implementation of per-query retrieval,
-    SURVEY §2.8 V2/O3). One shuffle on the group key; rank prunes early."""
+    SURVEY §2.8 V2/O3). One shuffle on the group key; rank prunes early.
+    ``ascending=True`` ranks smallest-first (distance metrics)."""
     score_col = F.col(score) if isinstance(score, str) else score
-    order = [score_col.desc()] + ([F.col(tie_break).asc()] if tie_break else [])
+    ordered = score_col.asc() if ascending else score_col.desc()
+    order = [ordered] + ([F.col(tie_break).asc()] if tie_break else [])
     w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -35,9 +35,12 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions import vector as V
 from ..operators import bm25 as BM25
+from ..operators import cluster as CL
 from ..operators import dedup as DD
 from ..operators import hybrid as HY
 from ..operators import knn as KNN
+from ..operators import pq as PQ
+from ..operators import quality as QL
 from ..operators import relational as R
 from ..operators import textstats as TS
 
@@ -4028,3 +4031,321 @@ def decontaminate_docs(spark, sf):
     corpus = t["documents"].filter(F.col("doc_id") >= 3)
     eval_set = t["documents"].filter(F.col("doc_id") < 3)
     return DD.decontaminate_flags(corpus, eval_set, k=3)
+
+
+# ======================= clustering / curation (round 2) ====================
+# Corpus-curation extensions over the embedding/document tables: topic
+# clustering, embedding-space outlier detection, corpus-relative quality
+# scoring, domain rebalancing, and the PQ compressed-index tier. See
+# operators/cluster.py, quality.py, pq.py module docstrings for the 100 TB
+# design arguments.
+
+_CL_K = 8  # fixed-centroid entries: centroids = embeddings with vec_id < 8
+
+_CL_ASSIGN_SQL = """
+    WITH cents AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < 8
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT vec_id, cid,
+             round(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - c[i]) * (v[i] - c[i]))), 6) AS d
+      FROM v CROSS JOIN cents
+    ),
+    best AS (
+      SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      FROM pairs
+    )
+"""
+
+
+def _collect_seed_centroids(t, k: int = _CL_K) -> list[list[float]]:
+    rows = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    )
+    return [list(r["c"]) for r in rows]
+
+
+@_register(
+    "cluster_assign",
+    _CL_ASSIGN_SQL
+    + """
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d AS dist
+    FROM best WHERE rk = 1
+    """,
+    doc="Coarse-quantizer assignment (operators/cluster.py): nearest of 8 "
+    "fixed centroids per vector, argmin inlined as literal arrays — a pure "
+    "map over the corpus, zero shuffle/join; the SemDeDup-style 'cluster "
+    "then curate' entry point",
+)
+def cluster_assign(spark, sf):
+    t = load_views(spark, sf)
+    cents = _collect_seed_centroids(t)
+    return CL.assign_centroids(t["embeddings"], cents)
+
+
+@_register(
+    "cluster_profile",
+    _CL_ASSIGN_SQL
+    + """
+    SELECT CAST(cid AS INTEGER) AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(d * 1000000) AS BIGINT)) AS DOUBLE) / 1000000
+             AS sum_dist
+    FROM best WHERE rk = 1 GROUP BY cid
+    """,
+    doc="Cluster profile: size + exact quantized within-cluster distance "
+    "mass per cluster (the inertia decomposition a curation pass ranks "
+    "clusters by); map-side-combined short-key agg over the map-only "
+    "assignment",
+)
+def cluster_profile(spark, sf):
+    t = load_views(spark, sf)
+    cents = _collect_seed_centroids(t)
+    assigned = CL.assign_centroids(t["embeddings"], cents)
+    return assigned.groupBy("cluster_id").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.round(F.col("dist") * 1_000_000).cast("long")).cast("double") / 1_000_000
+        ).alias("sum_dist"),
+    )
+
+
+@_register(
+    "cluster_kmeans_lloyd",
+    None,
+    doc="Distributed deterministic Lloyd k-means (k=8, 3 iterations): "
+    "map-only assign + exact quantized-int centroid means, only the k*d "
+    "centroid matrix reaches the driver per round. Iterative -> no SQL "
+    "oracle; tests/test_cluster.py gates exact agreement with a numpy "
+    "reference and monotone inertia",
+)
+def cluster_kmeans_lloyd(spark, sf):
+    t = load_views(spark, sf)
+    assigned, _, _ = CL.lloyd(t["embeddings"], k=_CL_K, iters=3)
+    return assigned
+
+
+@_register(
+    "embedding_outliers",
+    """
+    WITH q AS (
+      SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    e AS (
+      SELECT label, vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM q
+    ),
+    s AS (
+      SELECT label, pos, sum(CAST(round(x * 10000000) AS BIGINT)) AS s, count(*) AS n
+      FROM e GROUP BY label, pos
+    ),
+    c AS (
+      SELECT label, list(CAST(s AS DOUBLE) / (n * 10000000) ORDER BY pos) AS centroid
+      FROM s GROUP BY label
+    ),
+    d AS (
+      SELECT q.vec_id, q.label,
+             round(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))), 6) AS dist
+      FROM q JOIN c USING (label)
+    )
+    SELECT vec_id, label, dist FROM d ORDER BY dist DESC, vec_id ASC LIMIT 20
+    """,
+    doc="Embedding-space outlier detection: top-20 vectors farthest from "
+    "their own label's exact (quantized-int mean) centroid — mislabel/"
+    "garbage screening; centroids are a tiny broadcast join, the cut is "
+    "TakeOrderedAndProject",
+)
+def embedding_outliers(spark, sf):
+    t = load_views(spark, sf)
+    return CL.outliers_by_group_centroid(t["embeddings"], group_col="label", top_n=20)
+
+
+@_register(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS_DOC}) AS term FROM documents),
+    tgt AS (SELECT doc_id, lang = 'en' AS t FROM documents),
+    j AS (SELECT toks.doc_id, term, t FROM toks JOIN tgt ON toks.doc_id = tgt.doc_id),
+    vocab AS (
+      SELECT term, count(*) AS c_raw, sum(CASE WHEN t THEN 1 ELSE 0 END) AS c_tgt
+      FROM j GROUP BY term
+    ),
+    tot AS (
+      SELECT sum(c_raw) AS n_raw, sum(c_tgt) AS n_tgt, count(*) AS v FROM vocab
+    ),
+    scored AS (
+      SELECT term,
+             CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE) / (n_tgt + v))
+                       - ln(CAST(c_raw + 1 AS DOUBLE) / (n_raw + v))) * 1000000)
+                  AS BIGINT) AS qlr
+      FROM vocab CROSS JOIN tot
+    ),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(qlr) AS qw
+      FROM toks JOIN scored USING (term) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, CAST(qw AS DOUBLE) / 1000000 AS weight FROM pd
+    """,
+    doc="DSIR-style importance weights (operators/quality.py, arXiv:"
+    "2302.03169): per-doc hashed-unigram log-likelihood ratio toward a "
+    "target domain (here lang='en'), add-one smoothed; one vocabulary-key "
+    "shuffle, model broadcast back, corpus never shuffled",
+)
+def dsir_importance_weights(spark, sf):
+    t = load_views(spark, sf)
+    return QL.dsir_weights(t["documents"], F.col("lang") == "en")
+
+
+@_register(
+    "bigram_lm_nll",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    bg AS (SELECT doc_id, unnest({SHINGLES2_SQL.format(t="toks")}) AS bigram FROM tok),
+    bgw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bgw GROUP BY bigram),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY w1),
+    vv AS (SELECT count(DISTINCT w1) AS v FROM bgw),
+    model AS (
+      SELECT bigram,
+             CAST(round((ln(CAST(c1 + v AS DOUBLE)) - ln(CAST(c2 + 1 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS qnll
+      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv
+    ),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(qnll) AS q
+      FROM bgw JOIN model USING (bigram) GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(CAST(q AS DOUBLE) / (n_bigrams * 1000000), 6) AS nll
+    FROM pd
+    """,
+    doc="Corpus-trained add-one bigram LM fluency score (CCNet-style "
+    "perplexity filter): avg -ln P(w2|w1) per doc; two vocabulary-key "
+    "shuffles build the model, scoring is a broadcast join",
+)
+def bigram_lm_nll(spark, sf):
+    t = load_views(spark, sf)
+    return QL.bigram_lm_score(t["documents"])
+
+
+@_register(
+    "domain_rebalance_uniform",
+    f"""
+    WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+    q AS (SELECT min(n) AS q FROM counts),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {H.stable_hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked CROSS JOIN q WHERE rk <= q.q
+    """,
+    doc="Domain-mix rebalancing (operators/quality.py): uniform target mix "
+    "= every source keeps min-group-size docs, membership by portable-hash "
+    "rank per source (stable under re-runs and corpus growth); one "
+    "partitioned window + broadcast quota join, no global sort",
+)
+def domain_rebalance_uniform(spark, sf):
+    t = load_views(spark, sf)
+    return QL.domain_rebalance(t["documents"]).select("doc_id", "source")
+
+
+_PQ_SQL_BASE = """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subs AS (SELECT unnest([0, 1, 2, 3]) AS j),
+    sub AS (
+      SELECT vec_id, j, v[j * 16 + 1 : j * 16 + 16] AS sv FROM v CROSS JOIN subs
+    ),
+    cbs AS (
+      SELECT vec_id AS code, j, v[j * 16 + 1 : j * 16 + 16] AS cv
+      FROM v CROSS JOIN subs WHERE vec_id < 16
+    ),
+    pairs AS (
+      SELECT sub.vec_id, sub.j, code,
+             round(list_sum(list_transform(range(1, 17),
+                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))), 6) AS d
+      FROM sub JOIN cbs ON sub.j = cbs.j
+    ),
+    best AS (
+      SELECT vec_id, j, code, d,
+             row_number() OVER (PARTITION BY vec_id, j ORDER BY d, code) AS rk
+      FROM pairs
+    ),
+    codes AS (
+      SELECT vec_id, j, CAST(code AS INTEGER) AS code FROM best WHERE rk = 1
+    )
+"""
+
+
+@_register(
+    "pq_encode",
+    _PQ_SQL_BASE
+    + """
+    SELECT vec_id, list(code ORDER BY j) AS codes FROM codes GROUP BY vec_id
+    """,
+    doc="Product-quantization encode (operators/pq.py, Jegou 2011): m=4 "
+    "subspaces x 16 seed codewords, argmin inlined as literals — map-only "
+    "corpus scan; codes are ~1.5%% of the float bytes at d=64",
+)
+def pq_encode(spark, sf):
+    t = load_views(spark, sf)
+    books = PQ.pq_codebooks_seed(t["embeddings"], m=4, ksub=16)
+    return PQ.pq_encode(t["embeddings"], books)
+
+
+@_register(
+    "knn_pq_adc",
+    _PQ_SQL_BASE
+    + f""",
+    qsub AS (SELECT vec_id AS query_id, j, sv FROM sub WHERE vec_id < {_N_QUERY_VECS}),
+    qd AS (
+      SELECT query_id, qsub.j, code,
+             CAST(round(list_sum(list_transform(range(1, 17),
+                   i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) * 1000000) AS BIGINT) AS qd
+      FROM qsub JOIN cbs ON qsub.j = cbs.j
+    ),
+    scored AS (
+      SELECT qd.query_id, c.vec_id, CAST(sum(qd.qd) AS DOUBLE) / 1000000 AS adist
+      FROM codes c JOIN qd ON c.j = qd.j AND c.code = qd.code
+      GROUP BY qd.query_id, c.vec_id
+    ),
+    topk AS (
+      SELECT query_id, vec_id, adist,
+             row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, adist FROM topk WHERE rk <= {_KNN_K}
+    """,
+    doc="PQ asymmetric-distance top-k: per-query distance table (m*16 "
+    "quantized int64s) broadcast, corpus side reads ONLY the code table "
+    "(element_at lookups + exact int sum) — the compressed-search tier; "
+    "recall vs exact kNN gated in tests/test_cluster.py",
+)
+def knn_pq_adc(spark, sf):
+    t = load_views(spark, sf)
+    books = PQ.pq_codebooks_seed(t["embeddings"], m=4, ksub=16)
+    codes = PQ.pq_encode(t["embeddings"], books)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return PQ.pq_adc_topk(queries, codes, books, k=_KNN_K)

@@ -1,0 +1,195 @@
+"""Gates for the clustering / PQ / corpus-quality operators whose driver
+check is rows-only (iterative or approximate): exact agreement with a numpy
+reference for Lloyd, recall gates for PQ ADC, semantic sanity for the
+quality scores, and quota exactness for domain rebalancing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import cluster as CL
+from auto_vectordb_spark.operators import knn as KNN
+from auto_vectordb_spark.operators import pq as PQ
+from auto_vectordb_spark.operators import quality as QL
+from auto_vectordb_spark.plans.parity import load_views
+
+
+@pytest.fixture(scope="module")
+def tables(spark, sf_dir):
+    return load_views(spark, sf_dir)
+
+
+def _np_corpus(tables):
+    rows = tables["embeddings"].select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _np_lloyd(ids, mat, k=8, iters=3):
+    """Reference Lloyd mirroring cluster.py's determinism contract:
+    distances rounded to 6 decimals before argmin (tie -> lowest cid),
+    means via the same 1e7 int quantization."""
+    centroids = mat[np.argsort(ids)[:k]].copy()
+    for _ in range(iters):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).round(6)
+        assign = d.argmin(axis=1)  # argmin takes first (lowest cid) on ties
+        for c in range(k):
+            members = mat[assign == c]
+            if len(members):
+                q = np.round(members * 10_000_000)
+                centroids[c] = q.sum(axis=0) / (len(members) * 10_000_000)
+    d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2).round(6)
+    return d.argmin(axis=1), d.min(axis=1)
+
+
+def test_lloyd_matches_numpy_reference(spark, tables):
+    assigned, _, inertia = CL.lloyd(tables["embeddings"], k=8, iters=3)
+    got = {r["vec_id"]: (r["cluster_id"], r["dist"]) for r in assigned.collect()}
+    ids, mat = _np_corpus(tables)
+    ref_assign, ref_dist = _np_lloyd(ids, mat, k=8, iters=3)
+    for i, vid in enumerate(ids):
+        assert got[vid][0] == ref_assign[i], f"vec {vid} cluster mismatch"
+        assert abs(got[vid][1] - round(float(ref_dist[i]), 6)) < 1e-9
+    # Lloyd monotonicity: inertia never increases across iterations
+    assert all(b <= a + 1e-6 for a, b in zip(inertia, inertia[1:]))
+
+
+def test_assign_centroids_plan_is_map_only(spark, tables):
+    """The scale claim: assignment has no shuffle and no join in the plan."""
+    cents = [
+        list(r["c"])
+        for r in tables["embeddings"]
+        .filter(F.col("vec_id") < 8)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    ]
+    plan = (
+        CL.assign_centroids(tables["embeddings"], cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_outliers_match_numpy(spark, tables):
+    out = CL.outliers_by_group_centroid(tables["embeddings"], top_n=20).collect()
+    rows = tables["embeddings"].select("vec_id", "label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    dists = {}
+    for label, members in by_label.items():
+        mat = np.array([list(m["embedding"]) for m in members], dtype=np.float64)
+        q = np.round(mat * 10_000_000)
+        centroid = q.sum(axis=0) / (len(members) * 10_000_000)
+        for m, row in zip(mat, members):
+            dists[row["vec_id"]] = round(float(((m - centroid) ** 2).sum().round(6)), 6)
+    expected = sorted(dists.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r["vec_id"], r["dist"]) for r in out] == [
+        (vid, pytest.approx(d, abs=1e-9)) for vid, d in expected
+    ]
+
+
+def test_pq_adc_recall_vs_exact(spark, tables):
+    """Seed-codebook PQ is coarse; gate a floor and require the ADC ranking
+    to beat random (recall@10 of 10/500 under random ≈ 0.02)."""
+    emb = tables["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = PQ.pq_codebooks_seed(emb, m=4, ksub=16)
+    codes = PQ.pq_encode(emb, books)
+    got = PQ.pq_adc_topk(queries, codes, books, k=10).collect()
+    # exact L2 top-10 (PQ approximates L2, not cosine)
+    ids, mat = _np_corpus(tables)
+    qmat = mat[np.argsort(ids)[:5]]
+    hits = 0
+    for qi in range(5):
+        d = ((mat - qmat[qi]) ** 2).sum(axis=1)
+        exact = set(ids[np.argsort(d)[:10]])
+        approx = {r["vec_id"] for r in got if r["query_id"] == qi}
+        hits += len(exact & approx)
+    recall = hits / 50
+    assert recall >= 0.2, f"PQ ADC recall@10 {recall} below floor"
+
+
+def test_pq_kmeans_codebooks_reduce_mse(spark, tables):
+    """MLlib-trained codebooks must reconstruct better (lower quantization
+    MSE) than the seeded-sample baseline — MSE is the PQ training objective.
+    (Recall@10 on seed-set queries is NOT a fair comparison: the seed
+    codebook contains the query vectors themselves.)"""
+    emb = tables["embeddings"]
+    ids, mat = _np_corpus(tables)
+
+    def mse(books):
+        codes = {r["vec_id"]: list(r["codes"]) for r in PQ.pq_encode(emb, books).collect()}
+        sub = len(books[0][0])
+        err = 0.0
+        for i, vid in enumerate(ids):
+            recon = np.concatenate([np.array(books[j][c]) for j, c in enumerate(codes[vid])])
+            err += float(((mat[i] - recon) ** 2).sum())
+        return err / len(ids)
+
+    m_seed = mse(PQ.pq_codebooks_seed(emb, m=4, ksub=16))
+    m_km = mse(PQ.pq_codebooks_kmeans(emb, m=4, ksub=16))
+    assert m_km < m_seed, f"kmeans codebooks did not reduce MSE: {m_km} vs {m_seed}"
+
+
+def test_dsir_weights_favor_target_domain(spark, tables):
+    w = QL.dsir_weights(tables["documents"], F.col("lang") == "en")
+    joined = w.join(tables["documents"].select("doc_id", "lang"), "doc_id")
+    avg = {
+        r["is_en"]: r["aw"]
+        for r in joined.groupBy((F.col("lang") == "en").alias("is_en"))
+        .agg(F.avg("weight").alias("aw"))
+        .collect()
+    }
+    assert avg[True] > avg[False], f"target docs not favored: {avg}"
+
+
+def test_bigram_lm_hand_computed(spark):
+    """Exact add-one bigram LM semantics on a hand-computable corpus.
+    (The synthetic documents table is order-free word soup, so a
+    scramble-detection heuristic carries no signal there; the cross-engine
+    oracle covers the big-data path, this covers the math.)
+
+    corpus: d1="a b a b", d2="a c" →
+    c("a b")=2, c("b a")=1, c("a c")=1; c1(a)=3, c1(b)=1; V=|{a,b}|=2
+    nll(a b)=ln(3+2)-ln(2+1); nll(b a)=ln(1+2)-ln(1+1); nll(a c)=ln(3+2)-ln(1+1)
+    d1 = avg over [ab, ba, ab]; d2 = nll(a c)
+    """
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in QL.bigram_lm_score(docs).collect()}
+    q = lambda x: round(x * 1_000_000) / 1_000_000  # the operator's per-bigram quantization
+    nll_ab = q(math.log(5.0) - math.log(3.0))
+    nll_ba = q(math.log(3.0) - math.log(2.0))
+    nll_ac = q(math.log(5.0) - math.log(2.0))
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["nll"] == pytest.approx(round((2 * nll_ab + nll_ba) / 3, 6), abs=1e-6)
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["nll"] == pytest.approx(round(nll_ac, 6), abs=1e-6)
+
+
+def test_domain_rebalance_explicit_shares(spark, tables):
+    docs = tables["documents"]
+    shares = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+    subset = docs.filter(F.col("source").isin(*shares))
+    out = QL.domain_rebalance(subset, shares=shares)
+    counts = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    base = {
+        r["source"]: r["n"]
+        for r in subset.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    t = min(base[s] // sh for s, sh in ((s, shares[s]) for s in shares))
+    for s, sh in shares.items():
+        assert counts[s] == int(t * sh), (s, counts, base)
+    # stability: a second run selects the identical ids
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in QL.domain_rebalance(subset, shares=shares).select("doc_id").collect()}
+    assert ids1 == ids2
