@@ -50,13 +50,25 @@ TABLES = (
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong config);
-    floor-divide to µs — exactly what DuckDB does reading the same file."""
+    """Normalize the events ``ts`` column to TIMESTAMP (LTZ, session TZ=UTC)
+    regardless of how the parquet writer encoded it:
+
+    - TIMESTAMP(NANOS) + ``nanosAsLong`` → LongType: floor-divide to µs,
+      exactly what DuckDB does reading the same file;
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) → TimestampNTZType: cast to
+      TIMESTAMP. With the session TZ pinned to UTC (ensure_session_confs)
+      the wall-clock field values are preserved bit-for-bit, and downstream
+      ``unix_micros``/watermark/window operators — which require the LTZ
+      type — work on any driver session.
+    """
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
-        if f.name == "ts" and isinstance(f.dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if f.name == "ts":
+            if isinstance(f.dataType, T.LongType):
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            elif isinstance(f.dataType, T.TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

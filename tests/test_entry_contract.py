@@ -11,7 +11,9 @@ def test_registry_shape():
     qs, osql = E.queries(), E.oracle_sql()
     assert len(qs) >= 30
     assert set(osql) <= set(qs)
-    # only ANN/BLAS/random-projection/sketch entries may skip the oracle
+    # only ANN/BLAS/random-projection/sketch/iterative entries may skip the
+    # oracle (cluster_kmeans_lloyd is iterative Lloyd's — gated instead by a
+    # numpy-exact test in tests/test_cluster.py)
     for name in set(qs) - set(osql):
         assert name.startswith(
             (
@@ -20,6 +22,7 @@ def test_registry_shape():
                 "dedup_embedding_blas",
                 "dedup_embedding_lsh",
                 "approx_",
+                "cluster_kmeans_lloyd",
             )
         ), name
 
