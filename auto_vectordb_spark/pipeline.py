@@ -487,6 +487,13 @@ def build_training_set(
         "__ord", F.md5(F.col("doc_id").cast("string"))
     )
     ranked = ranked.withColumn("__bkt", F.substring("__ord", 1, 2))
+    # The prefix-sum graph below is a diamond: the 256-row offsets branch AND
+    # the main probe branch both descend from `ranked`, whose lineage contains
+    # the whole minhash-dedup front end (the expensive part). The broadcast
+    # boundary defeats ReusedExchange under AQE (measured: 2× front-end cost,
+    # 6.2 s vs 4.4 s at sf0.1), so persist the survivors explicitly — a tiny
+    # (id + 3 numeric cols) table even at 100 TB corpus scale.
+    ranked = ranked.persist()
     in_bucket = Window.partitionBy("__bkt").orderBy("__ord").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

@@ -36,6 +36,7 @@ from ..functions import hashing as H
 from ..functions import vector as V
 from ..operators import bm25 as BM25
 from ..operators import cluster as CL
+from ..operators import curation as CU
 from ..operators import dedup as DD
 from ..operators import hybrid as HY
 from ..operators import knn as KNN
@@ -4361,3 +4362,162 @@ def knn_pq_adc(spark, sf):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return PQ.pq_adc_topk(queries, codes, books, k=_KNN_K)
+
+
+# =========================================================================
+# Curation rules & mix shaping (operators/curation.py) + IVF-PQ ANN tier
+# =========================================================================
+
+_GOPHER_STOP_SQL = "[" + ",".join(f"'{w}'" for w in CU.GOPHER_STOPWORDS) + "]"
+
+
+@_register(
+    "gopher_rules",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, text, {TOKS_SQL.format(c='text')} AS toks FROM documents
+    ),
+    feat AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS tot_chars,
+             len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             len(list_filter(list_distinct(toks),
+                 t -> list_contains({_GOPHER_STOP_SQL}, t))) AS stop_hits
+      FROM tk
+    ),
+    r AS (
+      SELECT doc_id, n_words,
+             CASE WHEN n_words > 0 THEN CAST(tot_chars AS DOUBLE) / n_words ELSE 0.0 END AS mean_wl,
+             CASE WHEN n_words > 0 THEN CAST(n_sym AS DOUBLE) / n_words ELSE 0.0 END AS sym_ratio,
+             CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END AS alpha_ratio,
+             stop_hits
+      FROM feat
+    )
+    SELECT doc_id, n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(sym_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_word_ratio,
+           stop_hits AS stopword_hits,
+           (n_words BETWEEN 50 AND 100000) AS ok_word_count,
+           (mean_wl >= 3.0 AND mean_wl <= 10.0) AS ok_mean_word_len,
+           (sym_ratio <= 0.1) AS ok_symbol_ratio,
+           (alpha_ratio >= 0.8) AS ok_alpha_words,
+           (stop_hits >= 2) AS ok_stopwords,
+           ((n_words BETWEEN 50 AND 100000) AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+            AND (sym_ratio <= 0.1) AND (alpha_ratio >= 0.8) AND (stop_hits >= 2)) AS keep
+    FROM r
+    """,
+    doc="Gopher rule-based quality filter (Rae et al. 2021 App. A1.1): "
+    "word-count window, mean word length, symbol ratio, alphabetic-word "
+    "ratio, stopword presence — per-doc flags + keep verdict; map-only "
+    "codegen scan, no shuffle (operators/curation.py). Reference ingests "
+    "every page unscored (parsing.py:218-289) — scale extension",
+)
+def gopher_rules(spark, sf):
+    t = load_views(spark, sf)
+    return CU.gopher_rules(t["documents"])
+
+
+@_register(
+    "domain_cap_source",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {H.stable_hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= 10
+    """,
+    doc="Per-domain document cap (CommonCrawl-style per-host limit): keep "
+    "<=10 docs per source by portable-hash order — stable under re-runs and "
+    "corpus growth; one partitioned window rank, no global sort, no join "
+    "(operators/curation.py)",
+)
+def domain_cap_source(spark, sf):
+    t = load_views(spark, sf)
+    return CU.domain_cap(t["documents"], cap=10).select("doc_id", "source")
+
+
+@_register(
+    "domain_rebalance_temp",
+    f"""
+    WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    p AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS pw FROM counts),
+    tot AS (SELECT sum(pw) AS tot FROM p),
+    share AS (SELECT lang, n, pw / tot AS share FROM p CROSS JOIN tot),
+    t AS (SELECT min(CAST(floor(n / share) AS BIGINT)) AS t FROM share),
+    quota AS (
+      SELECT lang, CAST(floor(t.t * share) AS BIGINT) AS q FROM share CROSS JOIN t
+    ),
+    ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {H.stable_hash60_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked JOIN quota USING (lang) WHERE rk <= q
+    """,
+    doc="Temperature-flattened language mix (XLM-R alpha=0.5 sampling, "
+    "Conneau et al. 2020 §3): share_g ∝ n_g^0.5, feasible total, per-lang "
+    "quota by portable-hash rank; one tiny groupBy + broadcast quota join + "
+    "partitioned window (operators/curation.py)",
+)
+def domain_rebalance_temp(spark, sf):
+    t = load_views(spark, sf)
+    return CU.domain_rebalance_temperature(
+        t["documents"], alpha=0.5, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+@_register(
+    "fertility_by_lang",
+    f"""
+    WITH tk AS (
+      SELECT lang, {TOKS_SQL.format(c='text')} AS toks FROM documents
+    ),
+    d AS (
+      SELECT lang, len(toks) AS n_tok,
+             COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS n_chr
+      FROM tk
+    )
+    SELECT lang, count(*) AS n_docs,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS avg_tokens,
+           round(CAST(sum(n_chr) AS DOUBLE) / sum(n_tok), 6) AS avg_chars_per_token
+    FROM d GROUP BY lang
+    """,
+    doc="Tokenizer-fertility report per language (chars/token cost proxy): "
+    "one short-key groupBy with map-side combine, exact int64 sums "
+    "(operators/curation.py)",
+)
+def fertility_by_lang(spark, sf):
+    t = load_views(spark, sf)
+    return CU.fertility_by_lang(t["documents"])
+
+
+@_register(
+    "knn_ivf_pq",
+    None,
+    doc="IVF-PQ composed ANN (Jegou 2011 §V IVFADC): label-mean coarse "
+    "cells, nprobe=3 pruning, ADC scoring over PQ codes only — the "
+    "billion-scale tier (~nprobe/n_cells of a ~64x-compressed scan); "
+    "recall vs full-scan ADC and exact kNN gated in tests/test_cluster.py",
+)
+def knn_ivf_pq(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    centroids = KNN.label_centroids(emb)
+    cells = KNN.ivf_build(emb, centroids).select("vec_id", "centroid_id")
+    books = PQ.pq_codebooks_seed(emb, m=4, ksub=16)
+    codes_indexed = PQ.pq_encode(emb, books).join(cells, "vec_id")
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return PQ.ivf_pq_topk(queries, codes_indexed, centroids, books, k=_KNN_K, nprobe=3)

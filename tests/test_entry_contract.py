@@ -23,6 +23,7 @@ def test_registry_shape():
                 "dedup_embedding_lsh",
                 "approx_",
                 "cluster_kmeans_lloyd",
+                "knn_ivf_pq",
             )
         ), name
 
