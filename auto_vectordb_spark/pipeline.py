@@ -477,16 +477,18 @@ def build_training_set(
 
     pairs = DD.minhash_lsh_pairs(docs, id_col, text_col)
     surviving = DD.apply_dedup(docs, pairs, id_col)
-    quality = (
+    # quality_score already emits n_tokens (same tokenize() as token_stats),
+    # so stages 2+3's inputs come from ONE projection over the survivors. A
+    # quality ⋈ token_stats self-join here would re-evaluate the entire
+    # minhash-dedup front end on both sides plus shuffle on doc_id — measured
+    # ~2 s extra at sf0.1 for identical output.
+    ranked = (
         TS.quality_score(surviving, id_col, text_col)
         .filter(F.col("quality") >= quality_min)
-        .select("doc_id", "quality")
+        .select("doc_id", "quality", "n_tokens")
+        .withColumn("__ord", F.md5(F.col("doc_id").cast("string")))
+        .withColumn("__bkt", F.substring("__ord", 1, 2))
     )
-    toks = TS.token_stats(surviving, id_col, text_col).select("doc_id", "n_tokens")
-    ranked = quality.join(toks, "doc_id").withColumn(
-        "__ord", F.md5(F.col("doc_id").cast("string"))
-    )
-    ranked = ranked.withColumn("__bkt", F.substring("__ord", 1, 2))
     # The prefix-sum graph below is a diamond: the 256-row offsets branch AND
     # the main probe branch both descend from `ranked`, whose lineage contains
     # the whole minhash-dedup front end (the expensive part). The broadcast
