@@ -329,6 +329,63 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
+def substring_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-substring detection at token-window granularity (the
+    signal behind suffix-array substring dedup, Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" — windowed
+    rather than maximal-match, which keeps it one shuffle instead of a
+    suffix-array sort).
+
+    A ``width``-token window is a *dup span* when its 60-bit portable hash
+    occurs in ≥ ``min_docs`` distinct documents. Output per doc:
+    (doc_id, n_windows, n_dup_windows, dup_ratio) — feed ``dup_ratio`` into
+    corpus curation as a contamination/boilerplate score.
+
+    Plan: shingle windows stay attached to their doc (one codegen scan),
+    explode → groupBy window-hash (short-key shuffle, map-side combine) for
+    the dup set → left-semi join back on the hash (exchange reused) →
+    per-doc count. The window totals come from the same scan's array length,
+    no second pass over text. Nothing is quadratic in docs and no window
+    string longer than ~width tokens ever shuffles (only its int64 hash).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        shingles(tokenize(F.col(text_col)), width).alias("shs"),
+    )
+    exploded = sh.select("doc_id", F.explode("shs").alias("s")).select(
+        "doc_id", H.stable_hash60(F.col("s")).alias("h")
+    )
+    dup = (
+        exploded.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    dup_counts = (
+        exploded.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+    totals = sh.select("doc_id", F.size("shs").alias("n_windows"))
+    return (
+        totals.join(dup_counts, "doc_id", "left")
+        .na.fill({"n_dup_windows": 0})
+        .withColumn(
+            "dup_ratio",
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.col("n_dup_windows") / F.col("n_windows"), 6),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

@@ -134,3 +134,83 @@ def rerank_token_overlap(
         tie_break=id_col,
     )
     return ranked
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    corpus_vecs: DataFrame,
+    query_vecs: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) of per-query candidate sets:
+
+        next = argmax_d  lam * cos(q, d) - (1 - lam) * max_{s in S} cos(d, s)
+
+    greedily for ``k`` steps. Result carries ``mmr_rank`` (selection order,
+    1-based) and ``mmr_score`` (the marginal value at selection, rounded 6).
+
+    The iterative argmax is inherently sequential per query — exactly the
+    kind of operator Spark's declarative algebra can't express — so it runs
+    as an Arrow-batched ``applyInPandas`` over query groups: the candidate
+    set per query is first-stage top-N (≤ ~100 rows by construction), so the
+    grouped state is tiny regardless of corpus size. Corpus embeddings are
+    attached via an equi-join on the candidate ids (the 100 TB side is
+    semi-join-pruned to candidates before any Python sees it); query vectors
+    are broadcast. Determinism: float64 NumPy kernel with id-ascending
+    candidate ordering, so equal marginals break toward the lower id.
+
+    ``candidates``: (query_id, <id_col>, score) from any first stage;
+    ``corpus_vecs``: (<id_col>, <vec_col>); ``query_vecs``: (query_id,
+    <vec_col>).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cand = (
+        candidates.select("query_id", id_col)
+        .join(corpus_vecs.select(id_col, F.col(vec_col).alias("__dv")), id_col)
+        .join(
+            F.broadcast(query_vecs.select("query_id", F.col(vec_col).alias("__qv"))),
+            "query_id",
+        )
+    )
+    out_schema = (
+        f"query_id long, {id_col} long, mmr_rank int, mmr_score double"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["__dv"]])
+        q = np.asarray(pdf["__qv"].iloc[0], dtype=np.float64)
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        qn = q / max(np.linalg.norm(q), 1e-30)
+        rel = Vn @ qn
+        sim = Vn @ Vn.T
+        n = len(ids)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)
+        avail = np.ones(n, dtype=bool)
+        scores = []
+        for _ in range(min(k, n)):
+            marg = np.where(avail, lam * rel - (1.0 - lam) * max_sim, -np.inf)
+            i = int(np.argmax(marg))  # first max = lowest id (sorted order)
+            chosen.append(i)
+            scores.append(marg[i])
+            avail[i] = False
+            max_sim = np.maximum(max_sim, sim[:, i])
+        qid = int(pdf["query_id"].iloc[0])
+        return pd.DataFrame(
+            {
+                "query_id": qid,
+                id_col: ids[chosen],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int32),
+                "mmr_score": np.round(np.array(scores), 6),
+            }
+        )
+
+    return cand.groupBy("query_id").applyInPandas(kernel, out_schema)

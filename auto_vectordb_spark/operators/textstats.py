@@ -113,6 +113,54 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return with_hits.select("doc_id", guess.alias("lang_guess"), best.alias("lang_hits"))
 
 
+def tfidf_topk_terms(
+    docs: DataFrame,
+    n_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k salient terms per document by integer-exact TF-IDF-lite:
+
+        idf_i   = (scale * (N+1)) div (df+1)      -- log-free idf surrogate
+        score_i = tf * idf_i
+
+    Monotone in tf and in 1/df like classic TF-IDF but computed entirely in
+    int64 (integer div truncates identically in Spark and DuckDB), so the
+    per-doc ranking is bit-identical cross-engine — a log() idf would hang
+    the top-k cut on libm's last ulp (parity rules 1-2). int64 budget:
+    ``scale * (N+1) * max_tf < 2^63`` → safe to N ≈ 1e9 docs at scale=1e6
+    with tf ≤ 9e3; drop ``scale`` for a larger corpus.
+
+    ``n_docs`` is the caller-supplied corpus size (one count() scalar — same
+    sanctioned pattern as BM25 corpus stats, operators/bm25.py).
+
+    Plan: explode → groupBy (doc, term) tf → groupBy term df → equi-join tf
+    with df on term (AQE broadcasts the vocabulary side when small) → per-doc
+    windowed top-k. Two shuffles over the token stream, one over vocabulary;
+    nothing quadratic.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfr"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score_i",
+        (F.col("tf") * F.expr(f"{scale * (n_docs + 1)}L div (dfr + 1)")).cast("long"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_i"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "term", "score_i", "rk")
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — order-sensitive rolling fingerprint of the token stream.
 

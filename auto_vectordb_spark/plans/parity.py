@@ -4521,3 +4521,214 @@ def knn_ivf_pq(spark, sf):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return PQ.ivf_pq_topk(queries, codes_indexed, centroids, books, k=_KNN_K, nprobe=3)
+
+
+# =========================================================================
+# Behavioral analytics (cohort retention, sequential funnel) + keyword
+# extraction, substring-dup spans, MMR diversification
+# =========================================================================
+
+
+@_register(
+    "events_cohort_retention",
+    """
+    WITH f AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_d FROM events GROUP BY user_id
+    )
+    SELECT strftime(cohort_d, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', cohort_d, CAST(e.ts AS DATE)) AS BIGINT) AS day_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f USING (user_id)
+    GROUP BY cohort_d, day_offset
+    """,
+    doc="Cohort retention matrix: cohort = first-seen day per user, cell = "
+    "distinct users active at each day offset. Both the first-seen aggregate "
+    "and the join are keyed on user_id — one exchange, reused — then one "
+    "shuffle on the (cohort, offset) cell key; no window, no collect",
+)
+def events_cohort_retention(spark, sf):
+    t = load_views(spark, sf)
+    ev = t["events"].select("user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_d"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_d", F.datediff("d", F.col("cohort_d")).alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .select(
+            F.date_format("cohort_d", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("long").alias("day_offset"),
+            "n_active",
+        )
+    )
+
+
+@_register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'view'
+        AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 6 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 2 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                     WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS BIGINT) AS funnel_stage,
+           count(*) AS n_users
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    GROUP BY 1
+    """,
+    doc="Sequential conversion funnel signup -> view(<=6h) -> purchase(<=2h): "
+    "strictly-increasing event times with per-step conversion windows (the "
+    "min-after-previous-step formulation — no window function, no "
+    "match_recognize). Every stage joins and aggregates on user_id, so all "
+    "five shuffles share one exchange key and AQE reuses the exchanges; "
+    "interval arithmetic is exact integer microseconds in both engines",
+)
+def events_funnel(spark, sf):
+    t = load_views(spark, sf)
+    ev = t["events"].select("user_id", "ts", "event_type")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 6 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 2 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stage = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("funnel_stage")
+        )
+    )
+    return stage.groupBy("funnel_stage").agg(F.count("*").alias("n_users"))
+
+
+_TFIDF_SCALE = 1_000_000
+_TFIDF_K = 5
+
+
+@_register(
+    "keyword_tfidf_topk",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({_TOKS_DOC}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS dfr FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS nd FROM documents)
+    SELECT doc_id, term, score_i, rk FROM (
+      SELECT t.doc_id, t.term,
+             CAST(t.tf * (({_TFIDF_SCALE} * (n.nd + 1)) // (d.dfr + 1)) AS BIGINT)
+               AS score_i,
+             CAST(row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf * (({_TFIDF_SCALE} * (n.nd + 1)) // (d.dfr + 1)) DESC,
+                        t.term
+             ) AS INTEGER) AS rk
+      FROM tf t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+    ) WHERE rk <= {_TFIDF_K}
+    """,
+    doc="Top-5 salient terms per doc by integer-exact TF-IDF-lite "
+    "(log-free idf surrogate, int64 div — bit-identical ranking "
+    "cross-engine; operators/textstats.py tfidf_topk_terms)",
+)
+def keyword_tfidf_topk(spark, sf):
+    t = load_views(spark, sf)
+    n_docs = t["documents"].count()
+    return TS.tfidf_topk_terms(
+        t["documents"], n_docs, k=_TFIDF_K, scale=_TFIDF_SCALE
+    )
+
+
+_DUPSPAN_W = 5
+_SHINGLES5_SQL = (
+    "CASE WHEN len({t}) < 5 THEN [] "
+    "ELSE list_transform(range(1, len({t}) - 3), i -> array_to_string({t}[i:i+4], ' ')) END"
+)
+
+
+@_register(
+    "substring_dup_spans",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    shl AS (
+      SELECT doc_id, {_SHINGLES5_SQL.format(t='toks')} AS shs FROM tok
+    ),
+    ex AS (
+      SELECT doc_id, {H.stable_hash60_sql('unnest(shs)')} AS h FROM shl
+    ),
+    dup AS (
+      SELECT h FROM ex GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dc AS (
+      SELECT doc_id, count(*) AS n_dup_windows FROM ex
+      WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+    )
+    SELECT s.doc_id, len(s.shs) AS n_windows,
+           COALESCE(dc.n_dup_windows, 0) AS n_dup_windows,
+           CASE WHEN len(s.shs) > 0
+                THEN round(CAST(COALESCE(dc.n_dup_windows, 0) AS DOUBLE) / len(s.shs), 6)
+                ELSE 0.0 END AS dup_ratio
+    FROM shl s LEFT JOIN dc ON s.doc_id = dc.doc_id
+    """,
+    doc="Repeated-substring (5-token window) spans shared across >=2 docs "
+    "(Lee et al. 2022 exact-substring dedup signal, windowed form): "
+    "short-key hash shuffle + semi-join, no suffix-array global sort "
+    "(operators/dedup.py substring_dup_spans)",
+)
+def substring_dup_spans(spark, sf):
+    t = load_views(spark, sf)
+    return DD.substring_dup_spans(t["documents"], width=_DUPSPAN_W, min_docs=2)
+
+
+@_register(
+    "mmr_rerank",
+    None,
+    doc="MMR diversification (Carbonell & Goldstein 1998) of exact-kNN "
+    "top-50 candidates, lambda=0.7, k=10 — greedy argmax is sequential per "
+    "query, so it runs as applyInPandas over tiny per-query candidate "
+    "groups; corpus pruned by candidate equi-join before Python. "
+    "Equivalence vs a pure-python reference gated in tests",
+)
+def mmr_rerank(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    cands = KNN.knn_exact(queries, emb, k=50, round_decimals=6)
+    return HY.mmr_rerank(cands, emb, queries, k=_KNN_K, lam=0.7)

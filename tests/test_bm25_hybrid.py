@@ -82,3 +82,76 @@ def test_rerank_token_overlap_orders_by_jaccard(spark):
     assert got == [(2, 1.0), (3, round(1 / 3, 6))]
     # stage-1 score survives for downstream fusion/inspection
     assert {r["doc_id"]: r["stage1_score"] for r in rows} == {2: 8.0, 3: 7.0}
+
+
+def _mmr_reference(q, vecs, ids, k, lam):
+    """Pure-python MMR for equivalence-gating the Spark kernel."""
+    import math
+
+    def norm(v):
+        n = math.sqrt(sum(x * x for x in v)) or 1e-30
+        return [x / n for x in v]
+
+    qn = norm(q)
+    V = [norm(v) for v in vecs]
+    rel = [sum(a * b for a, b in zip(qn, v)) for v in V]
+    chosen, max_sim = [], [0.0] * len(ids)
+    avail = set(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best, best_val = None, None
+        for i in sorted(avail):  # id-ascending tie-break (ids pre-sorted)
+            val = lam * rel[i] - (1 - lam) * max_sim[i]
+            if best_val is None or val > best_val:
+                best, best_val = i, val
+        chosen.append((ids[best], best_val))
+        avail.discard(best)
+        for i in avail:
+            s = sum(a * b for a, b in zip(V[best], V[i]))
+            max_sim[i] = max(max_sim[i], s)
+    return chosen
+
+
+def test_mmr_rerank_matches_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(30)]
+    corpus = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    queries = spark.createDataFrame([(0, vecs[3][1])], ["query_id", "embedding"])
+    cands = spark.createDataFrame(
+        [(0, i, 0.0) for i in range(30)], ["query_id", "vec_id", "score"]
+    )
+    out = HY.mmr_rerank(cands, corpus, queries, k=5, lam=0.7).collect()
+    got = [(r["vec_id"], r["mmr_rank"], r["mmr_score"]) for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    ids = [v[0] for v in vecs]
+    expect = _mmr_reference(vecs[3][1], [v[1] for v in vecs], ids, k=5, lam=0.7)
+    assert [g[0] for g in got] == [e[0] for e in expect]
+    assert [g[1] for g in got] == [1, 2, 3, 4, 5]
+    for g, e in zip(got, expect):
+        assert abs(g[2] - e[1]) < 1e-5
+    # the first pick is the pure-relevance argmax — the query's own vector
+    assert got[0][0] == 3
+
+
+def test_mmr_diversifies_away_from_duplicates(spark):
+    # two identical high-relevance vectors: MMR must not pick both early.
+    # the query leans slightly toward the orthogonal axis so the diversified
+    # candidate has positive relevance (an exactly-zero-relevance candidate
+    # would tie the redundant twin at marginal 0 and lose on the id break)
+    base = [1.0, 0.0, 0.0, 0.0]
+    ortho = [0.0, 1.0, 0.0, 0.0]
+    query = [1.0, 0.3, 0.0, 0.0]
+    corpus = spark.createDataFrame(
+        [(0, base), (1, list(base)), (3, ortho)],
+        ["vec_id", "embedding"],
+    )
+    queries = spark.createDataFrame([(0, query)], ["query_id", "embedding"])
+    cands = spark.createDataFrame(
+        [(0, i, 0.0) for i in (0, 1, 3)], ["query_id", "vec_id", "score"]
+    )
+    out = HY.mmr_rerank(cands, corpus, queries, k=3, lam=0.5).collect()
+    order = [r["vec_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    # pick 0 (tie with its twin, id-break), then the orthogonal one —
+    # the identical twin's marginal is negative and it comes last
+    assert order == [0, 3, 1]

@@ -233,3 +233,22 @@ def test_decontaminate_flags_leaked_doc(spark):
     assert got == {10: 2}  # 'the quick brown' + 'quick brown fox'
     clean = corpus.join(flags, "doc_id", "left_anti")
     assert sorted(r["doc_id"] for r in clean.collect()) == [11, 12]
+
+
+def test_substring_dup_spans_flags_shared_windows(spark):
+    shared = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} unique tail zero"),
+            (1, f"other head one {shared}"),
+            (2, "completely different words with no overlap at all here"),
+            (3, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in DD.substring_dup_spans(docs, width=5).collect()}
+    # docs 0 and 1 share two 5-token windows of the 6-token shared run
+    assert out[0]["n_dup_windows"] == 2 and out[1]["n_dup_windows"] == 2
+    assert out[2]["n_dup_windows"] == 0
+    assert out[3]["n_windows"] == 0 and out[3]["dup_ratio"] == 0.0
+    assert out[0]["n_windows"] == 5  # 9 tokens -> 5 windows
