@@ -136,10 +136,11 @@ def tfidf_topk_terms(
     ``n_docs`` is the caller-supplied corpus size (one count() scalar — same
     sanctioned pattern as BM25 corpus stats, operators/bm25.py).
 
-    Plan: explode → groupBy (doc, term) tf → groupBy term df → equi-join tf
-    with df on term (AQE broadcasts the vocabulary side when small) → per-doc
-    windowed top-k. Two shuffles over the token stream, one over vocabulary;
-    nothing quadratic.
+    Plan: explode → groupBy (doc, term) tf → document frequency as a
+    COUNT window over tf partitioned by term (not a groupBy+self-join — the
+    diamond would re-derive tf, scanning the corpus twice) → per-doc
+    windowed top-k. One scan, three shuffles (doc-term, term, doc); nothing
+    quadratic.
     """
     from pyspark.sql.window import Window
 
@@ -148,8 +149,9 @@ def tfidf_topk_terms(
         F.explode(tokenize(F.col(text_col))).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("dfr"))
-    scored = tf.join(dfreq, "term").withColumn(
+    scored = tf.withColumn(
+        "dfr", F.count("*").over(Window.partitionBy("term"))
+    ).withColumn(
         "score_i",
         (F.col("tf") * F.expr(f"{scale * (n_docs + 1)}L div (dfr + 1)")).cast("long"),
     )

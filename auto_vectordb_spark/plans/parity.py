@@ -4592,9 +4592,13 @@ def events_cohort_retention(spark, sf):
     doc="Sequential conversion funnel signup -> view(<=6h) -> purchase(<=2h): "
     "strictly-increasing event times with per-step conversion windows (the "
     "min-after-previous-step formulation — no window function, no "
-    "match_recognize). Every stage joins and aggregates on user_id, so all "
-    "five shuffles share one exchange key and AQE reuses the exchanges; "
-    "interval arithmetic is exact integer microseconds in both engines",
+    "match_recognize). Each stage joins and aggregates on user_id; the tiny "
+    "per-user stage tables are persisted (s1 and s2 feed two consumers each "
+    "— without the persist Spark re-derives them per reference and the "
+    "events scan count blows up 12x, measured via explain); the events scan "
+    "itself runs once per stage leg with the event_type filter pushed down, "
+    "never cached (it's the 100 TB side). Interval arithmetic is exact "
+    "integer microseconds in both engines",
 )
 def events_funnel(spark, sf):
     t = load_views(spark, sf)
@@ -4603,6 +4607,7 @@ def events_funnel(spark, sf):
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .persist()
     )
     s2 = (
         ev.filter(F.col("event_type") == "view")
@@ -4613,6 +4618,7 @@ def events_funnel(spark, sf):
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .persist()
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
