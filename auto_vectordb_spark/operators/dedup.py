@@ -386,6 +386,58 @@ def substring_dup_spans(
     )
 
 
+def semdedup_pairs(
+    vectors: DataFrame,
+    cells: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cluster_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-dup pairs
+    confined to coarse-cluster cells.
+
+    The paper's recipe — k-means the corpus, then compare pairwise ONLY
+    within each cluster — makes exact cosine dedup tractable at web scale:
+    the quadratic term is bounded per cell (sum of c_i^2, not N^2), and the
+    self-join is an equi-join on the cell id so Spark shuffles each vector
+    once to its cell. ``cells`` is any (id, cell) assignment — the
+    operators/cluster.py coarse quantizer, IVF cells, or k-means output —
+    so cell granularity is the recall/cost knob exactly like nprobe.
+
+    Emits (cell, id_a, id_b, cosine) for id_a < id_b with cosine >= threshold;
+    feed to :func:`connected_components` / :func:`apply_dedup` to realize
+    keep-one-per-group.
+    """
+    v = vectors.select(F.col(id_col), F.col(vec_col)).join(
+        cells.select(F.col(id_col), F.col(cell_col).alias("__cell")), id_col
+    )
+    a = v.select(
+        "__cell",
+        F.col(id_col).alias("id_a"),
+        V.as_double_array(F.col(vec_col)).alias("__va"),
+        V.norm(F.col(vec_col)).alias("__na"),
+    )
+    b = v.select(
+        "__cell",
+        F.col(id_col).alias("id_b"),
+        V.as_double_array(F.col(vec_col)).alias("__vb"),
+        V.norm(F.col(vec_col)).alias("__nb"),
+    )
+    cos = V.cosine_with_norms(
+        F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+    )
+    return (
+        a.join(b, "__cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cos, round_decimals))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("__cell").alias("cell"), "id_a", "id_b", "cosine")
+    )
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",

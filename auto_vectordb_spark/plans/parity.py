@@ -4738,3 +4738,165 @@ def mmr_rerank(spark, sf):
     )
     cands = KNN.knn_exact(queries, emb, k=50, round_decimals=6)
     return HY.mmr_rerank(cands, emb, queries, k=_KNN_K, lam=0.7)
+
+
+@_register(
+    "semdedup_pairs",
+    f"""
+    WITH {_CL_ASSIGN_SQL.strip().removeprefix('WITH')},
+    cells AS (SELECT vec_id, cid FROM best WHERE rk = 1),
+    m AS (
+      SELECT e.vec_id, e.embedding, c.cid FROM embeddings e
+      JOIN cells c ON e.vec_id = c.vec_id
+    )
+    SELECT CAST(a.cid AS INTEGER) AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+    doc="SemDeDup (Abbas et al. 2023): exact cosine near-dup pairs confined "
+    "to coarse-quantizer cells — the quadratic term is bounded per cell and "
+    "the self-join is an equi-join on cell id (one shuffle of each vector "
+    "to its cell), never a corpus crossJoin (operators/dedup.py "
+    "semdedup_pairs over operators/cluster.py assignment)",
+)
+def semdedup_pairs(spark, sf):
+    t = load_views(spark, sf)
+    cents = _collect_seed_centroids(t)
+    cells = CL.assign_centroids(t["embeddings"], cents).select(
+        "vec_id", "cluster_id"
+    )
+    return DD.semdedup_pairs(t["embeddings"], cells, threshold=0.3)
+
+
+@_register(
+    "event_transitions",
+    """
+    WITH o AS (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS src, next_type AS dst, count(*) AS n
+    FROM o WHERE next_type IS NOT NULL GROUP BY 1, 2
+    """,
+    doc="Per-user event-type transition (Markov bigram) counts: LEAD over "
+    "the user timeline then one short-key groupBy — the session-path mining "
+    "primitive; one user_id shuffle + one (src,dst) shuffle with map-side "
+    "combine",
+)
+def event_transitions(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = t["events"].select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        o.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), F.col("next_type").alias("dst"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@_register(
+    "scd2_user_states",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rns
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, event_type AS state, min(ts) AS vf,
+             count(*) AS n_events, min(rn) AS ord
+      FROM o GROUP BY user_id, event_type, rn - rns
+    )
+    SELECT user_id, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+           strftime(
+             lead(vf) OVER (PARTITION BY user_id ORDER BY ord),
+             '%Y-%m-%d %H:%M:%S'
+           ) AS valid_to_s,
+           n_events
+    FROM isl
+    """,
+    doc="SCD-2 state history reconstruction: collapse each user's "
+    "consecutive same-type event runs into validity intervals via the "
+    "gaps-and-islands double row_number, valid_to = next island's "
+    "valid_from (NULL = current). All three windows and the groupBy are "
+    "keyed on user_id[+type] — one exchange family, no self-join",
+)
+def scd2_user_states(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_st = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    o = t["events"].select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_st).alias("rns"),
+    )
+    isl = (
+        o.groupBy("user_id", F.col("event_type").alias("state"), (F.col("rn") - F.col("rns")).alias("grp"))
+        .agg(
+            F.min("ts").alias("vf"),
+            F.count("*").alias("n_events"),
+            F.min("rn").alias("ord"),
+        )
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("ord")
+    return isl.select(
+        "user_id",
+        "state",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format(F.lead("vf").over(w_seq), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to_s"
+        ),
+        "n_events",
+    )
+
+
+@_register(
+    "attribution_pairs",
+    """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts_s,
+           strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS click_ts_s
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+    doc="View->click attribution interval join (all clicks within 10 min "
+    "of a view, per user). The SAME streaming/pipeline.py attribution_join "
+    "runs here in batch (the oracle) and as a watermarked stream-stream "
+    "join with bounded state (tests/test_streaming.py); equi-key on "
+    "user_id carries the shuffle, the time-range predicate prunes pairs",
+)
+def attribution_pairs(spark, sf):
+    from ..streaming.pipeline import attribution_join
+
+    t = load_views(spark, sf)
+    ev = t["events"]
+    out = attribution_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    return out.select(
+        "user_id",
+        "view_id",
+        "click_id",
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
+    )

@@ -69,6 +69,52 @@ def windowed_event_counts(
     )
 
 
+def attribution_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    horizon: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream interval join: each click joins the view(s) by the same
+    user within the preceding ``horizon`` (click-through attribution).
+
+    Both sides carry watermarks, and the join condition bounds click.ts to
+    [view.ts, view.ts + horizon] — together these let Spark EVICT buffered
+    view state once the watermark passes view.ts + horizon, so state is
+    bounded by (rate × horizon) regardless of stream length. Without the
+    time-range predicate a stream-stream inner join would buffer both
+    streams forever. Works identically on batch DataFrames (the batch form
+    is the test oracle).
+    """
+    v = views.select(
+        F.col(key_col).alias("v_user"),
+        F.col(ts_col).alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = clicks.select(
+        F.col(key_col).alias("c_user"),
+        F.col(ts_col).alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if views.isStreaming:
+        v = v.withWatermark("v_ts", watermark)
+        c = c.withWatermark("c_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            f"v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL {horizon}"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.col("v_ts").alias("view_ts"),
+        F.col("c_ts").alias("click_ts"),
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str) -> StreamingQuery:
     """Drive a streaming DF to completion synchronously (local smoke/test)."""
     q = (

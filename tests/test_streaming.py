@@ -318,3 +318,38 @@ def test_dedup_stream_bounded_state(spark, tmp_path):
 
     got = sorted(r["event_id"] for r in spark.sql(f"SELECT * FROM {name}").collect())
     assert got == [0, 1, 2, 3]
+
+
+def test_attribution_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (view->click within 10 min) must emit
+    exactly the batch join's rows; watermark + time-range bound the state."""
+    import uuid as _uuid
+
+    from auto_vectordb_spark.streaming.pipeline import attribution_join
+
+    batch = _events_batch(spark, sf_dir)
+    views_b = batch.filter(F.col("event_type") == "view")
+    clicks_b = batch.filter(F.col("event_type") == "click")
+    want = {
+        (r["view_id"], r["click_id"])
+        for r in attribution_join(views_b, clicks_b).collect()
+    }
+    assert want, "fixture must produce at least one attributed pair"
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = _fix_nanos(stream_files(spark, sf_dir, raw_schema, glob="events.parquet"))
+    views_s = stream.filter(F.col("event_type") == "view")
+    clicks_s = stream.filter(F.col("event_type") == "click")
+    joined = attribution_join(views_s, clicks_s)
+    assert joined.isStreaming
+    name = f"t_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["view_id"], r["click_id"]) for r in spark.table(name).collect()}
+    assert got == want
