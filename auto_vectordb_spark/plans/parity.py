@@ -4900,3 +4900,126 @@ def attribution_pairs(spark, sf):
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts_s"),
         F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts_s"),
     )
+
+
+def _sign_word_sql(v: str, off: int) -> str:
+    """DuckDB twin of operators/knn.py binary_signature: one 32-bit word."""
+    return (
+        f"list_sum(list_transform(range(1, 33), i -> "
+        f"CASE WHEN CAST({v}[i + {off}] AS DOUBLE) > 0 "
+        f"THEN (1::BIGINT << (i - 1)) ELSE 0 END))"
+    )
+
+
+@_register(
+    "knn_binary_topk",
+    f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {_sign_word_sql('embedding', 0)} AS lo,
+             {_sign_word_sql('embedding', 32)} AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+          WHERE vec_id < {_N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             CAST(bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi))
+                  AS BIGINT) AS hamming
+      FROM q CROSS JOIN sig c
+    )
+    SELECT query_id, vec_id, hamming FROM (
+      SELECT query_id, vec_id, hamming,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY hamming ASC, vec_id ASC
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= {_KNN_K}
+    """,
+    doc="Binary-quantization ANN tier: sign bits packed into two int64 "
+    "words, XOR+popcount Hamming scoring — exact integer math, 16 bytes/"
+    "vector (1/256 the float scan at 100 TB), faiss IndexBinaryFlat analog "
+    "(operators/knn.py knn_binary); recall gate in tests/test_ann.py",
+)
+def knn_binary_topk(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return KNN.knn_binary(queries, t["embeddings"], k=_KNN_K)
+
+
+@_register(
+    "knn_matryoshka_16",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding[1:16] AS qv FROM embeddings
+      WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round({V.cosine_sql('qv', '(c.embedding[1:16])')}, 6) AS score
+      FROM q CROSS JOIN embeddings c
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="Matryoshka-truncated kNN (Kusupati et al. 2022 MRL): cosine over "
+    "the first 16 of 64 dims — the adaptive-retrieval first pass (4x fewer "
+    "FLOPs/bytes; full-dim rescoring is the knn_exact entry). Same "
+    "broadcast-queries zero-corpus-shuffle plan as knn_exact on a sliced "
+    "projection",
+)
+def knn_matryoshka_16(spark, sf):
+    t = load_views(spark, sf)
+    sliced = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), sliced)
+    )
+    corpus = t["embeddings"].select("vec_id", sliced)
+    return KNN.knn_exact(queries, corpus, k=_KNN_K, round_decimals=6)
+
+
+@_register(
+    "embedding_dim_stats",
+    """
+    SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
+           round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                               AS BIGINT)) AS DOUBLE) / count(*) / 1000000,
+                 6) AS mean_v,
+           round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
+           round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
+    FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+    GROUP BY i
+    """,
+    doc="Per-dimension embedding statistics (feature-store health check: "
+    "dead/saturated dims, scale drift before quantization): posexplode + "
+    "one 64-key groupBy with map-side combine, micro-quantized exact mean "
+    "(parity rule 1)",
+)
+def embedding_dim_stats(spark, sf):
+    t = load_views(spark, sf)
+    ex = t["embeddings"].select(
+        F.posexplode(V.as_double_array(F.col("embedding"))).alias("dim", "x")
+    )
+    return ex.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("x") * 1000000, 0).cast("long")).cast("double")
+            / F.count("*")
+            / 1000000,
+            6,
+        ).alias("mean_v"),
+        F.round(F.min("x"), 6).alias("min_v"),
+        F.round(F.max("x"), 6).alias("max_v"),
+    )

@@ -133,3 +133,36 @@ def test_int8_recall_gate(queries, emb, exact_topk):
         got.setdefault(r["query_id"], set()).add(r["vec_id"])
     recalls = [len(got[q] & exact_topk[q]) / K for q in exact_topk]
     assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+
+def test_binary_hamming_candidate_recall(queries, emb, exact_topk):
+    """Sign-bit binary tier is a FIRST-pass candidate generator: gate
+    candidate-recall of the exact top-10 within its top-100 (measured 0.82
+    on this near-isotropic fixture; rescore with any float tier after).
+    Strict @10 recall of a 64-bit signature is ~0.3 by design — that is not
+    the operating point."""
+    rows = KNN.knn_binary(queries, emb, k=100).collect()
+    assert _recall(rows, exact_topk) >= 0.75
+
+
+def test_binary_hamming_is_integer_and_bounded(queries, emb):
+    rows = KNN.knn_binary(queries, emb, k=5).collect()
+    assert rows and all(0 <= r["hamming"] <= 64 for r in rows)
+    # self-match: each query's own vector is at hamming 0, ranked first
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        best = min(rs, key=lambda r: (r["hamming"], r["vec_id"]))
+        assert best["hamming"] == 0 and best["vec_id"] == q
+
+
+def test_matryoshka_candidate_recall(queries, emb, exact_topk):
+    """16-of-64-dim truncated first pass (MRL adaptive retrieval): gate
+    candidate-recall@100 (measured 0.72 here — random projections of an
+    isotropic fixture; trained MRL embeddings concentrate much higher)."""
+    sliced = F.slice(F.col("embedding"), 1, 16).alias("embedding")
+    q2 = queries.select("query_id", sliced)
+    c2 = emb.select("vec_id", sliced)
+    rows = KNN.knn_exact(q2, c2, k=100, round_decimals=6).collect()
+    assert _recall(rows, exact_topk) >= 0.6
