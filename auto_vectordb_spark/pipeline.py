@@ -496,6 +496,12 @@ def build_training_set(
     # 6.2 s vs 4.4 s at sf0.1), so persist the survivors explicitly — a tiny
     # (id + 3 numeric cols) table even at 100 TB corpus scale.
     ranked = ranked.persist()
+    # Materialize the cache NOW: the offsets branch is evaluated on the
+    # broadcast thread concurrently with the main probe, and with a lazy
+    # persist both race to compute `ranked` — measured 4.6 s vs up to 17 s
+    # run-to-run at sf0.1 depending on who wins. One tiny count() action
+    # pins the front end to exactly one execution.
+    ranked.count()
     in_bucket = Window.partitionBy("__bkt").orderBy("__ord").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

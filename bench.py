@@ -51,6 +51,10 @@ def main() -> None:
             REGISTRY[name].spark(spark, warm_dir).count()
         except Exception:
             pass  # a failing query still gets timed (and fails) below
+    # Steady-state hygiene: entries that persist() small intermediates leave
+    # their warm-run caches behind; drop them so the measured runs don't pay
+    # eviction/GC pressure for warm-phase leftovers.
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
