@@ -12,8 +12,9 @@ def test_registry_shape():
     assert len(qs) >= 30
     assert set(osql) <= set(qs)
     # only ANN/BLAS/random-projection/sketch/iterative entries may skip the
-    # oracle (cluster_kmeans_lloyd is iterative Lloyd's — gated instead by a
-    # numpy-exact test in tests/test_cluster.py)
+    # oracle (cluster_kmeans_lloyd is iterative Lloyd's, mmr_rerank is greedy
+    # sequential selection — both gated instead by numpy-exact equivalence
+    # tests in tests/test_cluster.py / tests/test_bm25_hybrid.py)
     for name in set(qs) - set(osql):
         assert name.startswith(
             (
@@ -24,6 +25,7 @@ def test_registry_shape():
                 "approx_",
                 "cluster_kmeans_lloyd",
                 "knn_ivf_pq",
+                "mmr_rerank",
             )
         ), name
 
