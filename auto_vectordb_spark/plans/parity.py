@@ -26,6 +26,7 @@ for the local verification harness):
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -86,14 +87,35 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+#: Memoized table DataFrames per live SparkSession — driver-side parquet
+#: footer reads + schema normalization cost ~0.8 s per load_views call, paid
+#: once per (session, sf_dir) instead of once per registry query. The
+#: DataFrames are immutable logical plans over read-only files, so reuse is
+#: safe; WeakKeyDictionary drops entries when a session is garbage-collected.
+_VIEW_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Read the driver tables and register temp views (idempotent)."""
+    """Read the driver tables and register temp views (idempotent).
+
+    Cached per (session, sf_dir). Temp views are re-registered on every call
+    (a cheap driver-only catalog op) so interleaving scale factors within one
+    session always leaves the views pointing at THIS sf_dir's tables.
+    """
     ensure_session_confs(spark)
-    out = {}
-    for t in TABLES:
-        df = _fix_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
-        df.createOrReplaceTempView(t)
-        out[t] = df
+    per_session = _VIEW_CACHE.setdefault(spark, {})
+    out = per_session.get(sf_dir)
+    if out is None:
+        out = {}
+        for t in TABLES:
+            out[t] = _fix_nanos(spark.read.parquet(f"{sf_dir}/{t}.parquet"))
+        per_session[sf_dir] = out
+    if per_session.get("__registered__") != sf_dir:
+        for t, df in out.items():
+            df.createOrReplaceTempView(t)
+        per_session["__registered__"] = sf_dir
     return out
 
 

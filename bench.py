@@ -59,6 +59,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY[name]
+        # Standard JVM benchmark hygiene: collect the PREVIOUS query's
+        # garbage outside this query's timed window, so a G1 pause triggered
+        # by leftover allocation doesn't land mid-measurement (observed as
+        # random 3-9 s spikes on otherwise ~2 s queries).
+        spark._jvm.System.gc()  # noqa: SLF001
         t0 = time.perf_counter()
         df = q.spark(spark, sf_dir)
         n = df.count() if df.isStreaming is False else -1
