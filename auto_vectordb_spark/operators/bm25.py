@@ -164,3 +164,31 @@ def score_terms_adhoc(
     return matched.select(
         "query_id", "doc_id", score.alias("term_score")
     ).groupBy("query_id", "doc_id").agg(F.sum("term_score").alias("score"))
+
+
+def index_from_dir(spark, index_dir: str, cache: bool = False) -> BM25Index:
+    """Open a :class:`BM25Index` over the append-only artifacts written by
+    ``streaming.pipeline.incremental_bm25_index`` — latest epoch wins per
+    doc (ES ``_id`` overwrite semantics, /root/reference/backend/process/
+    elasticsearch_index.py:141).
+
+    The latest-epoch resolution is a (doc_id) groupBy over doc_lens — the
+    SMALL artifact (one row per doc version, no terms) — semi-joined back
+    into postings. Postings, the big artifact, pays one equi-join on its
+    natural read and is never shuffled on a new key when it is stored
+    partitioned by doc_id hash. Scores from this index are bit-identical to
+    a from-scratch :func:`build_index` over the logically-current corpus
+    (gated in tests/test_streaming.py).
+    """
+    lens_all = spark.read.parquet(f"{index_dir}/doc_lens")
+    post_all = spark.read.parquet(f"{index_dir}/postings")
+    latest = lens_all.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    doc_lens = lens_all.join(latest, ["doc_id", "epoch"]).select("doc_id", "dl")
+    postings = post_all.join(latest, ["doc_id", "epoch"]).select("term", "doc_id", "tf")
+    term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if cache:
+        postings = postings.cache()
+        doc_lens = doc_lens.cache()
+        term_df = term_df.cache()
+    row = doc_lens.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).collect()[0]
+    return BM25Index(postings, doc_lens, term_df, int(row["n"]), float(row["avgdl"]))

@@ -305,3 +305,60 @@ def chunk_text(
         F.size("c.ctoks").alias("n_tokens"),
         F.concat_ws(" ", F.col("c.ctoks")).alias("chunk_text"),
     )
+
+
+def term_drift_by_source(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    quant_scale: int = 9,
+) -> DataFrame:
+    """(source, n_terms, n_tokens, kl_div) — KL divergence of each source's
+    unigram distribution against the whole-corpus distribution, the standard
+    drift/mixture monitor for a multi-source training corpus (which domains
+    diverge from the blend, and by how much).
+
+    KL(P_s ‖ P) = Σ_t p_s(t)·ln(p_s(t)/p(t)); only terms present in the
+    source contribute (p(t) > 0 always — the corpus is a superset).
+
+    Scale shape: the token stream is reduced ONCE by a (source, term)
+    groupBy — the only full-corpus shuffle. Everything downstream operates
+    on that reduced table: per-term corpus counts are a second (term)
+    groupBy of it, per-source totals a tiny aggregate broadcast back, and
+    the grand total a 1-row cross-joined aggregate — no collect, no global
+    window, no second pass over the corpus.
+
+    Determinism: the per-term double contribution is quantized to
+    10^-quant_scale int64 units before the sum (parity rule 1), so Spark
+    and DuckDB produce bit-identical kl_div regardless of reduce order.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    st = toks.groupBy("source", "term").agg(F.count("*").alias("c_st"))
+    ct = st.groupBy("term").agg(F.sum("c_st").alias("c_t"))
+    ts = st.groupBy("source").agg(F.sum("c_st").alias("t_s"))
+    grand = ct.agg(F.sum("c_t").alias("t_all"))
+    joined = (
+        st.join(ct, "term")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(grand))
+    )
+    p_s = F.col("c_st").cast("double") / F.col("t_s").cast("double")
+    p_t = F.col("c_t").cast("double") / F.col("t_all").cast("double")
+    contrib_q = F.round(p_s * F.log(p_s / p_t) * F.lit(10.0**quant_scale)).cast("long")
+    return (
+        joined.select("source", "term", contrib_q.alias("q"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_terms"), F.sum("q").alias("__qsum__"))
+        .join(F.broadcast(ts), "source")
+        .select(
+            "source",
+            "n_terms",
+            F.col("t_s").alias("n_tokens"),
+            F.round(F.col("__qsum__").cast("double") / F.lit(10.0**quant_scale), 6).alias(
+                "kl_div"
+            ),
+        )
+    )

@@ -5045,3 +5045,37 @@ def embedding_dim_stats(spark, sf):
         F.round(F.min("x"), 6).alias("min_v"),
         F.round(F.max("x"), 6).alias("max_v"),
     )
+
+
+@_register(
+    "term_drift_by_source",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({TOKS_SQL.format(c="text")}) AS term FROM documents
+    ),
+    st AS (SELECT source, term, count(*) AS c_st FROM toks GROUP BY source, term),
+    ct AS (SELECT term, sum(c_st) AS c_t FROM st GROUP BY term),
+    ts AS (SELECT source, sum(c_st) AS t_s FROM st GROUP BY source),
+    grand AS (SELECT sum(c_t) AS t_all FROM ct),
+    contrib AS (
+      SELECT st.source,
+             CAST(round((CAST(c_st AS DOUBLE) / t_s)
+                        * ln((CAST(c_st AS DOUBLE) / t_s)
+                             / (CAST(c_t AS DOUBLE) / t_all)) * 1e9) AS BIGINT) AS q
+      FROM st JOIN ct USING (term) JOIN ts USING (source) CROSS JOIN grand
+    )
+    SELECT c.source, count(*) AS n_terms, ts.t_s AS n_tokens,
+           round(CAST(sum(q) AS DOUBLE) / 1e9, 6) AS kl_div
+    FROM contrib c JOIN ts ON c.source = ts.source
+    GROUP BY c.source, ts.t_s
+    """,
+    doc="Per-source KL divergence of unigram distribution vs the corpus "
+    "blend — data-mixture drift monitoring for multi-source training "
+    "corpora. ONE full-corpus (source, term) shuffle; all downstream "
+    "aggregates/joins operate on the reduced table with broadcast totals; "
+    "per-term contributions int64-quantized before the sum (parity rule 1) "
+    "(operators/textstats.py term_drift_by_source)",
+)
+def term_drift_by_source(spark, sf):
+    t = load_views(spark, sf)
+    return TS.term_drift_by_source(t["documents"])

@@ -353,3 +353,59 @@ def test_attribution_join_stream_matches_batch(spark, sf_dir):
     q.stop()
     got = {(r["view_id"], r["click_id"]) for r in spark.table(name).collect()}
     assert got == want
+
+
+def test_incremental_bm25_index_matches_batch_rebuild(spark, tmp_path):
+    """Two micro-batches (the second RE-indexes doc 1) must yield search
+    results identical to a from-scratch index over the final corpus."""
+    from auto_vectordb_spark.operators import bm25 as BM25
+    from auto_vectordb_spark.operators.relational import top_k_per_group
+    from auto_vectordb_spark.streaming.pipeline import incremental_bm25_index
+
+    src = str(tmp_path / "docs")
+    idx = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    b1 = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "duckdb scans parquet")], schema=schema
+    )
+    b1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(b1.schema).parquet(src)
+    q = incremental_bm25_index(stream, idx, ckpt)
+    q.processAllAvailable()
+
+    # batch 2: new doc 3 AND a re-index of doc 1 with different text
+    b2 = spark.createDataFrame(
+        [(1, "spark broadcasts small tables"), (3, "parquet stores columns")],
+        schema=schema,
+    )
+    b2.write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+
+    final_corpus = spark.createDataFrame(
+        [
+            (1, "spark broadcasts small tables"),
+            (2, "duckdb scans parquet"),
+            (3, "parquet stores columns"),
+        ],
+        schema=schema,
+    )
+    queries = spark.createDataFrame(
+        [(0, "spark parquet"), (1, "small columns")], ["query_id", "query_text"]
+    )
+
+    def results(index):
+        scored = BM25.search(index, queries, k=3)
+        return sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in scored.collect()
+        )
+
+    inc = results(BM25.index_from_dir(spark, idx))
+    scratch = results(BM25.build_index(final_corpus))
+    assert inc == scratch and len(inc) > 0
+    # the streamed artifacts carry both epochs for doc 1 (append-only log)
+    lens = spark.read.parquet(f"{idx}/doc_lens")
+    assert lens.filter("doc_id = 1").count() == 2

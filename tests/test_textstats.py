@@ -90,3 +90,26 @@ def test_repetition_ratio_values(spark):
     assert abs(got[1]["dup_token_ratio"] - 0.5) < 1e-9
     assert got[2]["rep_ratio"] == 0.0
     assert got[3]["n_shingles"] == 0 and got[3]["rep_ratio"] == 0.0
+
+
+def test_term_drift_by_source_values(spark):
+    import math
+
+    from auto_vectordb_spark.operators.textstats import term_drift_by_source
+
+    # source A: 4x "a"; source B: 2x "a", 2x "b". Corpus: a=6, b=2, T=8.
+    df = spark.createDataFrame(
+        [(1, "A", "a a a a"), (2, "B", "a a b b")],
+        ["doc_id", "source", "text"],
+    )
+    got = {r["source"]: r for r in term_drift_by_source(df).collect()}
+    # KL(A||P) = 1.0 * ln(1.0 / (6/8))
+    exp_a = math.log(1 / 0.75)
+    # KL(B||P) = 0.5*ln(0.5/0.75) + 0.5*ln(0.5/0.25)
+    exp_b = 0.5 * math.log(0.5 / 0.75) + 0.5 * math.log(0.5 / 0.25)
+    assert got["A"]["n_terms"] == 1 and got["A"]["n_tokens"] == 4
+    assert got["B"]["n_terms"] == 2 and got["B"]["n_tokens"] == 4
+    assert abs(got["A"]["kl_div"] - exp_a) < 1e-6
+    assert abs(got["B"]["kl_div"] - exp_b) < 1e-6
+    # KL is non-negative and zero only when distributions match
+    assert got["A"]["kl_div"] > 0 and got["B"]["kl_div"] > 0
