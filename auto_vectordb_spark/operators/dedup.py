@@ -860,3 +860,56 @@ def decontaminate_flags(
         .groupBy(id_col)
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(source_a, source_b, n_shared, jaccard) for every source pair —
+    content-overlap matrix between corpus sources (which feeds mirror/scrape
+    double-counting into the training mix), computed on distinct shingle
+    sets per source.
+
+    Scale shape: the corpus reduces ONCE to the distinct (source, shingle)
+    table — one shuffle, map-side combined; the pair counts come from a
+    self-equi-join on the shingle hash. The join fan-out is bounded by
+    S² per shingle (S = #sources), never corpus N² — with hundreds of
+    sources this is the standard inverted-index overlap plan; per-source
+    set sizes ride along from a tiny groupBy broadcast back.
+    """
+    sh = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(
+                F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k))
+            ).alias("shingle"),
+        )
+        .select("source", H.stable_hash60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

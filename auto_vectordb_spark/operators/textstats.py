@@ -362,3 +362,61 @@ def term_drift_by_source(
             ),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+    quant_scale: int = 9,
+) -> DataFrame:
+    """One-row (n_terms, slope, intercept) — least-squares fit of
+    ln(term_frequency) against ln(rank) over the top-``top_n`` vocabulary,
+    the Zipf-law health check for a text corpus (natural text ≈ -1 slope;
+    boilerplate-heavy or synthetic corpora drift off it).
+
+    Scale shape: vocabulary reduction is the same one (term) shuffle the
+    BM25 index pays; the top-N cut is TakeOrderedAndProject (no global
+    sort materializes); ranking happens INSIDE one collected struct array
+    (≤ top_n elements) — no unpartitioned window, nothing the driver ever
+    sees. Regression sums are int64-quantized per term (parity rule 1).
+    """
+    toks = docs.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count("*").alias("tf"))
+    top = vocab.orderBy(F.desc("tf"), F.asc("term")).limit(top_n)
+    q = 10.0**quant_scale
+    ranked = (
+        top.agg(F.collect_list(F.struct(F.col("tf"), F.col("term"))).alias("a"))
+        # rank inside the one collected row: (tf DESC, term ASC) — the same
+        # ordering key as the oracle's row_number
+        .select(
+            F.posexplode(
+                F.expr(
+                    "array_sort(a, (l, r) -> CASE WHEN l.tf > r.tf THEN -1 "
+                    "WHEN l.tf < r.tf THEN 1 WHEN l.term < r.term THEN -1 "
+                    "WHEN l.term > r.term THEN 1 ELSE 0 END)"
+                )
+            ).alias("i", "e")
+        )
+        .select(
+            (F.col("i") + 1).cast("double").alias("rank"),
+            F.col("e.tf").cast("double").alias("tf"),
+        )
+    )
+    x, y = F.log("rank"), F.log("tf")
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(x * F.lit(q)).cast("long")).alias("sx"),
+        F.sum(F.round(y * F.lit(q)).cast("long")).alias("sy"),
+        F.sum(F.round(x * y * F.lit(q)).cast("long")).alias("sxy"),
+        F.sum(F.round(x * x * F.lit(q)).cast("long")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx") / F.lit(q), F.col("sy") / F.lit(q)
+    sxy, sxx = F.col("sxy") / F.lit(q), F.col("sxx") / F.lit(q)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

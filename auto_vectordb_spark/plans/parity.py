@@ -5079,3 +5079,142 @@ def embedding_dim_stats(spark, sf):
 def term_drift_by_source(spark, sf):
     t = load_views(spark, sf)
     return TS.term_drift_by_source(t["documents"])
+
+
+@_register(
+    "zipf_fit",
+    f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL.format(c="text")}) AS term FROM documents),
+    v AS (SELECT term, count(*) AS tf FROM tok GROUP BY term),
+    top AS (SELECT term, tf FROM v ORDER BY tf DESC, term ASC LIMIT 100),
+    ranked AS (
+      SELECT CAST(row_number() OVER (ORDER BY tf DESC, term ASC) AS DOUBLE) AS rank,
+             CAST(tf AS DOUBLE) AS tf
+      FROM top
+    ),
+    sums AS (
+      SELECT count(*) AS n,
+             sum(CAST(round(ln(rank) * 1e9) AS BIGINT)) AS sx,
+             sum(CAST(round(ln(tf) * 1e9) AS BIGINT)) AS sy,
+             sum(CAST(round(ln(rank) * ln(tf) * 1e9) AS BIGINT)) AS sxy,
+             sum(CAST(round(ln(rank) * ln(rank) * 1e9) AS BIGINT)) AS sxx
+      FROM ranked
+    )
+    SELECT n AS n_terms,
+           round((CAST(n AS DOUBLE) * (sxy/1e9) - (sx/1e9) * (sy/1e9))
+                 / (CAST(n AS DOUBLE) * (sxx/1e9) - (sx/1e9) * (sx/1e9)), 6) AS slope,
+           round(((sy/1e9) - ((CAST(n AS DOUBLE) * (sxy/1e9) - (sx/1e9) * (sy/1e9))
+                              / (CAST(n AS DOUBLE) * (sxx/1e9) - (sx/1e9) * (sx/1e9)))
+                             * (sx/1e9)) / CAST(n AS DOUBLE), 6) AS intercept
+    FROM sums
+    """,
+    doc="Zipf-law fit over the top-100 vocabulary (corpus-health check): "
+    "one (term) shuffle + TakeOrderedAndProject cut; ranking inside one "
+    "collected <=100-element array (no unpartitioned window); regression "
+    "sums int64-quantized (parity rule 1) "
+    "(operators/textstats.py zipf_fit)",
+)
+def zipf_fit(spark, sf):
+    t = load_views(spark, sf)
+    return TS.zipf_fit(t["documents"])
+
+
+@_register(
+    "source_overlap",
+    f"""
+    WITH tok AS (SELECT source, {TOKS_SQL.format(c="text")} AS toks FROM documents),
+    shl AS (SELECT source, {SHINGLES3_SQL.format(t='toks')} AS shs FROM tok),
+    sh AS (
+      SELECT DISTINCT source, {H.stable_hash60_sql('unnest(shs)')} AS h FROM shl
+    ),
+    sizes AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_shared,
+           round(CAST(i.n_shared AS DOUBLE)
+                 / (sa.sz + sb.sz - i.n_shared), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.source_a = sa.source
+    JOIN sizes sb ON i.source_b = sb.source
+    """,
+    doc="Cross-source content-overlap matrix on distinct 3-gram shingle "
+    "sets — mirror/scrape double-counting detector for the training mix. "
+    "One (source, shingle) distinct shuffle + inverted-index self-join "
+    "bounded by S^2 per shingle, never corpus N^2 "
+    "(operators/dedup.py source_shingle_overlap)",
+)
+def source_overlap(spark, sf):
+    t = load_views(spark, sf)
+    return DD.source_shingle_overlap(t["documents"])
+
+
+@_register(
+    "neardup_pair_profile",
+    f"""
+    WITH {_MINHASH_PAIRS_CTE}
+    SELECT CAST(da.lang = db.lang AS BOOLEAN) AS same_lang,
+           CAST(da.source = db.source AS BOOLEAN) AS same_source,
+           count(*) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON p.id_a = da.doc_id
+    JOIN documents db ON p.id_b = db.doc_id
+    GROUP BY 1, 2
+    """,
+    doc="Near-dup pair provenance profile: MinHash-LSH pairs joined back to "
+    "both sides' (lang, source) — answers 'is duplication intra-source "
+    "mirroring or cross-source scraping?'. The pair table is tiny relative "
+    "to the corpus, so the two metadata joins broadcast the pairs side",
+)
+def neardup_pair_profile(spark, sf):
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    pairs = DD.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    da = docs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+    )
+    return (
+        F.broadcast(pairs)
+        .join(da, "id_a")
+        .join(db, "id_b")
+        .groupBy(
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+            (F.col("source_a") == F.col("source_b")).alias("same_source"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@_register(
+    "dup_cluster_histogram",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE},
+    cs AS (SELECT component_id, count(*) AS cluster_size FROM comps GROUP BY component_id)
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM cs GROUP BY cluster_size
+    """,
+    doc="Near-dup cluster-size histogram (how much of the corpus is "
+    "2x/3x/Nx duplicated — the dedup savings estimate): components over "
+    "the LSH pair graph, two short-key groupBys on the already-reduced "
+    "label table",
+)
+def dup_cluster_histogram(spark, sf):
+    t = load_views(spark, sf)
+    pairs = DD.minhash_lsh_pairs(t["documents"])
+    comps = DD.connected_components(pairs)
+    cs = comps.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return cs.groupBy("cluster_size").agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
+    )

@@ -252,3 +252,23 @@ def test_substring_dup_spans_flags_shared_windows(spark):
     assert out[2]["n_dup_windows"] == 0
     assert out[3]["n_windows"] == 0 and out[3]["dup_ratio"] == 0.0
     assert out[0]["n_windows"] == 5  # 9 tokens -> 5 windows
+
+
+def test_source_shingle_overlap_values(spark):
+    from auto_vectordb_spark.operators.dedup import source_shingle_overlap
+
+    # A and B share the shingle "a b c"; A has 2 distinct shingles,
+    # B has 1, C shares nothing
+    df = spark.createDataFrame(
+        [
+            (1, "A", "a b c d"),     # shingles: "a b c", "b c d"
+            (2, "B", "a b c"),       # shingles: "a b c"
+            (3, "C", "x y z"),       # shingles: "x y z"
+        ],
+        ["doc_id", "source", "text"],
+    )
+    rows = {(r["source_a"], r["source_b"]): r for r in source_shingle_overlap(df).collect()}
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert r["n_shared"] == 1
+    assert abs(r["jaccard"] - 0.5) < 1e-9  # 1 / (2 + 1 - 1)

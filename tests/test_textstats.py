@@ -113,3 +113,25 @@ def test_term_drift_by_source_values(spark):
     assert abs(got["B"]["kl_div"] - exp_b) < 1e-6
     # KL is non-negative and zero only when distributions match
     assert got["A"]["kl_div"] > 0 and got["B"]["kl_div"] > 0
+
+
+def test_zipf_fit_known_slope(spark):
+    import math
+
+    from auto_vectordb_spark.operators.textstats import zipf_fit
+
+    # corpus with tf counts 8/4/2/1 for terms a/b/c/d -> y = ln(tf),
+    # x = ln(rank 1..4); slope of the LSQ fit computable by hand
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = zipf_fit(df).collect()[0]
+    xs = [math.log(i) for i in (1, 2, 3, 4)]
+    ys = [math.log(t) for t in (8, 4, 2, 1)]
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert r["n_terms"] == 4
+    assert abs(r["slope"] - slope) < 1e-5
+    assert r["slope"] < 0  # frequency decays with rank
