@@ -5218,3 +5218,28 @@ def dup_cluster_histogram(spark, sf):
         F.count("*").alias("n_clusters"),
         (F.col("cluster_size") * F.count("*")).cast("long").alias("n_docs"),
     )
+
+
+_LATERAL_TOPN_SQL = """
+    SELECT n.n_name AS nation, c.c_name AS customer, c.acctbal_cents
+    FROM nation n, LATERAL (
+      SELECT c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+      FROM customer WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+    ) c
+"""
+
+
+@_register(
+    "lateral_topn_per_nation",
+    _LATERAL_TOPN_SQL,
+    doc="Correlated LATERAL subquery (top-2 customers per nation), same SQL "
+    "text in both engines: Catalyst decorrelates the per-row LIMIT into a "
+    "row_number window + broadcast join (verified in the physical plan) — "
+    "proof the SQL surface plans correlated iteration as a set operation, "
+    "not a per-row loop. The DataFrame-native form of this shape is "
+    "topk_per_group (preferred; one fewer exchange)",
+)
+def lateral_topn_per_nation(spark, sf):
+    load_views(spark, sf)
+    return spark.sql(_LATERAL_TOPN_SQL)
