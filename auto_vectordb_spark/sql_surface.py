@@ -18,7 +18,12 @@ Scale notes:
   shows the identical exchange structure.
 - ``LIMIT <param>`` is rejected (must be foldable), so top-k cuts use
   ``row_number() <= k`` — which is also the deterministic-tie-break form
-  the parity rules require (rank on rounded score, id tie-break).
+  the parity rules require (rank on rounded score, id tie-break). That
+  window is unpartitioned but its input is ONE query's already-reduced
+  candidate set (docs matching that query's terms / one query's scored
+  rows), not the corpus — the WindowExec single-partition warning here is
+  bounded by per-query fan-out, and the batched DataFrame operators
+  (windowed per query_id) remain the multi-query scale path.
 - These are per-query conveniences. The batched DataFrame operators remain
   the bulk path: a TVF call plans one job per query, while
   ``knn_exact``/``bm25.search`` score thousands of queries in one job.
