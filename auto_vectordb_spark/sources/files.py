@@ -146,3 +146,24 @@ def write_jsonl(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other splittable columnar format Spark reads
+    natively (vectorized reader, predicate pushdown, column pruning — same
+    scan properties as the parquet path)."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """ORC sink with optional hive-style partitioning (same layout contract
+    as :func:`write_table`'s parquet output)."""
+    writer = df.write.mode(mode).format("orc")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)

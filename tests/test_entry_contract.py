@@ -93,3 +93,19 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             continue
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_load_views_cache_interleaved_sf_dirs(spark):
+    """The per-session view cache must re-point temp views when the sf_dir
+    changes and serve identical DataFrames on repeat calls."""
+    from auto_vectordb_spark.plans.parity import load_views
+
+    t1 = load_views(spark, "/root/testdata/sf0.001")
+    n_small = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    t2 = load_views(spark, "/root/testdata/sf0.01")
+    n_big = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n_big != n_small  # views re-pointed on sf_dir switch
+    t1b = load_views(spark, "/root/testdata/sf0.001")
+    assert t1b["documents"] is t1["documents"]  # cache hit returns same plan
+    n_small2 = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n_small2 == n_small  # and views re-registered from the cache

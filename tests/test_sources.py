@@ -89,3 +89,32 @@ def test_jsonl_roundtrip_nulls_and_partitions(spark, tmp_path):
         2: ("en", None),
         3: (None, ""),
     }
+
+
+def test_orc_roundtrip_preserves_schema_and_values(spark, sf_dir, tmp_path):
+    from auto_vectordb_spark.sources.files import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dest = str(tmp_path / "docs_orc")
+    write_orc(docs, dest, partition_by=["lang"])
+    back = read_orc(spark, dest)
+    assert set(back.columns) == set(docs.columns)
+    assert back.count() == docs.count()
+    a = sorted(tuple(r) for r in docs.select("doc_id", "n_chars").collect())
+    b = sorted(tuple(r) for r in back.select("doc_id", "n_chars").collect())
+    assert a == b
+
+
+def test_orc_scan_pushes_partition_filter(spark, sf_dir, tmp_path):
+    from auto_vectordb_spark.sources.files import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dest = str(tmp_path / "docs_orc_p")
+    write_orc(docs, dest, partition_by=["lang"])
+    plan = (
+        read_orc(spark, dest)
+        .filter("lang = 'en'")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partition pruning: the lang predicate must land in PartitionFilters
+    assert "PartitionFilters" in plan and "lang" in plan
