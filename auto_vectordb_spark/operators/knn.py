@@ -483,3 +483,62 @@ def knn_binary(
         tie_break=corpus_id,
     )
     return out.select("query_id", corpus_id, "hamming")
+
+
+def knn_cascade(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    coarse_k: int = 50,
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """Two-tier retrieval cascade: binary-Hamming coarse search over the
+    16-byte sign signatures (:func:`knn_binary`, 1/256 of the float bytes)
+    keeps ``coarse_k`` candidates per query; only those candidates are
+    re-scored with exact float cosine and cut to ``k`` — the
+    coarse-quantized-then-rerank pattern every production ANN stack uses
+    (faiss binary + float refine; the reference's ``num_candidates``
+    recall knob, /root/reference/backend/process/elasticsearch_index.py:275,
+    maps to ``coarse_k``).
+
+    Scale shape: the float corpus is touched ONLY by the candidate
+    equi-join (queries × coarse_k rows, broadcast) — the full-width float
+    scan of exact kNN never happens. Output (query_id, corpus_id, score,
+    hamming); ties break (score DESC, id ASC). Recall@k vs the exact
+    oracle is gated in tests/test_ann.py.
+    """
+    cand = knn_binary(
+        queries, corpus, k=coarse_k, corpus_id=corpus_id,
+        query_vec=query_vec, corpus_vec=corpus_vec,
+    )
+    qv = F.broadcast(
+        queries.select(
+            "query_id",
+            V.as_double_array(F.col(query_vec)).alias("__qv"),
+            V.norm(F.col(query_vec)).alias("__qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id),
+        V.as_double_array(F.col(corpus_vec)).alias("__cv"),
+        V.norm(F.col(corpus_vec)).alias("__cn"),
+    )
+    rescored = (
+        F.broadcast(cand.select("query_id", corpus_id, "hamming"))
+        .join(c, corpus_id)
+        .join(qv, "query_id")
+        .withColumn(
+            "score",
+            F.round(
+                V.cosine_with_norms(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                round_decimals,
+            ),
+        )
+        .select("query_id", corpus_id, "score", "hamming")
+    )
+    return top_k_per_group(rescored, ["query_id"], "score", k, tie_break=corpus_id)

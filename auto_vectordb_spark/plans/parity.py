@@ -5243,3 +5243,64 @@ _LATERAL_TOPN_SQL = """
 def lateral_topn_per_nation(spark, sf):
     load_views(spark, sf)
     return spark.sql(_LATERAL_TOPN_SQL)
+
+
+_CASCADE_COARSE_K = 50
+
+
+@_register(
+    "knn_cascade_rerank",
+    f"""
+    WITH sig AS (
+      SELECT vec_id,
+             {_sign_word_sql('embedding', 0)} AS lo,
+             {_sign_word_sql('embedding', 32)} AS hi
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+          WHERE vec_id < {_N_QUERY_VECS}),
+    coarse AS (
+      SELECT query_id, vec_id, hamming FROM (
+        SELECT q.query_id, c.vec_id,
+               CAST(bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi))
+                    AS BIGINT) AS hamming,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY bit_count(xor(q.qlo, c.lo)) + bit_count(xor(q.qhi, c.hi)) ASC,
+                          c.vec_id ASC
+               ) AS rn
+        FROM q CROSS JOIN sig c
+      ) WHERE rn <= {_CASCADE_COARSE_K}
+    ),
+    rescored AS (
+      SELECT co.query_id, co.vec_id, co.hamming,
+             round({V.cosine_sql('qe.embedding', 'ce.embedding')}, 6) AS score
+      FROM coarse co
+      JOIN embeddings qe ON qe.vec_id = co.query_id
+      JOIN embeddings ce ON ce.vec_id = co.vec_id
+    )
+    SELECT query_id, vec_id, score, hamming FROM (
+      SELECT query_id, vec_id, score, hamming,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+             ) AS rn
+      FROM rescored
+    ) WHERE rn <= {_KNN_K}
+    """,
+    doc="Two-tier ANN cascade: binary-Hamming coarse top-50 over 16-byte "
+    "sign signatures (1/256 the float bytes), exact-cosine rerank of only "
+    "those candidates, top-10 — the coarse-quantize-then-refine pattern of "
+    "production ANN stacks; coarse_k ≈ the reference's num_candidates knob "
+    "(elasticsearch_index.py:275). Float corpus touched only by the "
+    "broadcast candidate equi-join; end recall is capped by the coarse "
+    "tier's candidate recall (0.82@100 on the 64-dim fixture — gates in "
+    "tests/test_ann.py) (operators/knn.py knn_cascade)",
+)
+def knn_cascade_rerank(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    queries = (
+        emb.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return KNN.knn_cascade(queries, emb, k=_KNN_K, coarse_k=_CASCADE_COARSE_K)

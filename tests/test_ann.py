@@ -166,3 +166,25 @@ def test_matryoshka_candidate_recall(queries, emb, exact_topk):
     c2 = emb.select("vec_id", sliced)
     rows = KNN.knn_exact(q2, c2, k=100, round_decimals=6).collect()
     assert _recall(rows, exact_topk) >= 0.6
+
+
+def test_cascade_recall_beats_binary_tier(queries, emb, exact_topk):
+    """The cascade's float rerank recovers recall the raw Hamming ordering
+    loses, up to the coarse tier's candidate ceiling (0.82@100 on this
+    near-isotropic 64-dim fixture — see the binary candidate-recall test):
+    gate at 0.75 and strictly above the pure binary tier's strict-@10
+    recall (~0.3 by design)."""
+    cas = KNN.knn_cascade(queries, emb, k=K, coarse_k=100).collect()
+    r_cascade = _recall(cas, exact_topk)
+    rbin = KNN.knn_binary(queries, emb, k=K).collect()
+    r_binary = _recall(rbin, exact_topk)
+    assert r_cascade >= 0.75, r_cascade
+    assert r_cascade > r_binary, (r_cascade, r_binary)
+
+
+def test_cascade_monotonic_in_coarse_k(queries, emb, exact_topk):
+    """Widening the coarse candidate pool must not lose recall (the
+    num_candidates knob semantics)."""
+    r_small = _recall(KNN.knn_cascade(queries, emb, k=K, coarse_k=20).collect(), exact_topk)
+    r_large = _recall(KNN.knn_cascade(queries, emb, k=K, coarse_k=100).collect(), exact_topk)
+    assert r_large >= r_small, (r_small, r_large)
