@@ -5304,3 +5304,72 @@ def knn_cascade_rerank(spark, sf):
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return KNN.knn_cascade(queries, emb, k=_KNN_K, coarse_k=_CASCADE_COARSE_K)
+
+
+@_register(
+    "events_anomaly_zscore",
+    """
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, count(*) AS n_hours,
+             sum(n_events) AS s1, sum(n_events * n_events) AS s2
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hour, h.n_events,
+           round(CASE WHEN (CAST(s.s2 AS DOUBLE) / s.n_hours)
+                           - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                             * (CAST(s.s1 AS DOUBLE) / s.n_hours) > 0
+                 THEN (h.n_events - CAST(s.s1 AS DOUBLE) / s.n_hours)
+                      / sqrt((CAST(s.s2 AS DOUBLE) / s.n_hours)
+                             - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                               * (CAST(s.s1 AS DOUBLE) / s.n_hours))
+                 ELSE 0.0 END, 6) AS z,
+           CASE WHEN abs(CASE WHEN (CAST(s.s2 AS DOUBLE) / s.n_hours)
+                                   - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                                     * (CAST(s.s1 AS DOUBLE) / s.n_hours) > 0
+                         THEN (h.n_events - CAST(s.s1 AS DOUBLE) / s.n_hours)
+                              / sqrt((CAST(s.s2 AS DOUBLE) / s.n_hours)
+                                     - (CAST(s.s1 AS DOUBLE) / s.n_hours)
+                                       * (CAST(s.s1 AS DOUBLE) / s.n_hours))
+                         ELSE 0.0 END) >= 2.0
+                THEN TRUE ELSE FALSE END AS is_anomaly
+    FROM hourly h JOIN stats s ON h.event_type = s.event_type
+    """,
+    doc="Hourly event-volume anomaly detection: per-type z-score of hourly "
+    "counts against that type's own mean/std — the ingest-health monitor a "
+    "streaming pipeline runs on its event firehose. Two short-key groupBys "
+    "(hour-type, then type) + a broadcast stats join-back; all moments from "
+    "exact int64 sums so z is bit-identical cross-engine",
+)
+def events_anomaly_zscore(spark, sf):
+    t = load_views(spark, sf)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    z = F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= 2.0).alias("is_anomaly"),
+    )
