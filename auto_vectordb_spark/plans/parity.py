@@ -5373,3 +5373,74 @@ def events_anomaly_zscore(spark, sf):
         F.round(z, 6).alias("z"),
         (F.abs(z) >= 2.0).alias("is_anomaly"),
     )
+
+
+@_register(
+    "dataset_split_counts",
+    f"""
+    WITH assigned AS (
+      SELECT lang,
+             CASE WHEN {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                  THEN 'train'
+                  WHEN {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n_docs
+    FROM assigned GROUP BY lang, split
+    """,
+    doc="Deterministic train/val/test assignment (90/5/5 by hash-mod on the "
+    "doc key) with per-(lang, split) counts — the split is a pure row-local "
+    "expression (stable across engines, runs, partitionings, and retries; "
+    "a doc can never migrate between splits on re-execution), the audit "
+    "count one short-key groupBy",
+)
+def dataset_split_counts(spark, sf):
+    t = load_views(spark, sf)
+    h = H.stable_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 90, F.lit("train")).when(h < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        t["documents"]
+        .select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+_EXACT_N_PER_LANG = 20
+
+
+@_register(
+    "sample_exact_n_per_lang",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    ) WHERE rn <= {_EXACT_N_PER_LANG}
+    """,
+    doc="Exact-n-per-stratum deterministic sample (fixed-size eval sets per "
+    "language): rank on the md5 of the key inside each stratum — a "
+    "shuffle-proof pseudo-random permutation — and keep the first n. One "
+    "hash shuffle on the stratum key; windows always partitioned. Unlike "
+    "the rate-based samplers the output size is exactly min(n, stratum "
+    "size) per stratum",
+)
+def sample_exact_n_per_lang(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "lang", F.row_number().over(w).alias("__rn"))
+        .filter(F.col("__rn") <= _EXACT_N_PER_LANG)
+        .select("doc_id", "lang")
+    )
