@@ -241,3 +241,18 @@ def test_ingest_stream_appends_to_corpus(spark, tmp_path):
         assert all(r["embeddings"] is not None for r in p.corpus().collect())
     finally:
         q.stop()
+
+
+def test_quickstart_example_runs(tmp_path):
+    """examples/quickstart.py must execute the full endpoint lifecycle."""
+    import importlib.util
+    import sys
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "quickstart", Path(__file__).resolve().parents[1] / "examples" / "quickstart.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["quickstart"] = mod
+    spec.loader.exec_module(mod)
+    mod.main(str(tmp_path))
