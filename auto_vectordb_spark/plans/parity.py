@@ -5444,3 +5444,73 @@ def sample_exact_n_per_lang(spark, sf):
         .filter(F.col("__rn") <= _EXACT_N_PER_LANG)
         .select("doc_id", "lang")
     )
+
+
+_PHRASE_QUERY = "fast table"
+
+
+@_register(
+    "phrase_match",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    bg AS (SELECT doc_id, {SHINGLES2_SQL.format(t="toks")} AS bgs FROM tok)
+    SELECT doc_id,
+           CAST(len(list_filter(bgs, b -> b = '{_PHRASE_QUERY}')) AS BIGINT)
+             AS n_occurrences
+    FROM bg
+    WHERE len(list_filter(bgs, b -> b = '{_PHRASE_QUERY}')) > 0
+    """,
+    doc="Positional phrase match (exact adjacent-bigram search — the "
+    "match_phrase counterpart to V3's bag-of-words match): occurrence "
+    "counting is a row-local array filter over the bigram kernel, zero "
+    "shuffle at any corpus size; a persisted bigram-postings table turns "
+    "repeated phrase queries into pruned equi-joins (same shape as the "
+    "BM25 index)",
+)
+def phrase_match(spark, sf):
+    from ..functions.text import shingles, tokenize
+
+    t = load_views(spark, sf)
+    bgs = shingles(tokenize(F.col("text")), k=2)
+    n_occ = F.size(F.filter(bgs, lambda b: b == _PHRASE_QUERY))
+    return (
+        t["documents"]
+        .select("doc_id", n_occ.cast("long").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+@_register(
+    "events_value_rank_stats",
+    """
+    SELECT event_type, event_id,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           CAST(rank() OVER w AS BIGINT) AS rnk
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value ASC, event_id ASC)
+    QUALIFY rank() OVER w <= 100
+    """,
+    doc="Distribution-position window functions (percent_rank, cume_dist, "
+    "rank WITH-ties semantics) per event_type, bottom-100 by value — the "
+    "remaining ranking-window family beyond row_number/ntile/lag. Window "
+    "partitioned by event_type; rank predicate prunes output early",
+)
+def events_value_rank_stats(spark, sf):
+    from pyspark.sql.window import Window
+
+    t = load_views(spark, sf)
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    return (
+        t["events"]
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.rank().over(w).cast("long").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )

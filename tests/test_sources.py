@@ -118,3 +118,27 @@ def test_orc_scan_pushes_partition_filter(spark, sf_dir, tmp_path):
     )
     # partition pruning: the lang predicate must land in PartitionFilters
     assert "PartitionFilters" in plan and "lang" in plan
+
+
+def test_read_jsonl_permissive_captures_corrupt_rows(spark, tmp_path):
+    """A bad line must fail the ROW (land in _corrupt_record), not the job."""
+    from auto_vectordb_spark.sources.files import read_jsonl
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "good row"}\n'
+        '{"doc_id": 2, "text": "also good"}\n'
+        "{this is not json at all\n"
+    )
+    df = read_jsonl(
+        spark,
+        str(src),
+        schema="doc_id long, text string, _corrupt_record string",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = df.collect()
+    good = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert len(good) == 2 and {r["doc_id"] for r in good} == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
