@@ -69,3 +69,60 @@ def test_exact_dedup_1m_docs(spark):
     out = exact_dedup(docs)
     assert out.count() == 100_000
     assert out.agg(F.sum("n_dups")).collect()[0][0] == 1_000_000
+
+
+def _synth_docs(spark, n, vocab=500, words=20, n_sources=20):
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(words)),
+        lambda i: (F.abs(F.xxhash64(F.col("id"), i)) % vocab).cast("string"),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % n_sources).cast("string").alias("source"),
+        F.concat_ws(" ", toks).alias("text"),
+    )
+
+
+def test_term_drift_500k_docs(spark):
+    """10M token rows reduce through ONE (source, term) shuffle; the KL
+    join-back operates on the 20x500 reduced table."""
+    from auto_vectordb_spark.operators.textstats import term_drift_by_source
+
+    docs = _synth_docs(spark, 500_000)
+    rows = term_drift_by_source(docs).collect()
+    assert len(rows) == 20
+    assert all(r["kl_div"] is not None and r["kl_div"] >= -1e-9 for r in rows)
+
+
+def test_minhash_pairs_200k_docs(spark):
+    """Banding keeps the candidate join bucketed — on random text the pair
+    count stays near zero instead of exploding quadratically."""
+    from auto_vectordb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _synth_docs(spark, 200_000)
+    n = minhash_lsh_pairs(docs).count()
+    # random 20-token docs over a 500-word vocab: collisions are rare;
+    # anything quadratic would return millions
+    assert n < 200_000
+
+
+def test_cascade_100k_vectors(spark):
+    """The float corpus is touched only by the candidate equi-join."""
+    from auto_vectordb_spark.operators.knn import knn_cascade
+
+    emb = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (F.abs(F.xxhash64(F.col("id"), i)) % 1000).cast("double") / 500.0
+            - 1.0,
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = knn_cascade(queries, emb, k=10, coarse_k=50).collect()
+    assert len(out) == 50
+    # each query's own vector must survive the cascade at rank 1
+    best = {r["query_id"]: r for r in out if r["score"] == 1.0}
+    assert set(best) == {0, 1, 2, 3, 4}
