@@ -5514,3 +5514,28 @@ def events_value_rank_stats(spark, sf):
         )
         .filter(F.col("rnk") <= 100)
     )
+
+
+@_register(
+    "langid_confusion",
+    f"""
+    WITH pred AS ({_langid_sql()})
+    SELECT d.lang AS actual, p.lang_guess AS predicted, count(*) AS n_docs
+    FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+    GROUP BY d.lang, p.lang_guess
+    """,
+    doc="Classifier-eval confusion matrix: heuristic lang-id guess vs the "
+    "labeled lang column, the quality report any corpus lang-filter needs "
+    "before it drops data. Predictions are row-local; the matrix is one "
+    "short-key groupBy (|langs|^2 output)",
+)
+def langid_confusion(spark, sf):
+    t = load_views(spark, sf)
+    pred = TS.language_id(t["documents"])
+    return (
+        t["documents"]
+        .select("doc_id", F.col("lang").alias("actual"))
+        .join(pred.select("doc_id", F.col("lang_guess").alias("predicted")), "doc_id")
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
