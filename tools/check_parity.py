@@ -17,8 +17,9 @@ import duckdb
 
 sys.path.insert(0, "/root/repo")
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 from auto_vectordb_spark.plans.parity import REGISTRY, TABLES  # noqa: E402
-from auto_vectordb_spark.session import get_spark  # noqa: E402
 
 
 def norm_cell(v):
@@ -38,7 +39,13 @@ def norm_rows(cols, rows):
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(cpus=8)
+    # A deliberately BARE session — the driver invokes registry callables
+    # with a vanilla SparkSession, so the local gate must prove every query
+    # self-provisions its needs (ensure_session_confs runs inside
+    # load_views). Engine tuning (AQE etc.) lives in session.get_spark and
+    # is NOT assumed here.
+    spark = SparkSession.builder.master("local[8]").appName("check_parity").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
