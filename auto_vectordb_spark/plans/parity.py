@@ -5539,3 +5539,30 @@ def langid_confusion(spark, sf):
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@_register(
+    "quality_weighted_sample",
+    f"""
+    WITH survivors AS (SELECT doc_id, text FROM documents),
+    {_QUALITY_CTE}
+    SELECT doc_id, quality FROM q
+    WHERE {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 1000000
+          < CAST(round(quality * 1000000) AS BIGINT)
+    """,
+    doc="Quality-proportional deterministic sampling: each doc is kept with "
+    "probability equal to its quality score (soft quality filtering — the "
+    "curation recipe between a hard threshold and uniform sampling), "
+    "membership decided by hash-mod on the key so it is stable across "
+    "engines, runs, and retries. Row-local expressions, zero shuffle",
+)
+def quality_weighted_sample(spark, sf):
+    from ..operators import textstats as TS2
+
+    t = load_views(spark, sf)
+    q = TS2.quality_score(t["documents"]).select("doc_id", "quality")
+    keep = (
+        H.stable_hash60(F.col("doc_id").cast("string")) % 1000000
+        < F.round(F.col("quality") * 1000000).cast("long")
+    )
+    return q.filter(keep)
