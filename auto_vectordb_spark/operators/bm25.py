@@ -215,8 +215,20 @@ def index_from_dir(spark, index_dir: str, cache: bool = False) -> BM25Index:
     lens_all = spark.read.parquet(f"{index_dir}/doc_lens")
     post_all = spark.read.parquet(f"{index_dir}/postings")
     latest = lens_all.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
-    doc_lens = lens_all.join(latest, ["doc_id", "epoch"]).select("doc_id", "dl")
-    postings = post_all.join(latest, ["doc_id", "epoch"]).select("term", "doc_id", "tf")
+    # dropDuplicates absorbs a crash-replayed epoch: a foreachBatch retry
+    # appends a second IDENTICAL copy of the batch's rows, and without the
+    # dedup every doc length (and every tf) of that epoch would count twice,
+    # silently doubling scores. With it, replays are true no-ops.
+    doc_lens = (
+        lens_all.join(latest, ["doc_id", "epoch"])
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl")
+    )
+    postings = (
+        post_all.join(latest, ["doc_id", "epoch"])
+        .dropDuplicates(["doc_id", "term"])
+        .select("term", "doc_id", "tf")
+    )
     term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
     if cache:
         postings = postings.cache()

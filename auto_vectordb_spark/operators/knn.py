@@ -559,10 +559,16 @@ def ivf_append(
 
     Centroids stay FROZEN across appends (the standard IVF contract —
     faiss add() after train(); re-clustering is a periodic offline rebuild,
-    not an ingest-path operation). Append + directory partitioning keep
-    the operation idempotent per batch at the file level and partition-
-    parallel at any batch size; searches pick up new vectors on their next
-    scan with no index downtime.
+    not an ingest-path operation). Appends are partition-parallel at any
+    batch size and searches pick up new vectors on their next scan with no
+    index downtime.
+
+    Replay caveat: a crash-retried batch appends its rows twice and a
+    duplicated vector would then occupy two top-k slots. Exactly-once
+    ingest therefore wraps this in foreachBatch with a checkpoint (same as
+    the BM25 log) and either dedupes ids at read
+    (``index.dropDuplicates([corpus_id])``) or compacts periodically —
+    the compaction rewrite is also what bounds small-file growth.
     """
     assigned = ivf_build(new_vectors, centroids, vec_col=vec_col, corpus_id=corpus_id)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)

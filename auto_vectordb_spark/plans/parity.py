@@ -116,7 +116,8 @@ def load_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         for t, df in out.items():
             df.createOrReplaceTempView(t)
         per_session["__registered__"] = sf_dir
-    return out
+    # shallow copy: callers may overwrite keys without corrupting the cache
+    return dict(out)
 
 
 @dataclass
@@ -5557,10 +5558,8 @@ def langid_confusion(spark, sf):
     "engines, runs, and retries. Row-local expressions, zero shuffle",
 )
 def quality_weighted_sample(spark, sf):
-    from ..operators import textstats as TS2
-
     t = load_views(spark, sf)
-    q = TS2.quality_score(t["documents"]).select("doc_id", "quality")
+    q = TS.quality_score(t["documents"]).select("doc_id", "quality")
     keep = (
         H.stable_hash60(F.col("doc_id").cast("string")) % 1000000
         < F.round(F.col("quality") * 1000000).cast("long")

@@ -409,3 +409,42 @@ def test_incremental_bm25_index_matches_batch_rebuild(spark, tmp_path):
     # the streamed artifacts carry both epochs for doc 1 (append-only log)
     lens = spark.read.parquet(f"{idx}/doc_lens")
     assert lens.filter("doc_id = 1").count() == 2
+
+
+def test_incremental_bm25_reader_absorbs_replayed_epoch(spark, tmp_path):
+    """A crash-replayed micro-batch appends identical rows twice; the
+    latest-wins reader must still score as if the batch ran once."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.operators import bm25 as BM25
+
+    idx = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [(1, "spark shuffles data"), (2, "duckdb scans parquet")],
+        schema="doc_id long, text string",
+    )
+    from auto_vectordb_spark.functions.text import tokenize
+
+    toks = tokenize(F.col("text"))
+    base = docs.select("doc_id", toks.alias("__toks"))
+    postings = (
+        base.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("epoch", F.lit(0))
+    )
+    doc_lens = (
+        base.select("doc_id", F.size("__toks").alias("dl"))
+        .withColumn("epoch", F.lit(0))
+    )
+    for _ in range(2):  # the batch lands TWICE (simulated replay)
+        postings.write.mode("append").parquet(f"{idx}/postings")
+        doc_lens.write.mode("append").parquet(f"{idx}/doc_lens")
+
+    queries = spark.createDataFrame([(0, "spark parquet")], ["query_id", "query_text"])
+    replayed = BM25.search(BM25.index_from_dir(spark, idx), queries, k=3)
+    clean = BM25.search(BM25.build_index(docs), queries, k=3)
+    as_set = lambda df: {  # noqa: E731
+        (r["query_id"], r["doc_id"], round(r["score"], 9)) for r in df.collect()
+    }
+    assert as_set(replayed) == as_set(clean) and len(as_set(clean)) > 0
