@@ -25,7 +25,7 @@ def sql_one(spark):
     return run
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(text=TEXTS)
 def test_tokenize_matches_python_model(sql_one, text):
     from auto_vectordb_spark.functions.text import tokenize
@@ -35,7 +35,7 @@ def test_tokenize_matches_python_model(sql_one, text):
     assert got == want
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(text=TEXTS, k=st.integers(min_value=2, max_value=4))
 def test_shingles_match_python_model(sql_one, text, k):
     from auto_vectordb_spark.functions.text import shingles, tokenize
@@ -46,7 +46,7 @@ def test_shingles_match_python_model(sql_one, text, k):
     assert got == want
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20, deadline=None, derandomize=True)
 @given(
     tokens=st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), max_size=12)
 )
@@ -60,7 +60,7 @@ def test_stable_hash60_range_and_determinism(sql_one, tokens):
     assert 0 <= a < 1 << 60
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(
     updates=st.dictionaries(
         st.sampled_from(["a", "b", "c", "d"]), st.integers(0, 9), max_size=4
@@ -88,7 +88,7 @@ def test_merge_upsert_invariants(spark, updates):
         assert r["updated_at"] == max(versions)
 
 
-@settings(max_examples=20, deadline=None)
+@settings(max_examples=20, deadline=None, derandomize=True)
 @given(
     n_tokens=st.integers(min_value=0, max_value=90),
     max_tokens=st.integers(min_value=4, max_value=16),
