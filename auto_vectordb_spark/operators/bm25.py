@@ -235,3 +235,65 @@ def index_from_dir(spark, index_dir: str, cache: bool = False) -> BM25Index:
         doc_lens = doc_lens.cache()
         term_df = term_df.cache()
     return BM25Index(postings, doc_lens, term_df, _stats_of(doc_lens))
+
+
+def compact_index(spark, index_dir: str) -> dict[str, int]:
+    """LSM-style compaction of the append-only incremental index: rewrite
+    ``postings/`` and ``doc_lens/`` keeping ONLY each doc's latest epoch
+    (and one physical copy of it — crash-replayed duplicate appends are
+    squashed too). This is the maintenance job the append-only layout
+    assumes (streaming.pipeline.incremental_bm25_index): without it, every
+    re-index of a doc grows the artifacts and the reader's latest-epoch
+    resolution pays read amplification proportional to the overwrite count.
+
+    Epoch values are PRESERVED, not reset: foreachBatch epochs are
+    monotonically increasing under one checkpoint, so a post-compaction
+    append still supersedes the compacted rows for its doc ids — gated in
+    tests/test_streaming.py.
+
+    Run this with the ingest stream stopped (or between micro-batches, from
+    the same maintenance scheduler that owns small-file compaction,
+    sources/files.py compact_table): the swap is rename-atomic per artifact
+    but appends that land between the read and the swap would be lost.
+
+    At 100 TB this is one (doc_id, epoch) equi-join per artifact — postings,
+    the big side, shuffles once on its natural key; ``latest`` (one row per
+    LIVE doc — not per version, not per term) is the small side of both
+    joins but still per-doc, so it is left to AQE to broadcast or shuffle
+    rather than forced (a billion-doc corpus must not be driver-collected).
+
+    Returns row counts {postings_before, postings_after, doc_lens_before,
+    doc_lens_after} so schedulers can log the reclaimed amplification.
+    """
+    import shutil
+    from pathlib import Path
+
+    lens_all = spark.read.parquet(f"{index_dir}/doc_lens")
+    post_all = spark.read.parquet(f"{index_dir}/postings")
+    counts = {"doc_lens_before": lens_all.count(), "postings_before": post_all.count()}
+    latest = lens_all.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    doc_lens = (
+        lens_all.join(latest, ["doc_id", "epoch"])
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl", "epoch")
+    )
+    postings = (
+        post_all.join(latest, ["doc_id", "epoch"])
+        .dropDuplicates(["doc_id", "term"])
+        .select("doc_id", "term", "tf", "epoch")
+    )
+    base = Path(index_dir)
+    jobs = (("doc_lens", doc_lens), ("postings", postings))
+    # Materialize BOTH staging writes before swapping EITHER artifact: the
+    # postings plan joins `latest` (derived from doc_lens), so swapping
+    # doc_lens first would pull the files out from under the postings job.
+    for name, df in jobs:
+        df.write.mode("overwrite").parquet(str(base / f"_{name}_compact"))
+    for name, _ in jobs:
+        final = base / name
+        shutil.rmtree(final)
+        (base / f"_{name}_compact").rename(final)
+        spark.catalog.refreshByPath(str(final))
+    counts["doc_lens_after"] = spark.read.parquet(f"{index_dir}/doc_lens").count()
+    counts["postings_after"] = spark.read.parquet(f"{index_dir}/postings").count()
+    return counts

@@ -448,3 +448,76 @@ def test_incremental_bm25_reader_absorbs_replayed_epoch(spark, tmp_path):
         (r["query_id"], r["doc_id"], round(r["score"], 9)) for r in df.collect()
     }
     assert as_set(replayed) == as_set(clean) and len(as_set(clean)) > 0
+
+
+def test_compact_index_preserves_scores_and_epoch_order(spark, tmp_path):
+    """Compaction must (a) leave search results bit-identical, (b) squash
+    superseded epochs AND replayed duplicates down to one row per live
+    (doc, term), and (c) keep epochs so a post-compaction re-index still
+    overwrites."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.functions.text import tokenize
+    from auto_vectordb_spark.operators import bm25 as BM25
+
+    idx = str(tmp_path / "index")
+
+    def append_epoch(docs, epoch, times=1):
+        base = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+        postings = (
+            base.select("doc_id", F.explode("__toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("epoch", F.lit(epoch))
+        )
+        doc_lens = base.select(
+            "doc_id", F.size("__toks").alias("dl")
+        ).withColumn("epoch", F.lit(epoch))
+        for _ in range(times):
+            postings.write.mode("append").parquet(f"{idx}/postings")
+            doc_lens.write.mode("append").parquet(f"{idx}/doc_lens")
+
+    schema = "doc_id long, text string"
+    append_epoch(
+        spark.createDataFrame(
+            [(1, "spark shuffles data"), (2, "duckdb scans parquet")], schema=schema
+        ),
+        epoch=0,
+    )
+    # epoch 1 re-indexes doc 1 and lands TWICE (simulated crash replay)
+    append_epoch(
+        spark.createDataFrame([(1, "spark broadcasts small tables")], schema=schema),
+        epoch=1,
+        times=2,
+    )
+
+    queries = spark.createDataFrame(
+        [(0, "spark parquet"), (1, "small tables")], ["query_id", "query_text"]
+    )
+
+    def results():
+        scored = BM25.search(BM25.index_from_dir(spark, idx), queries, k=3)
+        return sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 9))
+            for r in scored.collect()
+        )
+
+    before = results()
+    counts = BM25.compact_index(spark, idx)
+    assert results() == before and len(before) > 0
+    # doc 1: epoch 0 (3 terms) + 2×epoch 1 (4 terms) → 4; doc 2 stays 3.
+    assert counts["postings_before"] == 3 + 3 + 2 * 4
+    assert counts["postings_after"] == 4 + 3
+    assert counts["doc_lens_after"] == 2
+    # compacted rows keep their epochs → a LATER epoch still wins
+    lens = spark.read.parquet(f"{idx}/doc_lens")
+    assert {r["epoch"] for r in lens.collect()} == {0, 1}
+    append_epoch(
+        spark.createDataFrame([(1, "entirely new words now")], schema=schema), epoch=2
+    )
+    post2 = BM25.search(
+        BM25.index_from_dir(spark, idx),
+        spark.createDataFrame([(0, "entirely new")], ["query_id", "query_text"]),
+        k=3,
+    )
+    assert [r["doc_id"] for r in post2.collect()] == [1]
