@@ -386,6 +386,84 @@ def substring_dup_spans(
     )
 
 
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """APPLY exact-substring dedup: rewrite each document with every
+    cross-doc duplicated ``width``-token window excised (the removal step of
+    Lee et al. 2022 — :func:`substring_dup_spans` is the matching *detection*
+    signal; this one actually edits the corpus).
+
+    A token is removed when ANY dup window covers it (window ``wpos`` covers
+    token positions ``wpos..wpos+width-1``), so overlapping dup windows merge
+    into one excised span, exactly like the suffix-array formulation. Output
+    per doc: (doc_id, n_tokens, n_removed, cleaned_hash) — the md5 of the
+    space-joined surviving tokens keeps the result row narrow while staying
+    position-sensitive for the oracle compare; callers wanting the cleaned
+    text itself use the same plan minus the final hash.
+
+    Plan (never quadratic, nothing longer than a window shuffles as text):
+    dup-window set = one short-key hash shuffle with map-side combine;
+    covered positions = semi-join on the hash + an in-row sequence explode,
+    distinct on (doc_id, tpos); reassembly = left-anti join of the
+    posexploded tokens against covered, then one (doc_id) groupBy whose
+    sort_array puts tokens back in order inside the row. At 100 TB the
+    heavy artifacts are (doc_id, int, int) tuples — text leaves the executor
+    only as the final per-doc hash.
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(F.col(text_col)).alias("toks")
+    )
+    win = (
+        base.select(
+            "doc_id", F.posexplode(shingles(F.col("toks"), width)).alias("wpos", "s")
+        )
+        .select("doc_id", "wpos", H.stable_hash60(F.col("s")).alias("h"))
+    )
+    dup = (
+        win.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        win.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("wpos"), F.col("wpos") + F.lit(width - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+    )
+    tokex = base.select("doc_id", F.posexplode("toks").alias("tpos", "tk"))
+    reasm = (
+        tokex.join(covered, ["doc_id", "tpos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("tpos", "tk"))),
+                    lambda e: e["tk"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    totals = base.select("doc_id", F.size("toks").alias("n_tokens"))
+    return totals.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_hash"),
+    )
+
+
 def semdedup_pairs(
     vectors: DataFrame,
     cells: DataFrame,

@@ -4744,6 +4744,54 @@ def substring_dup_spans(spark, sf):
 
 
 @_register(
+    "dedup_span_removal",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    shl AS (
+      SELECT doc_id, {_SHINGLES5_SQL.format(t='toks')} AS shs FROM tok
+    ),
+    win AS (
+      SELECT doc_id, generate_subscripts(shs, 1) - 1 AS wpos,
+             {H.stable_hash60_sql('unnest(shs)')} AS h
+      FROM shl
+    ),
+    dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, w.wpos + o.d AS tpos
+      FROM win w JOIN dup USING (h)
+      CROSS JOIN (VALUES (0), (1), (2), (3), (4)) o(d)
+    ),
+    tokex AS (
+      SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tpos, unnest(toks) AS tk
+      FROM tok
+    ),
+    kept AS (
+      SELECT t.doc_id, t.tpos, t.tk
+      FROM tokex t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+      WHERE c.doc_id IS NULL
+    ),
+    reasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tk, ' ' ORDER BY tpos) AS cleaned
+      FROM kept GROUP BY doc_id
+    )
+    SELECT k.doc_id, len(k.toks) AS n_tokens,
+           len(k.toks) - COALESCE(r.n_kept, 0) AS n_removed,
+           md5(COALESCE(r.cleaned, '')) AS cleaned_hash
+    FROM tok k LEFT JOIN reasm r ON k.doc_id = r.doc_id
+    """,
+    doc="Exact-substring dedup APPLIED (Lee et al. 2022 removal step): "
+    "every cross-doc duplicated 5-token window is excised from the text; "
+    "overlapping dup windows merge into one span. cleaned_hash = md5 of the "
+    "rewritten doc keeps the compare position-sensitive without shipping "
+    "text (operators/dedup.py remove_dup_spans)",
+)
+def dedup_span_removal(spark, sf):
+    t = load_views(spark, sf)
+    return DD.remove_dup_spans(t["documents"], width=_DUPSPAN_W, min_docs=2)
+
+
+@_register(
     "mmr_rerank",
     None,
     doc="MMR diversification (Carbonell & Goldstein 1998) of exact-kNN "

@@ -254,6 +254,33 @@ def test_substring_dup_spans_flags_shared_windows(spark):
     assert out[0]["n_windows"] == 5  # 9 tokens -> 5 windows
 
 
+def test_remove_dup_spans_excises_covered_tokens(spark):
+    import hashlib
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens, 2 dup windows
+    docs = spark.createDataFrame(
+        [
+            (0, f"{shared} unique tail zero"),
+            (1, f"other head one {shared}"),
+            (2, "completely different words with no overlap at all here"),
+            (3, "tiny"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in DD.remove_dup_spans(docs, width=5).collect()}
+    # the two overlapping dup windows merge into ONE excised 6-token span
+    assert out[0]["n_removed"] == 6 and out[1]["n_removed"] == 6
+    assert out[0]["cleaned_hash"] == hashlib.md5(b"unique tail zero").hexdigest()
+    assert out[1]["cleaned_hash"] == hashlib.md5(b"other head one").hexdigest()
+    # untouched docs keep their exact token stream (incl. below-width docs)
+    assert out[2]["n_removed"] == 0
+    assert (
+        out[2]["cleaned_hash"]
+        == hashlib.md5(b"completely different words with no overlap at all here").hexdigest()
+    )
+    assert out[3]["n_removed"] == 0 and out[3]["n_tokens"] == 1
+
+
 def test_source_shingle_overlap_values(spark):
     from auto_vectordb_spark.operators.dedup import source_shingle_overlap
 
