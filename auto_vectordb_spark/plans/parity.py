@@ -4792,6 +4792,24 @@ def dedup_span_removal(spark, sf):
 
 
 @_register(
+    "bpe_train_merges",
+    None,
+    doc="Distributed BPE tokenizer training (Sennrich 2016): corpus reduced "
+    "to a (word, count) table once, then per-merge iterations of "
+    "pair-count shuffle + 1-row argmax collect + lookaround regexp merge "
+    "run over the vocab only. Iterative (no SQL oracle); bit-exact "
+    "equivalence vs a pure-Python reference BPE gated in "
+    "tests/test_tokenizer.py (operators/tokenizer.py bpe_train)",
+)
+def bpe_train_merges(spark, sf):
+    from ..operators import tokenizer as TK
+
+    t = load_views(spark, sf)
+    merges, _vocab = TK.bpe_train(t["documents"], num_merges=20, min_freq=2)
+    return merges
+
+
+@_register(
     "mmr_rerank",
     None,
     doc="MMR diversification (Carbonell & Goldstein 1998) of exact-kNN "

@@ -26,6 +26,8 @@ def test_registry_shape():
                 "cluster_kmeans_lloyd",
                 "knn_ivf_pq",
                 "mmr_rerank",
+                "bpe_train_merges",  # iterative argmax loop (tokenizer.py),
+                # gated by the pure-Python reference in tests/test_tokenizer.py
             )
         ), name
 

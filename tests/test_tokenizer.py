@@ -1,0 +1,93 @@
+"""Distributed BPE training gated against a pure-Python reference
+implementation (Sennrich et al. 2016 learn_bpe semantics)."""
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import tokenizer as TK
+
+
+def _python_bpe(word_counts: dict[str, int], num_merges: int, min_freq: int = 2):
+    """Reference BPE: literal transcription of the textbook algorithm."""
+    vocab = {" ".join(list(w) + [TK.END_OF_WORD]): c for w, c in word_counts.items()}
+    merges = []
+    for rank in range(num_merges):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            s = sym.split(" ")
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        # same tie-break as the Spark argmax: freq desc, then pair asc
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_freq:
+            break
+        merges.append((rank, best[0], best[1], pairs[best]))
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(best[0]) + " " + re.escape(best[1]) + r"(?!\S)"
+        )
+        vocab = {pat.sub(best[0] + best[1], sym): c for sym, c in vocab.items()}
+    return merges, vocab
+
+
+def _corpus(spark):
+    rows = [
+        (0, "low lower lowest low low"),
+        (1, "new newer newest new wider wide"),
+        (2, "low new wide wider lowest"),
+        (3, "the lower the wider the newer"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bpe_train_matches_python_reference(spark):
+    docs = _corpus(spark)
+    merges_df, vocab_df = TK.bpe_train(docs, num_merges=12, min_freq=2)
+
+    wc = {
+        r["word"]: r["count"] for r in TK.word_counts(docs).collect()
+    }
+    want_merges, want_vocab = _python_bpe(wc, num_merges=12, min_freq=2)
+
+    got_merges = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got_merges == want_merges and len(got_merges) > 3
+
+    got_vocab = {r["sym"]: r["count"] for r in vocab_df.collect()}
+    assert got_vocab == want_vocab
+    # merges actually compress: some multi-char subword exists
+    assert any(len(s) > 1 and s != TK.END_OF_WORD for sym in got_vocab for s in sym.split(" "))
+
+
+def test_bpe_encode_matches_training_segmentation(spark):
+    """Encoding the training words with the learned merges must reproduce
+    the exact segmentation training ended with (the classic BPE replay
+    equivalence), including for an UNSEEN word built from seen characters."""
+    docs = _corpus(spark)
+    merges_df, vocab_df = TK.bpe_train(docs, num_merges=12, min_freq=2)
+
+    words = vocab_df.select("word")
+    enc = {r["word"]: r["sym"] for r in TK.bpe_encode_words(words, merges_df).collect()}
+    train_sym = {r["word"]: r["sym"] for r in vocab_df.collect()}
+    assert enc == train_sym
+
+    unseen = spark.createDataFrame([("lowwide",), ("zzz",)], ["word"])
+    out = {r["word"]: r for r in TK.bpe_encode_words(unseen, merges_df).collect()}
+    # unseen words segment deterministically; unknown chars stay singletons
+    assert out["lowwide"]["n_subwords"] >= 2
+    assert out["zzz"]["sym"].split(" ")[-1] == TK.END_OF_WORD
+
+
+def test_bpe_min_freq_stops_early(spark):
+    docs = spark.createDataFrame([(0, "aa bb aa")], ["doc_id", "text"])
+    merges_df, _ = TK.bpe_train(docs, num_merges=50, min_freq=2)
+    # only pairs with corpus frequency >= 2 may merge: 'a a' (freq 2,
+    # from 2×'aa') and the resulting 'aa </w>' (freq 2); 'b b' has freq 1
+    ranks = merges_df.collect()
+    assert 0 < len(ranks) < 50
+    assert all(r["freq"] >= 2 for r in ranks)
