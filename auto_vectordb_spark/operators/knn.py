@@ -572,3 +572,42 @@ def ivf_append(
     """
     assigned = ivf_build(new_vectors, centroids, vec_col=vec_col, corpus_id=corpus_id)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(path)
+
+
+def ivf_compact(spark, path: str, corpus_id: str = "vec_id") -> dict[str, int]:
+    """Maintenance rewrite of a persisted IVF index (the vector-side analog
+    of BM25's :func:`~auto_vectordb_spark.operators.bm25.compact_index`):
+    squash crash-replayed duplicate appends down to one row per vector and
+    rewrite each ``centroid_id=`` partition's accumulated small files.
+
+    Under the frozen-centroid append contract (:func:`ivf_append`) a
+    replayed batch re-appends IDENTICAL rows — same embedding, same
+    centroid assignment — so keep-any per ``corpus_id`` is exact, no epoch
+    needed. (Re-EMBEDDING a live id is a corpus rebuild, not an append —
+    out of scope here, as for faiss add().)
+
+    Plan: one (corpus_id) shuffle for the dedup; the rewrite preserves the
+    ``partitionBy("centroid_id")`` layout so partition-pruned search
+    (:func:`ivf_search_persisted`) is untouched. Run with ingest paused —
+    the staging write + directory swap is atomic per rename but appends
+    landing mid-compaction would be dropped.
+
+    Returns {rows_before, rows_after} for maintenance logging.
+    """
+    import shutil
+    from pathlib import Path
+
+    idx = spark.read.parquet(path)
+    before = idx.count()
+    staging = str(Path(path).parent / f"_{Path(path).name}_compact")
+    (
+        idx.dropDuplicates([corpus_id])
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(staging)
+    )
+    shutil.rmtree(path)
+    Path(staging).rename(path)
+    spark.catalog.refreshByPath(path)
+    after = spark.read.parquet(path).count()
+    return {"rows_before": before, "rows_after": after}

@@ -218,3 +218,40 @@ def test_ivf_append_found_by_persisted_search(spark, emb, tmp_path):
     for d, mtime in before.items():
         files = os.listdir(f"{path}/{d}")
         assert files, d
+
+
+def test_ivf_compact_squashes_replayed_appends(spark, emb, tmp_path):
+    """A crash-replayed append leaves duplicate rows; compaction must drop
+    them, keep the centroid_id= partition layout, and leave persisted
+    search results identical to a never-replayed index."""
+    import os
+
+    path = str(tmp_path / "ivf")
+    centroids = KNN.label_centroids(emb)
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    KNN.ivf_write(KNN.ivf_build(old, centroids), path)
+    for _ in range(2):  # the append lands TWICE (simulated replay)
+        KNN.ivf_append(new, centroids, path)
+
+    n_new = new.count()
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    def res(p):
+        out = KNN.ivf_search_persisted(queries, spark, p, centroids, k=5, nprobe=3)
+        return sorted(
+            (r["query_id"], r["vec_id"], round(r["score"], 9)) for r in out.collect()
+        )
+
+    counts = KNN.ivf_compact(spark, path)
+    assert counts["rows_before"] - counts["rows_after"] == n_new
+    assert counts["rows_after"] == emb.count()
+    # compacted index answers exactly like a NEVER-replayed index (the
+    # duplicate rows were crowding top-k slots before compaction)
+    clean = str(tmp_path / "ivf_clean")
+    KNN.ivf_write(KNN.ivf_build(emb, centroids), clean)
+    got = res(path)
+    assert got == res(clean) and len(got) > 0
+    assert any(d.startswith("centroid_id=") for d in os.listdir(path))
