@@ -5312,6 +5312,83 @@ def lateral_topn_per_nation(spark, sf):
     return spark.sql(_LATERAL_TOPN_SQL)
 
 
+@_register(
+    "basket_pair_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS n_orders
+          FROM items),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    item AS (SELECT l_partkey, count(*) AS supp FROM items GROUP BY 1)
+    SELECT p.part_a, p.part_b, p.support,
+           round(p.support * n.n_orders / (ia.supp * ib.supp), 6) AS lift
+    FROM pair p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    WHERE p.support >= 2
+    ORDER BY p.support DESC, lift DESC, p.part_a, p.part_b
+    LIMIT 100
+    """,
+    doc="Market-basket co-occurrence: part pairs bought in the same order, "
+    "scored by lift = P(a,b)/(P(a)P(b)). Pair generation is an equi-join "
+    "on l_orderkey with per-order fan-out bounded by basket size (<=7 "
+    "items in TPC-H, <=21 pairs) — never cross-order quadratic; supports "
+    "are short-key map-side-combined aggregates; the corpus-order count "
+    "rides in as a broadcast 1-row cross join; top-100 is "
+    "TakeOrderedAndProject with a total-order tie-break",
+)
+def basket_pair_lift(spark, sf):
+    t = load_views(spark, sf)
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    n_orders = items.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n_orders")
+    )
+    pair = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("support"))
+    )
+    item = items.groupBy("l_partkey").agg(F.count("*").alias("supp"))
+    scored = (
+        pair.filter(F.col("support") >= 2)
+        .join(
+            item.select(F.col("l_partkey").alias("part_a"), F.col("supp").alias("sa")),
+            "part_a",
+        )
+        .join(
+            item.select(F.col("l_partkey").alias("part_b"), F.col("supp").alias("sb")),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(
+                F.col("support") * F.col("n_orders") / (F.col("sa") * F.col("sb")), 6
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.col("support").desc(), F.col("lift").desc(), "part_a", "part_b"
+    ).limit(100)
+
+
 _CASCADE_COARSE_K = 50
 
 
