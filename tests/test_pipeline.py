@@ -244,15 +244,31 @@ def test_ingest_stream_appends_to_corpus(spark, tmp_path):
 
 
 def test_quickstart_example_runs(tmp_path):
-    """examples/quickstart.py must execute the full endpoint lifecycle."""
-    import importlib.util
+    """examples/quickstart.py must execute the full endpoint lifecycle.
+
+    Runs in a SUBPROCESS: the example (correctly, for an example) calls
+    ``spark.stop()`` at the end, and get_spark()'s getOrCreate would hand it
+    the suite's shared session — an in-process import killed the
+    SparkContext for every later test file (the r02 mass-failure cascade:
+    78 AttributeError/Py4J failures, all downstream of this one stop)."""
+    import subprocess
     import sys
     from pathlib import Path
 
-    spec = importlib.util.spec_from_file_location(
-        "quickstart", Path(__file__).resolve().parents[1] / "examples" / "quickstart.py"
+    example = Path(__file__).resolve().parents[1] / "examples" / "quickstart.py"
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import sys, importlib.util\n"
+            "sys.path.insert(0, '/root/repo')\n"
+            f"spec = importlib.util.spec_from_file_location('quickstart', {str(example)!r})\n"
+            "mod = importlib.util.module_from_spec(spec)\n"
+            "spec.loader.exec_module(mod)\n"
+            f"mod.main({str(tmp_path)!r})\n",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
     )
-    mod = importlib.util.module_from_spec(spec)
-    sys.modules["quickstart"] = mod
-    spec.loader.exec_module(mod)
-    mod.main(str(tmp_path))
+    assert proc.returncode == 0, f"quickstart failed:\n{proc.stderr[-4000:]}"
