@@ -5389,6 +5389,57 @@ def basket_pair_lift(spark, sf):
     ).limit(100)
 
 
+@_register(
+    "events_dau_wau",
+    """
+    WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY day),
+    contrib AS (
+      SELECT DISTINCT d2.day AS day, dy.user_id
+      FROM daily dy JOIN dau d2 ON d2.day BETWEEN dy.day AND dy.day + 6
+    ),
+    wau AS (SELECT day, count(*) AS wau FROM contrib GROUP BY day)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+           round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+    FROM dau d JOIN wau w ON d.day = w.day
+    """,
+    doc="DAU / trailing-7-day WAU / stickiness per day. Rolling COUNT "
+    "DISTINCT over a range window is inexpressible as a Spark window "
+    "frame, so each (day, user) activity row is EXPLODED to the <=7 "
+    "window-end days it contributes to (bounded fan-out), deduped, and "
+    "counted — two short-key shuffles on day-sized keys, no range "
+    "self-join of the raw events. The corpus reduces to distinct "
+    "(day, user) FIRST, so the fan-out multiplies the small reduced table, "
+    "never raw events",
+)
+def events_dau_wau(spark, sf):
+    t = load_views(spark, sf)
+    daily = (
+        t["events"].select(F.to_date("ts").alias("day"), "user_id").distinct()
+    )
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    contrib = (
+        daily.select(
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+            ).alias("day"),
+            "user_id",
+        )
+        .join(F.broadcast(dau.select("day")), "day", "left_semi")
+        .distinct()
+    )
+    wau = contrib.groupBy("day").agg(F.count("*").alias("wau"))
+    return (
+        dau.join(wau, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
 _CASCADE_COARSE_K = 50
 
 
