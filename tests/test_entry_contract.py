@@ -111,3 +111,26 @@ def test_load_views_cache_interleaved_sf_dirs(spark):
     assert t1b["documents"] is t1["documents"]  # cache hit returns same plan
     n_small2 = spark.sql("SELECT count(*) AS n FROM lineitem").collect()[0]["n"]
     assert n_small2 == n_small  # and views re-registered from the cache
+
+
+def test_bench_emits_valid_json(tmp_path):
+    """bench.py is the driver's perf surface — if it breaks, the round's
+    BENCH metric is lost. Run it at sf0.001 in a subprocess and validate
+    the one-line JSON contract."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="8")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, timeout=570, env=env,
+    )
+    assert proc.returncode == 0, f"bench failed:\n{proc.stderr[-4000:]}"
+    line = proc.stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "headline_suite_total" and out["unit"] == "sec"
+    assert out["value"] > 0 and len(out["queries"]) == 14
+    assert all(v >= 0 for v in out["queries"].values())
