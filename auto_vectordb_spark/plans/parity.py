@@ -5389,6 +5389,85 @@ def basket_pair_lift(spark, sf):
     ).limit(100)
 
 
+_MLT_QUERY_DOCS = 3
+_MLT_TERMS = 8
+_MLT_K = 10
+
+
+@_register(
+    "more_like_this",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    tf0 AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    postings AS (SELECT term, doc_id, count(*) AS tf FROM tf0 GROUP BY term, doc_id),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    qt AS (
+      SELECT doc_id AS query_id, term FROM (
+        SELECT p.doc_id, p.term,
+               CAST(row_number() OVER (
+                 PARTITION BY p.doc_id
+                 ORDER BY p.tf * (({_TFIDF_SCALE} * (nd.nd + 1)) // (t.df + 1))
+                            DESC,
+                          p.term
+               ) AS INTEGER) AS rk
+        FROM postings p JOIN tdf t ON p.term = t.term CROSS JOIN nd
+        WHERE p.doc_id < {_MLT_QUERY_DOCS}
+      ) WHERE rk <= {_MLT_TERMS}
+    ),
+    matched AS (
+      SELECT qt.query_id, p.doc_id,
+             ln(1.0 + (s.n - t.df + 0.5) / (t.df + 0.5))
+             * (p.tf * ({BM25.K1} + 1.0))
+             / (p.tf + {BM25.K1} * (1.0 - {BM25.B} + {BM25.B} * d.dl / s.avgdl))
+               AS term_score
+      FROM qt
+      JOIN postings p ON p.term = qt.term
+      JOIN tdf t ON t.term = qt.term
+      JOIN dl d ON d.doc_id = p.doc_id
+      CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT query_id, doc_id, round(sum(term_score), 6) AS score
+      FROM matched GROUP BY query_id, doc_id
+    ),
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM bm25 WHERE query_id <> doc_id
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= {_MLT_K}
+    """,
+    doc="Query-by-example (ES more_like_this): each example doc's top-8 "
+    "terms by integer-exact TF-IDF become a BM25 query; the example itself "
+    "is excluded from its results. The term-selection window filters to "
+    "the example docs BELOW the per-doc rank window (partition-key "
+    "pushdown) while document frequency stays corpus-wide; the BM25 leg "
+    "broadcast-prunes postings to the selected terms as in bm25_topk",
+)
+def more_like_this(spark, sf):
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    n_docs = docs.count()
+    qt = (
+        TS.tfidf_topk_terms(docs, n_docs, k=_MLT_TERMS, scale=_TFIDF_SCALE)
+        .filter(F.col("doc_id") < _MLT_QUERY_DOCS)
+        .select(F.col("doc_id").alias("query_id"), "term")
+    )
+    index = BM25.build_index(docs)
+    scored = (
+        BM25.score_terms(index, qt)
+        .withColumn("score", F.round("score", 6))
+        .filter(F.col("query_id") != F.col("doc_id"))
+    )
+    return R.top_k_per_group(scored, ["query_id"], "score", _MLT_K, tie_break="doc_id")
+
+
+
 @_register(
     "events_dau_wau",
     """
