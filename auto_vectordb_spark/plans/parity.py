@@ -5389,6 +5389,44 @@ def basket_pair_lift(spark, sf):
     ).limit(100)
 
 
+@_register(
+    "events_wau_hll",
+    None,
+    doc="Approximate trailing-7-day WAU from MERGEABLE HLL sketches "
+    "(Datasketches, lgConfigK=14): one daily sketch per day computed in a "
+    "single events pass, each window = hll_union_agg of <=7 tiny sketches "
+    "— at 100 TB the sketches are the persisted daily artifact and any "
+    "window (7/28/90-day) is a union over kilobyte blobs, no re-scan of "
+    "raw events (the sketch-rollup answer to events_dau_wau's exact "
+    "explode). No SQL oracle (DuckDB's HLL is not sketch-compatible); "
+    "per-day relative error vs the exact WAU is gated <2% in "
+    "tests/test_relational.py",
+)
+def events_wau_hll(spark, sf):
+    t = load_views(spark, sf)
+    daily_sk = (
+        t["events"]
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", 14).alias("sk"))
+    )
+    contrib = daily_sk.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "wday"
+        ),
+        "sk",
+    ).join(
+        F.broadcast(daily_sk.select(F.col("day").alias("wday"))), "wday", "left_semi"
+    )
+    return (
+        contrib.groupBy("wday")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("wau_approx"))
+        .select(
+            F.date_format("wday", "yyyy-MM-dd").alias("day"),
+            "wau_approx",
+        )
+    )
+
+
 _MLT_QUERY_DOCS = 3
 _MLT_TERMS = 8
 _MLT_K = 10

@@ -263,3 +263,22 @@ def test_q21_semi_anti_no_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_wau_hll_tracks_exact_within_2pct(spark, sf_dir):
+    """The mergeable-sketch WAU must stay within 2% of the exact rolling
+    distinct count on every day (HLL lgConfigK=14 keeps relative error
+    ~0.8% at these cardinalities)."""
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    exact = {
+        r["day"]: r["wau"]
+        for r in REGISTRY["events_dau_wau"].spark(spark, sf_dir).collect()
+    }
+    approx = {
+        r["day"]: r["wau_approx"]
+        for r in REGISTRY["events_wau_hll"].spark(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact) and len(exact) > 0
+    for day, ex in exact.items():
+        assert abs(approx[day] - ex) / ex < 0.02, (day, approx[day], ex)
