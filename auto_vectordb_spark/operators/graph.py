@@ -1,0 +1,101 @@
+"""Graph analytics over relationship tables derived by the engine (edges
+from dedup pairs, co-purchase pairs, event transitions — any (src, dst)
+DataFrame). The reference has no graph surface; this extends the engine the
+same way dedup's connected components do (operators/dedup.py), with the
+same iterative-algorithm discipline: per-round ``localCheckpoint`` plan
+truncation, scalar-only collects, never an N² join.
+
+PageRank (Brin & Page 1998) here is the standard power iteration WITHOUT
+dangling-mass redistribution (callers feeding undirected graphs — both
+edge directions present — have no dangling nodes, so total rank mass is
+conserved exactly; the pure-Python reference in tests/test_graph.py uses
+the identical formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over a directed edge list.
+
+    Returns (node, rank). Every iteration is two shuffles over the edge
+    table — contributions grouped by destination, then the rank refresh
+    left-join — with the logical plan truncated per round
+    (``localCheckpoint``; K nested join rounds otherwise accrete a plan
+    whose optimization alone dominates, the same failure mode
+    tokenizer.py documents). The node count is the one scalar collect.
+
+    At 100 TB-derived graphs: the edge table shuffles on its natural keys,
+    ranks are one row per node, and nothing in the loop is ever quadratic;
+    skewed high-degree destinations are AQE's skew-split problem by
+    construction (contribution aggregation is a plain groupBy).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = e.join(out_deg, "src").localCheckpoint()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            ed.join(ranks, ed["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
+def copurchase_edges(lineitem: DataFrame, min_support: int = 2) -> DataFrame:
+    """Undirected co-purchase graph as a symmetric directed edge list:
+    (src part, dst part) for part pairs appearing in >= ``min_support``
+    shared orders — the same bounded-fan-out pair generation as
+    basket_pair_lift (plans/parity.py), emitted in both directions so
+    PageRank sees an undirected graph with no dangling nodes.
+    """
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    pair = (
+        items.alias("a")
+        .join(
+            items.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return pair.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).union(
+        pair.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )

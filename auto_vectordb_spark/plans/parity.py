@@ -5427,6 +5427,27 @@ def events_wau_hll(spark, sf):
     )
 
 
+@_register(
+    "graph_pagerank",
+    None,
+    doc="PageRank (Brin & Page 1998, damping 0.85, 10 power iterations) "
+    "over the co-purchase part graph (basket_pair_lift's pair generation, "
+    "emitted symmetric). Iterative: two shuffles per round over the edge "
+    "table, per-round localCheckpoint plan truncation, one scalar collect "
+    "(node count). No SQL oracle (recursive aggregation); bit-tight "
+    "equivalence vs a pure-Python power iteration gated in "
+    "tests/test_graph.py (operators/graph.py pagerank)",
+)
+def graph_pagerank(spark, sf):
+    from ..operators import graph as G
+
+    t = load_views(spark, sf)
+    ranks = G.pagerank(
+        G.copurchase_edges(t["lineitem"], min_support=2), iterations=10
+    )
+    return ranks.select("node", F.round("rank", 9).alias("rank"))
+
+
 _MLT_QUERY_DOCS = 3
 _MLT_TERMS = 8
 _MLT_K = 10

@@ -30,6 +30,8 @@ def test_registry_shape():
                 # gated by the pure-Python reference in tests/test_tokenizer.py
                 "events_wau_hll",  # Datasketches HLL (DuckDB's HLL is not
                 # sketch-compatible); error-gated in tests/test_relational.py
+                "graph_pagerank",  # recursive aggregation (graph.py), gated
+                # by the pure-Python power iteration in tests/test_graph.py
             )
         ), name
 
