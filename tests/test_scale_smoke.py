@@ -126,3 +126,45 @@ def test_cascade_100k_vectors(spark):
     # each query's own vector must survive the cascade at rank 1
     best = {r["query_id"]: r for r in out if r["score"] == 1.0}
     assert set(best) == {0, 1, 2, 3, 4}
+
+
+def test_pagerank_1m_edges(spark):
+    """PageRank's per-round plan must stay flat at volume: 1M synthetic
+    edges, 10 iterations, no driver materialization beyond the node count.
+    A power-law-ish degree distribution (id % skewed moduli) exercises the
+    skewed-destination aggregation path."""
+    from auto_vectordb_spark.operators.graph import pagerank
+
+    n = 1_000_000
+    edges = spark.range(n).select(
+        (F.abs(F.xxhash64("id")) % 100_000).alias("src"),
+        # heavy-tailed destinations: ~10% of edges land on 100 hub nodes
+        F.when(
+            F.col("id") % 10 == 0, F.abs(F.xxhash64("id", F.lit(1))) % 100
+        ).otherwise(F.abs(F.xxhash64("id", F.lit(2))) % 100_000).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, iterations=10)
+    n_nodes = ranks.count()
+    assert n_nodes > 90_000
+    # hubs must outrank the long tail
+    top = ranks.orderBy(F.desc("rank")).limit(50).collect()
+    assert sum(1 for r in top if r["node"] < 100) > 40
+
+
+def test_bpe_train_200k_words(spark):
+    """BPE training cost must be vocab-proportional: 200k synthetic docs
+    reduce to a bounded word table and 5 merge rounds run in seconds."""
+    from auto_vectordb_spark.operators.tokenizer import bpe_train
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), (F.abs(F.xxhash64("id")) % 5_000).cast("string")),
+            F.concat(F.lit("w"), (F.abs(F.xxhash64("id", F.lit(1))) % 5_000).cast("string")),
+            F.lit("the common tail"),
+        ).alias("text"),
+    )
+    merges, vocab = bpe_train(docs, num_merges=5, min_freq=2)
+    assert merges.count() == 5
+    assert vocab.count() > 5_000  # distinct words, not docs
