@@ -5448,6 +5448,41 @@ def graph_pagerank(spark, sf):
     return ranks.select("node", F.round("rank", 9).alias("rank"))
 
 
+@_register(
+    "graph_degree_histogram",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT pa AS src FROM pair WHERE support >= 2
+      UNION ALL
+      SELECT pb AS src FROM pair WHERE support >= 2
+    ),
+    deg AS (SELECT src, count(*) AS degree FROM edges GROUP BY src)
+    SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the co-purchase graph (graph_pagerank's "
+    "edge list, oracle-paired structural audit): per-node degree then a "
+    "histogram — two short-key aggregations over the bounded-fan-out pair "
+    "table (operators/graph.py copurchase_edges)",
+)
+def graph_degree_histogram(spark, sf):
+    from ..operators import graph as G
+
+    t = load_views(spark, sf)
+    deg = (
+        G.copurchase_edges(t["lineitem"], min_support=2)
+        .groupBy("src")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 _MLT_QUERY_DOCS = 3
 _MLT_TERMS = 8
 _MLT_K = 10
