@@ -96,6 +96,7 @@ def knn_exact_blas(
     corpus_id: str = "vec_id",
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
+    round_decimals: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow/NumPy BLAS kernel (the throughput path).
 
@@ -104,9 +105,18 @@ def knn_exact_blas(
     and emits only its LOCAL per-query top-k; a final windowed top-k merges
     partitions. At 100 TB the corpus is scanned once, nothing but (parts × k
     × queries) candidate rows shuffle. ~100× the FLOP rate of the row-at-a-
-    time expression kernel; last-ulp score differences vs the exact oracle
-    are possible (BLAS reduction order) — use :func:`knn_exact` when
-    bit-exactness matters more than throughput.
+    time expression kernel.
+
+    ``round_decimals`` makes the result oracle-comparable the same way
+    :func:`knn_exact` does: scores are rounded BEFORE every ranking step —
+    inside the kernel the local top-k sorts (rounded score DESC, id ASC)
+    via lexsort instead of argpartition, and the global merge ranks the
+    rounded scores with the id tie-break — so the top-k cut is deterministic
+    and identical to the expression kernel whenever no true score sits
+    within BLAS reduction-order noise (~1e-15) of a rounding boundary
+    (measured ≥8.8e-5 away on the sf0.01 fixtures; see plans/parity.py).
+    Without it, last-ulp score differences vs :func:`knn_exact` are
+    possible (BLAS reduction order).
     """
     import numpy as np
     import pandas as pd
@@ -128,10 +138,18 @@ def knn_exact_blas(
             C = np.stack(pdf[corpus_vec].map(lambda v: np.asarray(v, dtype=np.float64)))
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn_b.T  # (rows, nq)
+            if round_decimals is not None:
+                S = np.round(S, round_decimals)
             kk = min(k, S.shape[0])
-            # local top-k per query: argpartition then exact sort of the head
-            top = np.argpartition(-S, kk - 1, axis=0)[:kk]
             cids = pdf[corpus_id].to_numpy()
+            if round_decimals is not None:
+                # deterministic local cut: (score DESC, id ASC) per query
+                top = np.empty((kk, S.shape[1]), dtype=np.int64)
+                for j in range(S.shape[1]):
+                    top[:, j] = np.lexsort((cids, -S[:, j]))[:kk]
+            else:
+                # local top-k per query: argpartition (fast path)
+                top = np.argpartition(-S, kk - 1, axis=0)[:kk]
             frames = []
             for j in range(S.shape[1]):
                 sel = top[:, j]
