@@ -290,9 +290,17 @@ def compact_index(spark, index_dir: str) -> dict[str, int]:
     for name, df in jobs:
         df.write.mode("overwrite").parquet(str(base / f"_{name}_compact"))
     for name, _ in jobs:
+        # Aside-rename ordering keeps the live path always present: live ->
+        # _old (atomic), staging -> live (atomic), then delete _old. A crash
+        # between the renames leaves _old recoverable; the live dir is never
+        # absent for concurrent readers.
         final = base / name
-        shutil.rmtree(final)
+        old = base / f"_{name}_old"
+        if old.exists():
+            shutil.rmtree(old)
+        final.rename(old)
         (base / f"_{name}_compact").rename(final)
+        shutil.rmtree(old)
         spark.catalog.refreshByPath(str(final))
     counts["doc_lens_after"] = spark.read.parquet(f"{index_dir}/doc_lens").count()
     counts["postings_after"] = spark.read.parquet(f"{index_dir}/postings").count()

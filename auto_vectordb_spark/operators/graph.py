@@ -5,11 +5,13 @@ same way dedup's connected components do (operators/dedup.py), with the
 same iterative-algorithm discipline: per-round ``localCheckpoint`` plan
 truncation, scalar-only collects, never an N² join.
 
-PageRank (Brin & Page 1998) here is the standard power iteration WITHOUT
-dangling-mass redistribution (callers feeding undirected graphs — both
-edge directions present — have no dangling nodes, so total rank mass is
-conserved exactly; the pure-Python reference in tests/test_graph.py uses
-the identical formulation).
+PageRank (Brin & Page 1998) is the standard power iteration WITH
+dangling-mass redistribution: rank stranded on out-degree-0 nodes is
+aggregated each round (one scalar collect, the same discipline as the node
+count) and folded into the base term, so total rank mass is conserved
+exactly on ANY directed (src, dst) input — sinks included. The pure-Python
+reference in tests/test_graph.py uses the identical formulation and is
+asserted equal on a directed chain with a sink.
 """
 
 from __future__ import annotations
@@ -32,12 +34,19 @@ def pagerank(
     left-join — with the logical plan truncated per round
     (``localCheckpoint``; K nested join rounds otherwise accrete a plan
     whose optimization alone dominates, the same failure mode
-    tokenizer.py documents). The node count is the one scalar collect.
+    tokenizer.py documents). Scalar collects: the node count once, plus
+    one dangling-mass aggregate per iteration (skipped entirely when the
+    graph has no sinks — the common undirected case detects this with a
+    single upfront count). Rank stranded on out-degree-0 nodes is folded
+    into the base term (``damping * dangling_mass / n``), so total mass
+    is exactly 1.0 on any directed input.
 
     At 100 TB-derived graphs: the edge table shuffles on its natural keys,
     ranks are one row per node, and nothing in the loop is ever quadratic;
     skewed high-degree destinations are AQE's skew-split problem by
-    construction (contribution aggregation is a plain groupBy).
+    construction (contribution aggregation is a plain groupBy). The
+    dangling aggregate is a semi-join + global sum on the 1-row-per-node
+    rank table — no new shuffle of the edge table.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     nodes = (
@@ -47,11 +56,28 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:
+        # e.g. copurchase_edges with a high min_support: a legitimate
+        # empty graph, not an error
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(out_deg, "src").localCheckpoint()
+    dangling = nodes.join(
+        out_deg.select(F.col("src").alias("node")), "node", "left_anti"
+    ).localCheckpoint()
+    has_dangling = dangling.limit(1).count() > 0
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
     for _ in range(iterations):
+        dangling_mass = 0.0
+        if has_dangling:
+            dm_row = (
+                ranks.join(dangling, "node", "left_semi")
+                .agg(F.sum("rank").alias("dm"))
+                .first()
+            )
+            dangling_mass = dm_row["dm"] or 0.0
+        step_base = base + damping * dangling_mass / n
         contribs = (
             ed.join(ranks, ed["src"] == ranks["node"])
             .select(
@@ -66,7 +92,7 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(step_base)
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("rank"),
             )

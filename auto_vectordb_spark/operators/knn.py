@@ -624,8 +624,15 @@ def ivf_compact(spark, path: str, corpus_id: str = "vec_id") -> dict[str, int]:
         .partitionBy("centroid_id")
         .parquet(staging)
     )
-    shutil.rmtree(path)
+    # Aside-rename ordering: the live index path is never absent (live ->
+    # _old, staging -> live, delete _old); a crash mid-swap leaves _old
+    # recoverable instead of a missing index.
+    old = Path(path).parent / f"_{Path(path).name}_old"
+    if old.exists():
+        shutil.rmtree(old)
+    Path(path).rename(old)
     Path(staging).rename(path)
+    shutil.rmtree(old)
     spark.catalog.refreshByPath(path)
     after = spark.read.parquet(path).count()
     return {"rows_before": before, "rows_after": after}

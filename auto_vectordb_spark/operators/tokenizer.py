@@ -10,13 +10,15 @@ corpus:
    pre-tokenization reduction. At 100 TB the distinct-word table is a few
    hundred million rows at most: it fits the cluster trivially and every
    merge iteration operates on it alone.
-2. Each of the K merge iterations is: adjacent-pair counts (one short-key
-   shuffle over the vocab, map-side combined, weighted by word count) →
-   argmax collect of ONE row (count desc, pair asc — deterministic
-   tie-break) → apply the merge to the symbol strings with a
-   lookaround-anchored regexp_replace (the exact left-to-right
-   non-overlapping semantics of the reference implementation's
-   ``re.sub('(?<!\\S)a b(?!\\S)')``).
+2. Each merge ROUND is: adjacent-pair counts (one short-key shuffle over
+   the vocab, map-side combined, weighted by word count) → argmax collect
+   of the head (count desc, pair asc — deterministic tie-break) → apply
+   the merge(s) to the symbol strings with lookaround-anchored
+   regexp_replace (the exact left-to-right non-overlapping semantics of
+   the reference implementation's ``re.sub('(?<!\\S)a b(?!\\S)')``).
+   With ``merge_batch`` > 1 a round applies up to M provably-independent
+   merges at once (see :func:`_select_merge_batch`), so a production 32k
+   vocab is ~32k/M rounds, not 32k sequential Spark jobs.
 3. The evolving vocab is eagerly ``localCheckpoint``-ed per iteration:
    that truncates the LOGICAL plan, not just execution — K nested merge
    rounds otherwise accrete a plan whose very explain-string OOMs the
@@ -74,11 +76,68 @@ def _pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+def _select_merge_batch(
+    head: list, batch: int, min_freq: int, exhaustive: bool
+) -> list[tuple[str, str, int]]:
+    """Greedy prefix of the sorted pair-count head that is PROVABLY the next
+    ``len(picks)`` merges classic sequential BPE would make, in order.
+
+    Selection walks the head (freq desc, pair asc — the argmax order) and
+    picks pairs while they are symbol-disjoint from everything already
+    picked (including the picked pairs' concatenated new symbols); the walk
+    STOPS — not skips — at the first interacting candidate, so every pair
+    that any picked merge can change sorts strictly after the picks.
+
+    Equivalence argument (each sequential step k < m must still choose
+    pick k+1 after applying picks 1..k):
+
+    - picks are mutually symbol-disjoint and their concats are fresh
+      symbols (enforced by ``used`` here plus the vocab-collision check in
+      :func:`bpe_train`), so applying them in any order yields the same
+      vocab and none creates/destroys another pick's adjacencies;
+    - every pair whose count a pick can change shares a symbol with it →
+      sorts at/after the stop position → old freq <= ``cut`` (the stop
+      entry's freq); pairs NOT in the head are below the head minimum;
+    - new pairs created by merging (x, l r -> x, lr) have freq bounded by
+      the old interacting pair (x, l)'s freq <= cut;
+    - the final strict truncation keeps only picks with freq > cut, so no
+      changed/new pair can reach a pick's frequency, and ties (where the
+      pair-asc tie-break could reorder) are impossible.
+
+    Degenerates gracefully: flat-frequency regions truncate the batch
+    (worst case to 1 pick = classic exact argmax).
+    """
+    picks: list[tuple[str, str, int]] = []
+    used: set[str] = set()
+    cut: int | None = None
+    for r in head:
+        left, right, freq = r["left"], r["right"], int(r["freq"])
+        if freq < min_freq:
+            cut = None  # nothing at/below this frequency may merge anyway
+            break
+        if len(picks) >= batch or (
+            picks and (left in used or right in used or (left + right) in used)
+        ):
+            cut = freq
+            break
+        picks.append((left, right, freq))
+        used.update((left, right, left + right))
+    else:
+        # head exhausted without a stop: only safe to skip the cut when the
+        # head held EVERY pair (limit not reached)
+        cut = None if exhaustive or not head else int(head[-1]["freq"])
+    if cut is not None and len(picks) > 1:
+        kept = [p for p in picks if p[2] > cut]
+        picks = kept or picks[:1]  # pick #1 is the exact argmax regardless
+    return picks
+
+
 def bpe_train(
     docs: DataFrame,
     text_col: str = "text",
     num_merges: int = 30,
     min_freq: int = 2,
+    merge_batch: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn ``num_merges`` BPE merges from a corpus.
 
@@ -91,6 +150,17 @@ def bpe_train(
 
     Stops early when the best pair's frequency drops below ``min_freq``
     (merging singletons memorizes the corpus).
+
+    ``merge_batch`` > 1 is the production-scale path: each round collects
+    the pair-count HEAD (top ``max(64, 4*batch)`` rows — still a bounded
+    driver transfer), greedily takes up to ``merge_batch`` provably-safe
+    merges (see :func:`_select_merge_batch`: mutually disjoint symbols,
+    frequencies strictly dominating everything they can change, concats
+    verified absent from the live vocab with one filtered aggregate), and
+    applies them all in ONE vocab rewrite + localCheckpoint. A 32k-merge
+    production vocab then costs ~32k/batch Spark rounds instead of 32k
+    sequential jobs, with a merge table IDENTICAL to sequential training —
+    batching here is a scheduling optimization, not an approximation.
     """
     spark = docs.sparkSession
     vocab = (
@@ -99,24 +169,48 @@ def bpe_train(
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(num_merges):
-        best = (
+    while len(merges) < num_merges:
+        batch = min(max(1, merge_batch), num_merges - len(merges))
+        head_n = max(64, 4 * batch) if batch > 1 else 1
+        head = (
             _pair_counts(vocab)
             .orderBy(F.col("freq").desc(), F.col("left").asc(), F.col("right").asc())
-            .limit(1)
+            .limit(head_n)
             .collect()
         )
-        if not best or best[0]["freq"] < min_freq:
+        if not head or head[0]["freq"] < min_freq:
             break
-        left, right, freq = best[0]["left"], best[0]["right"], int(best[0]["freq"])
-        merges.append((rank, left, right, freq))
-        pattern = f"(?<!\\S){re.escape(left)} {re.escape(right)}(?!\\S)"
-        vocab = vocab.withColumn(
-            "sym",
-            F.regexp_replace(
-                "sym", pattern, (left + right).replace("\\", "\\\\").replace("$", "\\$")
-            ),
-        ).localCheckpoint()
+        picks = _select_merge_batch(head, batch, min_freq, exhaustive=len(head) < head_n)
+        if len(picks) > 1:
+            # a pick whose concat already exists as a live symbol could BOOST
+            # an existing pair's count mid-batch (sum of old + new
+            # occurrences breaks the dominance bound) — verify freshness
+            # against the actual vocab and truncate at the first collision.
+            concats = [left + right for left, right, _ in picks]
+            existing = {
+                r["s"]
+                for r in (
+                    vocab.select(F.explode(F.split("sym", " ")).alias("s"))
+                    .filter(F.col("s").isin(concats))
+                    .distinct()
+                    .collect()
+                )
+            }
+            if existing:
+                for i, c in enumerate(concats):
+                    if c in existing:
+                        picks = picks[:i] if i >= 1 else picks[:1]
+                        break
+        sym_col = F.col("sym")
+        for left, right, freq in picks:
+            merges.append((len(merges), left, right, freq))
+            pattern = f"(?<!\\S){re.escape(left)} {re.escape(right)}(?!\\S)"
+            sym_col = F.regexp_replace(
+                sym_col,
+                pattern,
+                (left + right).replace("\\", "\\\\").replace("$", "\\$"),
+            )
+        vocab = vocab.withColumn("sym", sym_col).localCheckpoint()
     merges_df = spark.createDataFrame(
         merges, "rank int, left string, right string, freq bigint"
     )

@@ -408,11 +408,21 @@ class VectorPipeline:
         return self.corpus().filter(F.col("hashed_filepath") == hashed_filepath)
 
     def distinct_filepaths(self) -> list[str]:
-        """A1 — GET /unique-filepath."""
+        """A1 — GET /unique-filepath (reference routers/pg_rdb.py:142-156).
+
+        Faithful to the reference endpoint, which materializes the full list
+        — a driver collect of one row per distinct file. At 100 M+ files
+        that is a driver OOM by design; large deployments should use
+        :meth:`distinct_filepaths_df` and keep the result distributed
+        (write it, join it, or limit it)."""
         return [
-            r["hashed_filepath"]
-            for r in self.corpus().select("hashed_filepath").distinct().collect()
+            r["hashed_filepath"] for r in self.distinct_filepaths_df().collect()
         ]
+
+    def distinct_filepaths_df(self) -> DataFrame:
+        """A1, the scale path: distinct filepaths as a DataFrame (one
+        short-key shuffle, nothing collected)."""
+        return self.corpus().select("hashed_filepath").distinct()
 
     def delete_by_ids(self, ids: list[str]) -> None:
         """P4 — rewrite corpus minus ids (parquet has no in-place delete; on

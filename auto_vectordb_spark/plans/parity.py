@@ -4737,10 +4737,15 @@ def keyword_tfidf_topk(spark, sf):
 
 
 _DUPSPAN_W = 5
+# DuckDB twin of a width-W token window — generated FROM _DUPSPAN_W (window
+# count = len-W+1, slice spans W tokens) so changing the constant can never
+# desynchronize the oracle from the Spark side.
 _SHINGLES5_SQL = (
-    "CASE WHEN len({t}) < 5 THEN [] "
-    "ELSE list_transform(range(1, len({t}) - 3), i -> array_to_string({t}[i:i+4], ' ')) END"
+    f"CASE WHEN len({{t}}) < {_DUPSPAN_W} THEN [] "
+    f"ELSE list_transform(range(1, len({{t}}) - {_DUPSPAN_W - 2}), "
+    f"i -> array_to_string({{t}}[i:i+{_DUPSPAN_W - 1}], ' ')) END"
 )
+_DUPSPAN_OFFSETS_SQL = ", ".join(f"({d})" for d in range(_DUPSPAN_W))
 
 
 @_register(
@@ -4793,7 +4798,7 @@ def substring_dup_spans(spark, sf):
     cov AS (
       SELECT DISTINCT w.doc_id, w.wpos + o.d AS tpos
       FROM win w JOIN dup USING (h)
-      CROSS JOIN (VALUES (0), (1), (2), (3), (4)) o(d)
+      CROSS JOIN (VALUES {_DUPSPAN_OFFSETS_SQL}) o(d)
     ),
     tokex AS (
       SELECT doc_id, generate_subscripts(toks, 1) - 1 AS tpos, unnest(toks) AS tk
@@ -4829,17 +4834,23 @@ def dedup_span_removal(spark, sf):
     "bpe_train_merges",
     None,
     doc="Distributed BPE tokenizer training (Sennrich 2016): corpus reduced "
-    "to a (word, count) table once, then per-merge iterations of "
-    "pair-count shuffle + 1-row argmax collect + lookaround regexp merge "
-    "run over the vocab only. Iterative (no SQL oracle); bit-exact "
-    "equivalence vs a pure-Python reference BPE gated in "
-    "tests/test_tokenizer.py (operators/tokenizer.py bpe_train)",
+    "to a (word, count) table once, then merge ROUNDS of pair-count "
+    "shuffle + head collect + lookaround regexp merges run over the vocab "
+    "only — merge_batch=8 applies up to 8 provably-independent merges per "
+    "round (tokenizer._select_merge_batch: disjoint symbols, strict "
+    "frequency dominance, vocab-collision check), with a merge table "
+    "IDENTICAL to sequential training. Iterative (no SQL oracle); "
+    "bit-exact equivalence vs a pure-Python reference BPE AND batched-vs-"
+    "sequential identity gated in tests/test_tokenizer.py; 256-merge "
+    "bounded-time smoke in tests/test_scale_smoke.py",
 )
 def bpe_train_merges(spark, sf):
     from ..operators import tokenizer as TK
 
     t = load_views(spark, sf)
-    merges, _vocab = TK.bpe_train(t["documents"], num_merges=20, min_freq=2)
+    merges, _vocab = TK.bpe_train(
+        t["documents"], num_merges=20, min_freq=2, merge_batch=8
+    )
     return merges
 
 

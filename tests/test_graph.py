@@ -6,6 +6,7 @@ from auto_vectordb_spark.operators import graph as G
 
 
 def _python_pagerank(edges, damping=0.85, iterations=10):
+    """Power iteration WITH dangling-mass redistribution (matches graph.py)."""
     nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
     n = len(nodes)
     out = {}
@@ -13,12 +14,12 @@ def _python_pagerank(edges, damping=0.85, iterations=10):
         out[a] = out.get(a, 0) + 1
     rank = {v: 1.0 / n for v in nodes}
     for _ in range(iterations):
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        base = (1.0 - damping) / n + damping * dangling / n
         contrib = {}
         for a, b in edges:
             contrib[b] = contrib.get(b, 0.0) + rank[a] / out[a]
-        rank = {
-            v: (1.0 - damping) / n + damping * contrib.get(v, 0.0) for v in nodes
-        }
+        rank = {v: base + damping * contrib.get(v, 0.0) for v in nodes}
     return rank
 
 
@@ -44,15 +45,30 @@ def test_pagerank_matches_python_reference(spark):
     assert got[3] > got[5]
 
 
-def test_pagerank_directed_dangling_loses_mass(spark):
-    """Documented semantics: without dangling redistribution, a sink node
-    leaks mass — total rank < 1 on a directed chain."""
-    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
-    got = {r["node"]: r["rank"] for r in G.pagerank(edges, iterations=5).collect()}
-    want = _python_pagerank([(1, 2), (2, 3)], iterations=5)
+def test_pagerank_directed_with_sinks_conserves_mass(spark):
+    """General directed input: dangling mass is redistributed each round,
+    so ranks match the python reference AND sum to exactly 1."""
+    edges = [(1, 2), (2, 3), (1, 4), (4, 3), (5, 1)]  # 3 is a sink
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(
+            spark.createDataFrame(edges, ["src", "dst"]), iterations=8
+        ).collect()
+    }
+    want = _python_pagerank(edges, iterations=8)
+    assert set(got) == set(want)
     for v in want:
-        assert abs(got[v] - want[v]) < 1e-9
-    assert sum(got.values()) < 1.0
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # the sink fed by two paths outranks the feeder leaf
+    assert got[3] > got[5]
+
+
+def test_pagerank_empty_graph(spark):
+    empty = spark.createDataFrame([], "src long, dst long")
+    out = G.pagerank(empty, iterations=3)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
 
 
 def test_copurchase_edges_symmetric(spark, sf_dir):

@@ -108,6 +108,10 @@ def test_management_surface(spark, tmp_path):
     assert p.count() == 2
     fps = p.distinct_filepaths()
     assert len(fps) == 2
+    # scale path: same distinct set, never collected
+    df = p.distinct_filepaths_df()
+    assert df.columns == ["hashed_filepath"]
+    assert {r["hashed_filepath"] for r in df.collect()} == set(fps)
     assert p.get_by_hashed_filepath(fps[0]).count() == 1
     victim = p.corpus().first()["id"]
     p.delete_by_ids([victim])

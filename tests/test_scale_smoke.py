@@ -168,3 +168,32 @@ def test_bpe_train_200k_words(spark):
     merges, vocab = bpe_train(docs, num_merges=5, min_freq=2)
     assert merges.count() == 5
     assert vocab.count() > 5_000  # distinct words, not docs
+
+
+def test_bpe_train_256_merges_batched(spark):
+    """Production-vocab shape: 256 merges must complete in bounded time via
+    merge_batch (≈256/32 rounds, each one pair-count job + one rewrite),
+    not 256 sequential Spark jobs. Distinct-word-rich corpus so batches
+    fill with independent merges."""
+    import time
+
+    from auto_vectordb_spark.operators.tokenizer import bpe_train
+
+    docs = spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("alpha"), (F.abs(F.xxhash64("id")) % 800).cast("string")),
+            F.concat(F.lit("bravo"), (F.abs(F.xxhash64("id", F.lit(1))) % 800).cast("string")),
+            F.concat(F.lit("delta"), (F.abs(F.xxhash64("id", F.lit(2))) % 800).cast("string")),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    merges, _vocab = bpe_train(docs, num_merges=256, min_freq=2, merge_batch=32)
+    n = merges.count()
+    elapsed = time.time() - t0
+    assert n == 256
+    # rank order must be contiguous 0..255
+    ranks = [r["rank"] for r in merges.orderBy("rank").collect()]
+    assert ranks == list(range(256))
+    assert elapsed < 300, f"256 batched merges took {elapsed:.0f}s"

@@ -91,3 +91,50 @@ def test_bpe_min_freq_stops_early(spark):
     ranks = merges_df.collect()
     assert 0 < len(ranks) < 50
     assert all(r["freq"] >= 2 for r in ranks)
+
+
+def test_bpe_batched_matches_sequential(spark):
+    """merge_batch is a scheduling optimization, not an approximation: the
+    merge table and final vocab must be IDENTICAL to single-merge training
+    (the _select_merge_batch safety rule guarantees it)."""
+    docs = _corpus(spark)
+    seq_merges, seq_vocab = TK.bpe_train(docs, num_merges=12, min_freq=2)
+    want = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in seq_merges.orderBy("rank").collect()
+    ]
+    want_vocab = {r["sym"]: r["count"] for r in seq_vocab.collect()}
+    for batch in (2, 4, 8):
+        merges_df, vocab_df = TK.bpe_train(
+            docs, num_merges=12, min_freq=2, merge_batch=batch
+        )
+        got = [
+            (r["rank"], r["left"], r["right"], r["freq"])
+            for r in merges_df.orderBy("rank").collect()
+        ]
+        assert got == want, (batch, got, want)
+        assert {r["sym"]: r["count"] for r in vocab_df.collect()} == want_vocab
+
+
+def test_bpe_batched_matches_python_reference_wikitextish(spark):
+    """Batched training on a larger, messier corpus (repeated natural-ish
+    sentences with skewed word frequencies) still reproduces the textbook
+    sequential reference exactly."""
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the lazy dog sleeps while the quick fox runs",
+        "a journey of a thousand miles begins with a single step",
+        "to be or not to be that is the question",
+        "all that glitters is not gold but gold glitters",
+    ]
+    rows = [(i, base[i % len(base)]) for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges_df, _ = TK.bpe_train(docs, num_merges=40, min_freq=2, merge_batch=8)
+    wc = {r["word"]: r["count"] for r in TK.word_counts(docs).collect()}
+    want_merges, _ = _python_bpe(wc, num_merges=40, min_freq=2)
+    got = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == want_merges
+    assert len(got) > 20
