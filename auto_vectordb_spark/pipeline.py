@@ -466,15 +466,16 @@ def build_training_set(
       length sort lexicographically = numerically, so the 256 buckets are
       *contiguous ranges* of the global order — deterministic, no
       repartitionByRange sampling, no spark_partition_id.
-    - running sum *within* each bucket (windows parallelize across buckets);
-    - per-bucket totals (256 rows) get their own running sum — a global
-      window over provably tiny data — and broadcast-join back as offsets.
+    - per-bucket token totals (a plain 256-row groupBy-sum, no window) are
+      collected — a sanctioned 256-row scalar-class action that doubles as
+      the cache-materializing pin for the persisted survivors — and their
+      exclusive prefix sum returns as a 256-entry literal map lookup;
+    - running sum *within* each bucket (windows parallelize across buckets)
+      + the bucket's offset = the global running total.
 
     global cum = in-bucket cum + offset of all preceding buckets. Output is
     bit-identical to the single-window form (oracle-verified,
-    plans/parity.py training_set_build). Catalyst reuses the bucket-window
-    exchange for the totals branch (ReusedExchange), so the expensive dedup
-    front end is computed once.
+    plans/parity.py training_set_build).
 
     At 100 TB: stages 1-2 are the dedup/textstats operators at their
     documented shuffle budgets; stage 3 adds one hash shuffle on the bucket
@@ -506,38 +507,34 @@ def build_training_set(
     # 6.2 s vs 4.4 s at sf0.1), so persist the survivors explicitly — a tiny
     # (id + 3 numeric cols) table even at 100 TB corpus scale.
     ranked = ranked.persist()
-    # Materialize the cache NOW: the offsets branch is evaluated on the
-    # broadcast thread concurrently with the main probe, and with a lazy
-    # persist both race to compute `ranked` — measured 4.6 s vs up to 17 s
-    # run-to-run at sf0.1 depending on who wins. One tiny count() action
-    # pins the front end to exactly one execution.
-    ranked.count()
+    # ONE action both materializes the cache (pinning the front end to
+    # exactly one execution — a lazy persist lets the two branches race,
+    # measured up to 17 s run-to-run at sf0.1) AND produces the offsets:
+    # per-bucket totals are a plain groupBy-sum over the cached survivors —
+    # no window — collected as ≤256 rows. This replaced a separate
+    # count() pin + window-derived totals + broadcast self-join (the r2
+    # shape): same output, one fewer job, no totals-side window sort.
+    totals = ranked.groupBy("__bkt").agg(F.sum("n_tokens").alias("__tot")).collect()
+    run = 0
+    offsets: dict[str, int] = {}
+    for r in sorted(totals, key=lambda r: r["__bkt"]):
+        offsets[r["__bkt"]] = run
+        run += r["__tot"]
+    if not offsets:  # every doc deduped/filtered away: empty, typed result
+        return ranked.select(
+            "doc_id", "n_tokens", F.lit(0).cast("long").alias("cum_tokens"), "quality"
+        ).limit(0)
+    # 256-entry literal lookup beats a broadcast join: no broadcast
+    # exchange, no join node, stays inside whole-stage codegen.
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
     in_bucket = Window.partitionBy("__bkt").orderBy("__ord").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    local = ranked.withColumn("__cum_local", F.sum("n_tokens").over(in_bucket))
-    # 256-row side: total per bucket, then exclusive running sum = offset.
-    totals = local.groupBy("__bkt").agg(F.max("__cum_local").alias("__tot"))
-    # Exclusive prefix sum over the ≤256 bucket totals, computed on one
-    # sorted array instead of an unpartitioned window (a windowless shape —
-    # nothing here can ever trip the single-partition WindowExec path, and
-    # the O(B²) in-row aggregate is 256² trivial ops).
-    offsets = (
-        totals.agg(F.sort_array(F.collect_list(F.struct("__bkt", "__tot"))).alias("a"))
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(a, (e, i) -> struct(e.__bkt AS __bkt, "
-                    "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), "
-                    "(acc, x) -> acc + x.__tot) AS __off))"
-                )
-            ).alias("e")
-        )
-        .select("e.__bkt", "e.__off")
-    )
     out = (
-        local.join(F.broadcast(offsets), "__bkt")
-        .withColumn("cum_tokens", F.col("__cum_local") + F.col("__off"))
+        ranked.withColumn("__cum_local", F.sum("n_tokens").over(in_bucket))
+        .withColumn("cum_tokens", F.col("__cum_local") + off_map[F.col("__bkt")])
         .filter(F.col("cum_tokens") <= token_budget)
         .select("doc_id", "n_tokens", "cum_tokens", "quality")
     )

@@ -82,9 +82,17 @@ def ensure_session_confs(spark: SparkSession) -> None:
       a bare session throws PARQUET_TYPE_ILLEGAL before any query logic runs.
     - ``timeZone=UTC``: parity rule 3 formats timestamps to strings, which
       must not drift with the host TZ.
+    - ``limit.initialNumPartitions``: the engine's size-guarded collects
+      probe with ``limit(threshold+1)``; CollectLimit's default incremental
+      scan (1 partition, then 4×, ...) re-runs the probe's expensive
+      lineage in up to 4 SEQUENTIAL waves whenever the true row count is
+      below the threshold (always, for a well-sized guard). One wide wave
+      restores full parallelism — measured ~2x on the minhash-pair probe
+      inside training_set_build at sf0.1.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "1024")
 
 
 #: Memoized table DataFrames per live SparkSession — driver-side parquet

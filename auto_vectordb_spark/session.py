@@ -46,6 +46,10 @@ def get_spark(
         # testdata events.ts is TIMESTAMP(NANOS) which Spark's reader rejects;
         # read as long and convert (floor-to-µs, matching DuckDB) in load_views
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # size-guarded limit-probes must scan in ONE parallel wave, not
+        # CollectLimit's sequential 1, 4, 16... escalation (see
+        # plans/parity.py ensure_session_confs)
+        .config("spark.sql.limit.initialNumPartitions", "1024")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
