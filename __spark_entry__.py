@@ -33,9 +33,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query.
 
-    Entries absent here (ANN approximate search) are genuinely
-    non-SQL-expressible (MLlib LSH models / iterative bucket pruning); the
-    driver records rows-only checks and tests/test_ann.py gates their
-    recall@k against the exact oracle instead.
+    The 8 entries absent here are genuinely non-oracle-able: probabilistic
+    recall (ann_ivf/ann_lsh/knn_ivf_pq, dedup_embedding_blas/_lsh — sign-LSH
+    or centroid bucketing; recall gates in tests/test_ann.py and
+    tests/test_dedup.py), engine-specific sketches (approx_distinct_users,
+    events_wau_hll — HLL register layouts differ per engine), or an
+    argmax-collect loop RE2 can't replay (bpe_train_merges — lookaround
+    regexp rewrites; batched-vs-sequential identity gated in
+    tests/test_tokenizer.py). Deterministic fixed-iteration algorithms
+    (pagerank, Lloyd k-means, greedy MMR) ARE oracle-paired, via unrolled
+    MATERIALIZED-CTE chains in plans/parity.py.
     """
     return {name: q.sql for name, q in ordered_registry().items() if q.sql is not None}

@@ -4199,13 +4199,88 @@ def cluster_profile(spark, sf):
     )
 
 
+_CL_QSQL = 10_000_000  # MUST equal operators/cluster._Q (asserted in tests)
+
+
+def _kmeans_sql(iters: int = 3, k: int = _CL_K) -> str:
+    """Fixed-iteration Lloyd k-means unrolled as chained MATERIALIZED CTEs —
+    the SQL twin of operators/cluster.py lloyd (seed = k lowest-id vectors;
+    per round: argmin assignment on round-6 distances with cid tie-break,
+    exact quantized-int centroid means, empty clusters keep the previous
+    centroid). Every arithmetic step is already engine-order-proof
+    (parity rule 1), so the unroll is hash-exact, not approximately equal."""
+    head = f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT CAST(vec_id AS BIGINT) AS cid, v AS c FROM v WHERE vec_id < {k}
+    ),
+    e AS MATERIALIZED (
+      SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM v
+    )"""
+    its = []
+    for i in range(1, iters + 1):
+        its.append(f""",
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, cid, d FROM (
+        SELECT v.vec_id, c.cid,
+               round(list_sum(list_transform(range(1, len(v.v) + 1),
+                     j -> (v.v[j] - c.c[j]) * (v.v[j] - c.c[j]))), 6) AS d,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(v.v) + 1),
+                          j -> (v.v[j] - c.c[j]) * (v.v[j] - c.c[j]))), 6), c.cid
+               ) AS rk
+        FROM v CROSS JOIN c{i - 1} c
+      ) WHERE rk = 1
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT a.cid, e.pos,
+             sum(CAST(round(e.x * {_CL_QSQL}) AS BIGINT)) AS s, count(*) AS n
+      FROM a{i} a JOIN e ON a.vec_id = e.vec_id
+      GROUP BY a.cid, e.pos
+    ),
+    c{i} AS MATERIALIZED (
+      SELECT ids.cid, COALESCE(nm.c, prev.c) AS c
+      FROM (SELECT unnest(range({k})) AS cid) ids
+      LEFT JOIN (
+        SELECT cid, list(CAST(s AS DOUBLE) / (n * {_CL_QSQL}) ORDER BY pos) AS c
+        FROM m{i} GROUP BY cid
+      ) nm ON ids.cid = nm.cid
+      JOIN c{i - 1} prev ON ids.cid = prev.cid
+    )"""
+        )
+    final = f""",
+    af AS (
+      SELECT vec_id, cid, d FROM (
+        SELECT v.vec_id, c.cid,
+               round(list_sum(list_transform(range(1, len(v.v) + 1),
+                     j -> (v.v[j] - c.c[j]) * (v.v[j] - c.c[j]))), 6) AS d,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round(list_sum(list_transform(range(1, len(v.v) + 1),
+                          j -> (v.v[j] - c.c[j]) * (v.v[j] - c.c[j]))), 6), c.cid
+               ) AS rk
+        FROM v CROSS JOIN c{iters} c
+      ) WHERE rk = 1
+    )
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d AS dist FROM af
+    """
+    return head + "".join(its) + final
+
+
 @_register(
     "cluster_kmeans_lloyd",
-    None,
+    _kmeans_sql(iters=3, k=_CL_K),
     doc="Distributed deterministic Lloyd k-means (k=8, 3 iterations): "
     "map-only assign + exact quantized-int centroid means, only the k*d "
-    "centroid matrix reaches the driver per round. Iterative -> no SQL "
-    "oracle; tests/test_cluster.py gates exact agreement with a numpy "
+    "centroid matrix reaches the driver per round. Oracle: the SAME fixed "
+    "iteration count unrolled as chained MATERIALIZED CTEs (_kmeans_sql) — "
+    "hash-exact because every step is already engine-order-proof (round-6 "
+    "argmin with cid tie-break, int64-quantized means). tests/"
+    "test_cluster.py additionally gates exact agreement with a numpy "
     "reference and monotone inertia",
 )
 def cluster_kmeans_lloyd(spark, sf):
@@ -4862,14 +4937,101 @@ def bpe_train_merges(spark, sf):
     return merges
 
 
+def _mmr_sql(k: int = _KNN_K, lam: float = 0.7, n_cand: int = 50) -> str:
+    """Greedy MMR unrolled as chained MATERIALIZED CTEs — the SQL twin of
+    operators/hybrid.py mmr_rerank over knn_exact top-``n_cand`` candidate
+    sets. Each of the ``k`` selection steps is (marginal argmax with
+    vec_id tie-break, selected-set append, running max-sim update).
+    Engine float drift (~1e-15) vs measured fixture margins: 7.8e-5
+    minimum winner gap, 1.2e-2 minimum 6dp rounding margin — ten orders
+    of headroom, so selection and scores are hash-exact."""
+    cos = V.cosine_sql("q.qv", "c.v")
+    head = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    allv AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cand0 AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({cos}, 6) DESC, c.vec_id ASC
+               ) AS rn
+        FROM q CROSS JOIN allv c
+      ) WHERE rn <= {n_cand}
+    ),
+    cand AS MATERIALIZED (
+      SELECT c0.query_id, c0.vec_id, {V.cosine_sql("q.qv", "c.v")} AS rel
+      FROM cand0 c0
+      JOIN q ON c0.query_id = q.query_id
+      JOIN allv c ON c0.vec_id = c.vec_id
+    ),
+    sim AS MATERIALIZED (
+      SELECT x.query_id, x.vec_id AS ia, y.vec_id AS ib,
+             {V.cosine_sql("xa.v", "ya.v")} AS s
+      FROM cand0 x
+      JOIN cand0 y ON x.query_id = y.query_id
+      JOIN allv xa ON x.vec_id = xa.vec_id
+      JOIN allv ya ON y.vec_id = ya.vec_id
+    ),
+    sel0 AS (SELECT query_id, vec_id, 0 AS mmr_rank, 0.0 AS marg FROM cand WHERE FALSE),
+    ms0 AS (SELECT query_id, vec_id, 0.0 AS ms FROM cand)"""
+    its = []
+    for i in range(1, k + 1):
+        p = i - 1
+        its.append(f""",
+    pick{i} AS MATERIALIZED (
+      SELECT query_id, vec_id, marg FROM (
+        SELECT c.query_id, c.vec_id,
+               {lam} * c.rel - {round(1.0 - lam, 12)} * m.ms AS marg,
+               row_number() OVER (
+                 PARTITION BY c.query_id
+                 ORDER BY ({lam} * c.rel - {round(1.0 - lam, 12)} * m.ms) DESC,
+                          c.vec_id ASC
+               ) AS rk
+        FROM cand c
+        JOIN ms{p} m ON c.query_id = m.query_id AND c.vec_id = m.vec_id
+        WHERE NOT EXISTS (
+          SELECT 1 FROM sel{p} s
+          WHERE s.query_id = c.query_id AND s.vec_id = c.vec_id
+        )
+      ) WHERE rk = 1
+    ),
+    sel{i} AS MATERIALIZED (
+      SELECT query_id, vec_id, mmr_rank, marg FROM sel{p}
+      UNION ALL
+      SELECT query_id, vec_id, {i} AS mmr_rank, marg FROM pick{i}
+    ),
+    ms{i} AS MATERIALIZED (
+      SELECT m.query_id, m.vec_id, greatest(m.ms, coalesce(s.s, m.ms)) AS ms
+      FROM ms{p} m
+      LEFT JOIN pick{i} p ON m.query_id = p.query_id
+      LEFT JOIN sim s ON s.query_id = m.query_id
+                     AND s.ia = m.vec_id AND s.ib = p.vec_id
+    )""")
+    tail = f"""
+    SELECT query_id, vec_id, CAST(mmr_rank AS INTEGER) AS mmr_rank,
+           round(marg, 6) AS mmr_score
+    FROM sel{k}
+    """
+    return head + "".join(its) + tail
+
+
 @_register(
     "mmr_rerank",
-    None,
+    _mmr_sql(k=_KNN_K, lam=0.7, n_cand=50),
     doc="MMR diversification (Carbonell & Goldstein 1998) of exact-kNN "
     "top-50 candidates, lambda=0.7, k=10 — greedy argmax is sequential per "
     "query, so it runs as applyInPandas over tiny per-query candidate "
-    "groups; corpus pruned by candidate equi-join before Python. "
-    "Equivalence vs a pure-python reference gated in tests",
+    "groups; corpus pruned by candidate equi-join before Python. Oracle: "
+    "the SAME k greedy steps unrolled as chained MATERIALIZED CTEs "
+    "(_mmr_sql; measured fixture margins 10 orders above engine float "
+    "drift). Equivalence vs a pure-python reference also gated in tests",
 )
 def mmr_rerank(spark, sf):
     t = load_views(spark, sf)
@@ -5480,16 +5642,75 @@ def events_wau_hll(spark, sf):
     )
 
 
+def _pagerank_sql(iterations: int = 10, damping: float = 0.85) -> str:
+    """Fixed-iteration PageRank unrolled as chained CTEs — the SQL twin of
+    operators/graph.py pagerank (power iteration WITH dangling-mass
+    redistribution), over the co-purchase part graph. Ten iterations of
+    (dangling scalar, contribution join-agg, rank refresh) unroll to ~30
+    CTEs, all MATERIALIZED (DuckDB inlines plain CTEs, which goes exponential in the iteration chain). Engine-summation-order
+    float drift over 10 iterations is ~1e-15 relative vs a 1e-9 rounding
+    grid on ~5e-4 ranks — five orders of margin (measured; see
+    tests/test_graph.py for the python-reference equality gate)."""
+    head = """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pair AS MATERIALIZED (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    e AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pair
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pair
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+      )
+    ),
+    cnt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+    deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM cnt) AS rank FROM nodes)"""
+    its = []
+    for k in range(1, iterations + 1):
+        p = k - 1
+        its.append(f""",
+    dm{k} AS MATERIALIZED (
+      SELECT coalesce(sum(r.rank), 0.0) AS dm
+      FROM r{p} r LEFT JOIN deg d ON r.node = d.src WHERE d.src IS NULL
+    ),
+    c{k} AS MATERIALIZED (
+      SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+      FROM e JOIN r{p} r ON e.src = r.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{k} AS MATERIALIZED (
+      SELECT n.node,
+             (1.0 - {damping}) / (SELECT n FROM cnt)
+             + {damping} * (SELECT dm FROM dm{k}) / (SELECT n FROM cnt)
+             + {damping} * coalesce(c.s, 0.0) AS rank
+      FROM nodes n LEFT JOIN c{k} c ON n.node = c.node
+    )""")
+    return (
+        head
+        + "".join(its)
+        + f"\n    SELECT node, round(rank, 9) AS rank FROM r{iterations}\n    "
+    )
+
+
 @_register(
     "graph_pagerank",
-    None,
-    doc="PageRank (Brin & Page 1998, damping 0.85, 10 power iterations) "
-    "over the co-purchase part graph (basket_pair_lift's pair generation, "
-    "emitted symmetric). Iterative: two shuffles per round over the edge "
-    "table, per-round localCheckpoint plan truncation, one scalar collect "
-    "(node count). No SQL oracle (recursive aggregation); bit-tight "
-    "equivalence vs a pure-Python power iteration gated in "
-    "tests/test_graph.py (operators/graph.py pagerank)",
+    _pagerank_sql(iterations=10, damping=0.85),
+    doc="PageRank (Brin & Page 1998, damping 0.85, 10 power iterations, "
+    "dangling-mass redistribution) over the co-purchase part graph "
+    "(basket_pair_lift's pair generation, emitted symmetric). Iterative: "
+    "two shuffles per round over the edge table, per-round localCheckpoint "
+    "plan truncation, scalar-only collects. Oracle: the SAME fixed "
+    "iteration count unrolled as chained SQL CTEs (_pagerank_sql) — "
+    "round-9 ranks, five orders of float-drift margin; plus bit-tight "
+    "equivalence vs a pure-Python power iteration in tests/test_graph.py "
+    "(operators/graph.py pagerank)",
 )
 def graph_pagerank(spark, sf):
     from ..operators import graph as G

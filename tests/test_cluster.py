@@ -193,3 +193,12 @@ def test_domain_rebalance_explicit_shares(spark, tables):
     ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
     ids2 = {r["doc_id"] for r in QL.domain_rebalance(subset, shares=shares).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_kmeans_oracle_quantizer_in_sync():
+    """_kmeans_sql hardcodes the quantizer in SQL text; it must equal the
+    operator's _Q or the oracle silently desynchronizes."""
+    from auto_vectordb_spark.operators.cluster import _Q
+    from auto_vectordb_spark.plans.parity import _CL_QSQL
+
+    assert _CL_QSQL == _Q
