@@ -54,18 +54,31 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def doc_shingle_hashes(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, sh) — distinct 60-bit hashes of word k-shingles per doc.
 
     Per-doc dedup happens with ``array_distinct`` BEFORE the explode — inside
     the row, no shuffle — rather than a post-explode ``.distinct()`` which
     would shuffle the full exploded shingle table.
+
+    ``fast=True`` swaps the oracle-portable MD5 hash for JVM-native
+    xxhash64 — the production knob for 100 TB runs, where hashing every
+    shingle dominates the dedup front end (MD5 materializes a 32-char hex
+    string per shingle; xxhash64 is one codegen'd long). Same estimator
+    family, different sample: candidate pairs differ only in MinHash
+    sampling noise (gated in tests/test_dedup.py).
     """
+    def h(c):
+        # abs: universal_hash's (a*(h%P)+b)%P needs a non-negative input to
+        # stay in [0, P) on Spark's sign-preserving %
+        return F.abs(H.fast_hash64(c)) if fast else H.stable_hash60(c)
+
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("shingle"),
-    ).select("doc_id", H.stable_hash60(F.col("shingle")).alias("sh"))
+    ).select("doc_id", h(F.col("shingle")).alias("sh"))
 
 
 def minhash_signatures(
@@ -74,6 +87,7 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = DEFAULT_NUM_HASHES,
     shingle_k: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, mh_0..mh_{H-1}) — MinHash signature, one shuffle total.
 
@@ -90,7 +104,9 @@ def minhash_signatures(
     row — was tried and measured ~4× slower: Spark's higher-order array
     lambdas evaluate interpreted, per element.)
     """
-    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k).repartition(F.col("doc_id"))
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k, fast=fast).repartition(
+        F.col("doc_id")
+    )
     aggs = [
         F.min(H.universal_hash(F.col("sh"), a, b)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(H.minhash_params(num_hashes))
@@ -105,6 +121,7 @@ def minhash_bucket_table(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """(doc_id, band, bkey) — the LSH bucket table, i.e. the *persistable
     dedup index artifact*. Write it partitioned/bucketed by (band, bkey) and
@@ -117,15 +134,17 @@ def minhash_bucket_table(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_k, fast=fast)
     band_structs = []
     for bi in range(bands):
         cols = [F.col(f"mh_{bi * r + j}") for j in range(r)]
+        bkey = (
+            F.xxhash64(*cols).cast("string")  # per-doc, not per-shingle — but free
+            if fast
+            else F.md5(F.concat_ws("_", *[c.cast("string") for c in cols]))
+        )
         band_structs.append(
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.md5(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("bkey"),
-            )
+            F.struct(F.lit(bi).alias("band"), bkey.alias("bkey"))
         )
     return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
@@ -139,6 +158,7 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """LSH-banding candidate pairs: (id_a, id_b, n_bands) with id_a < id_b.
 
@@ -147,7 +167,9 @@ def minhash_lsh_pairs(
     only docs in the same bucket ever meet, so at 100 TB the plan is
     shuffle-on-bucket-key + within-bucket pairing, never N².
     """
-    buckets = minhash_bucket_table(docs, id_col, text_col, num_hashes, bands, shingle_k)
+    buckets = minhash_bucket_table(
+        docs, id_col, text_col, num_hashes, bands, shingle_k, fast=fast
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -299,3 +299,44 @@ def test_source_shingle_overlap_values(spark):
     r = rows[("A", "B")]
     assert r["n_shared"] == 1
     assert abs(r["jaccard"] - 0.5) < 1e-9  # 1 / (2 + 1 - 1)
+
+
+def test_minhash_fast_hash_path(spark, sf_dir):
+    """fast=True (xxhash64 shingles) is the production hash knob: same
+    MinHash estimator family, different sample. Gates: (a) exact-duplicate
+    texts always collide (identical shingle sets -> identical signatures
+    under ANY hash); (b) deterministic across runs; (c) candidate pairs on
+    the real corpus overlap heavily with the portable-MD5 path."""
+    from auto_vectordb_spark.operators import dedup as DD
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # exact dup of 0
+        (2, "totally different words nothing shared here at all"),
+        (3, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup of 0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(docs, fast=True).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always collide
+    assert not any(2 in p for p in pairs)  # disjoint text never pairs
+    # determinism
+    pairs2 = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(docs, fast=True).collect()
+    }
+    assert pairs == pairs2
+
+    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    slow = {
+        (r["id_a"], r["id_b"]) for r in DD.minhash_lsh_pairs(corpus).collect()
+    }
+    fast = {
+        (r["id_a"], r["id_b"])
+        for r in DD.minhash_lsh_pairs(corpus, fast=True).collect()
+    }
+    if slow or fast:
+        overlap = len(slow & fast) / max(len(slow | fast), 1)
+        assert overlap > 0.7, (len(slow), len(fast), overlap)
