@@ -108,3 +108,26 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     return F.when(
         n >= k, F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(0)))
     ).otherwise(F.array().cast("array<string>"))
+
+
+def nfc_normalize_udf():
+    """Arrow-batched Unicode NFC normalizer (pandas_udf) — the canonical-
+    composition pass every multilingual curation pipeline needs before
+    hashing or dedup (the same visible string has many byte encodings:
+    'é' composed U+00E9 vs decomposed U+0065 U+0301 hash apart).
+
+    Spark SQL has no unicode-normalize builtin, so this is a sanctioned
+    Python node (Arrow-batched, whitelisted in tests/test_plan_audit.py);
+    DuckDB twin: ``nfc_normalize(x)``.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(col):
+        return col.map(
+            lambda s: unicodedata.normalize("NFC", s) if s is not None else None
+        )
+
+    return _nfc

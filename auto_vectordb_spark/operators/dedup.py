@@ -926,6 +926,37 @@ def apply_dedup(
     )
 
 
+def apply_dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware canonical selection: per near-dup component keep the
+    HIGHEST-quality doc (tie-break lowest id) instead of blindly the min id
+    — the curation-grade variant of :func:`apply_dedup` (a crawl's canonical
+    page is rarely the one with the smallest id; it is the cleanest copy).
+
+    ``quality``: any (id, score) DataFrame — typically
+    ``textstats.quality_score`` output. Docs in no pair survive untouched.
+
+    Same shuffle budget as :func:`apply_dedup` plus one short join of the
+    component table (dup docs only, tiny vs corpus) against the quality
+    table; the per-component argmax is a windowed top-1 on the component
+    key — never touches the corpus.
+    """
+    from .relational import top_k_per_group
+
+    comps = connected_components(pairs).withColumnRenamed("doc_id", id_col)
+    scored = comps.join(quality.select(id_col, quality_col), id_col)
+    winners = top_k_per_group(
+        scored, ["component_id"], quality_col, 1, tie_break=id_col
+    ).select(id_col)
+    losers = comps.select(id_col).join(winners, id_col, "left_anti")
+    return docs.join(losers, id_col, "left_anti")
+
+
 def decontaminate_flags(
     docs: DataFrame,
     eval_docs: DataFrame,

@@ -1952,6 +1952,44 @@ _QUALITY_CTE = """
 
 
 @_register(
+    "dedup_apply_keep_best",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE},
+    survivors AS (SELECT doc_id, text FROM documents),
+    {_QUALITY_CTE},
+    winners AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               row_number() OVER (
+                 PARTITION BY c.component_id
+                 ORDER BY q.quality DESC, c.doc_id ASC
+               ) AS rk
+        FROM comps c JOIN q ON q.doc_id = c.doc_id
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id, d.lang, d.source FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id)
+       OR EXISTS (SELECT 1 FROM winners w WHERE w.doc_id = d.doc_id)
+    """,
+    doc="Quality-aware canonical selection: per near-dup component keep the "
+    "HIGHEST-quality copy (tie-break min id) instead of blindly the min id "
+    "— a crawl's canonical page is the cleanest copy, not the first-seen "
+    "one. Same shuffle budget as dedup_apply_keep_one plus one short join "
+    "of the (tiny) component table against quality scores "
+    "(operators/dedup.py apply_dedup_keep_best)",
+)
+def dedup_apply_keep_best(spark, sf):
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    pairs = DD.minhash_lsh_pairs(docs)
+    quality = TS.quality_score(docs).select("doc_id", "quality")
+    return DD.apply_dedup_keep_best(docs, pairs, quality).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register(
     "training_set_build",
     f"""
     WITH RECURSIVE {_MINHASH_PAIRS_CTE},
@@ -6180,6 +6218,37 @@ def langid_confusion(spark, sf):
         .join(pred.select("doc_id", F.col("lang_guess").alias("predicted")), "doc_id")
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@_register(
+    "text_nfc_normalize",
+    """
+    SELECT doc_id,
+           md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS norm_hash,
+           (nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))
+            <> (text || ' cafe' || chr(769) || ' A' || chr(778))) AS changed
+    FROM documents
+    """,
+    doc="Unicode NFC canonical composition (functions/text.py "
+    "nfc_normalize_udf): composed vs decomposed encodings of the same "
+    "visible string must hash together before any dedup pass. Arrow-batched "
+    "Python node (Spark SQL has no normalize builtin). The entry appends a "
+    "decomposed suffix (e+combining-acute, A+combining-ring) so the "
+    "normalization is exercised on every row, not just passthrough",
+)
+def text_nfc_normalize(spark, sf):
+    from ..functions.text import nfc_normalize_udf
+
+    t = load_views(spark, sf)
+    suffixed = F.concat(
+        F.col("text"), F.lit(" cafe\u0301 A\u030a")
+    )
+    norm = nfc_normalize_udf()(suffixed)
+    return t["documents"].select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        (norm != suffixed).alias("changed"),
     )
 
 

@@ -340,3 +340,28 @@ def test_minhash_fast_hash_path(spark, sf_dir):
     if slow or fast:
         overlap = len(slow & fast) / max(len(slow | fast), 1)
         assert overlap > 0.7, (len(slow), len(fast), overlap)
+
+
+def test_apply_dedup_keep_best(spark):
+    """keep_best keeps the highest-quality doc per component (tie: min id);
+    singletons survive; output size equals keep_one's."""
+    from auto_vectordb_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, "x"), (3, "x"), (9, "y"), (20, "z"), (21, "z")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21)], ["id_a", "id_b"]
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (9, 0.1), (20, 0.5), (21, 0.5)],
+        ["doc_id", "quality"],
+    )
+    got = {
+        r["doc_id"]
+        for r in DD.apply_dedup_keep_best(docs, pairs, quality).collect()
+    }
+    # component {1,2,3}: 2 and 3 tie at 0.9 -> min id 2 wins (not min-id-1)
+    # component {20,21}: tie -> 20; singleton 9 survives
+    assert got == {2, 9, 20}

@@ -70,6 +70,7 @@ PYTHON_NODES_OK = frozenset(
         "multimodal_frame_sample",
         "pipeline_parse_pages",
         "semantic_search_e2e",
+        "text_nfc_normalize",
     }
 )
 
