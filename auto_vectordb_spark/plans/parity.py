@@ -3939,6 +3939,38 @@ def sql_hybrid_topk(spark, sf):
 
 
 @_register(
+    "orc_roundtrip",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({H.stable_hash60_sql('text')} % 1000003) AS BIGINT)
+             AS text_checksum
+    FROM documents GROUP BY lang
+    """,
+    doc="ORC source/sink round-trip: the second columnar interchange format "
+    "warehouses actually run (Hive-era lakes are ORC, not Parquet). Spark's "
+    "built-in ORC writer/reader; per-lang MD5 checksum proves text survives "
+    "byte-identically — the oracle computes the same checksum off the "
+    "original parquet (DuckDB cannot read ORC, so identity of the DERIVED "
+    "aggregate is the comparable surface)",
+)
+def orc_roundtrip(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    path = tempfile.mkdtemp(prefix="orc_roundtrip_") + "/docs"
+    t["documents"].select("doc_id", "lang", "text", "n_chars").write.mode(
+        "overwrite"
+    ).orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(H.stable_hash60(F.col("text")) % F.lit(1000003)).alias("text_checksum"),
+    )
+
+
+@_register(
     "jsonl_roundtrip",
     f"""
     SELECT lang, count(*) AS n_docs,

@@ -255,3 +255,23 @@ def test_ivf_compact_squashes_replayed_appends(spark, emb, tmp_path):
     got = res(path)
     assert got == res(clean) and len(got) > 0
     assert any(d.startswith("centroid_id=") for d in os.listdir(path))
+
+
+def test_ivf_compact_recovers_stale_old_dir(spark, emb, tmp_path):
+    """The aside-rename swap (live -> _old, staging -> live, delete _old)
+    must tolerate a leftover _old dir from a previous crashed compaction —
+    and the live path must exist at every observable point afterwards."""
+    from auto_vectordb_spark.operators import knn as KNN
+
+    path = str(tmp_path / "ivf_idx")
+    centroids = KNN.label_centroids(emb)
+    KNN.ivf_write(KNN.ivf_build(emb, centroids), path)
+    # simulate a crash between the two renames of an earlier compaction
+    stale = tmp_path / "_ivf_idx_old"
+    stale.mkdir()
+    (stale / "junk").write_text("leftover")
+    before = spark.read.parquet(path).count()
+    counts = KNN.ivf_compact(spark, path)
+    assert counts["rows_after"] == before  # no dups to squash; content kept
+    assert (tmp_path / "ivf_idx").exists()
+    assert not stale.exists()  # stale dir cleaned up by the new swap

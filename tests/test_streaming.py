@@ -521,3 +521,43 @@ def test_compact_index_preserves_scores_and_epoch_order(spark, tmp_path):
         k=3,
     )
     assert [r["doc_id"] for r in post2.collect()] == [1]
+
+
+def test_compact_index_recovers_stale_old_dirs(spark, tmp_path):
+    """compact_index's aside-rename swap must tolerate leftover _*_old dirs
+    from a crashed earlier compaction and never leave the live artifact
+    paths absent."""
+    from auto_vectordb_spark.operators import bm25 as BM25
+
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.functions.text import tokenize
+
+    docs = spark.createDataFrame(
+        [(0, "spark join filter"), (1, "window agg stream")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "bmidx")
+    base = docs.select("doc_id", tokenize(F.col("text")).alias("__toks"))
+    (
+        base.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("epoch", F.lit(0))
+        .write.mode("append")
+        .parquet(f"{idx}/postings")
+    )
+    (
+        base.select("doc_id", F.size("__toks").alias("dl"))
+        .withColumn("epoch", F.lit(0))
+        .write.mode("append")
+        .parquet(f"{idx}/doc_lens")
+    )
+    for name in ("doc_lens", "postings"):
+        stale = tmp_path / "bmidx" / f"_{name}_old"
+        stale.mkdir()
+        (stale / "junk").write_text("leftover")
+    counts = BM25.compact_index(spark, idx)
+    assert counts["postings_after"] == counts["postings_before"]
+    for name in ("doc_lens", "postings"):
+        assert (tmp_path / "bmidx" / name).exists()
+        assert not (tmp_path / "bmidx" / f"_{name}_old").exists()
