@@ -939,7 +939,10 @@ def apply_dedup_keep_best(
     page is rarely the one with the smallest id; it is the cleanest copy).
 
     ``quality``: any (id, score) DataFrame — typically
-    ``textstats.quality_score`` output. Docs in no pair survive untouched.
+    ``textstats.quality_score`` output. It must cover every id appearing in
+    ``pairs``: the component⋈quality join is inner, so a component whose
+    members all lack quality rows would elect no winner and lose every
+    member. Docs in no pair survive untouched.
 
     Same shuffle budget as :func:`apply_dedup` plus one short join of the
     component table (dup docs only, tiny vs corpus) against the quality
