@@ -119,3 +119,88 @@ def test_chunk_text_covers_and_overlaps(spark, n_tokens, max_tokens, overlap):
     # coverage: de-overlapped concatenation reconstructs the token stream
     rebuilt = got_chunks[0] + [t for c in got_chunks[1:] for t in c[overlap:]]
     assert rebuilt == toks
+
+
+# --- round-3 algorithm invariants ---------------------------------------
+
+WORDS = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=6),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(words=WORDS, batch=st.sampled_from([2, 5]))
+def test_bpe_batched_equals_sequential_property(spark, words, batch):
+    """The _select_merge_batch safety rule must make batched training
+    IDENTICAL to sequential for ANY corpus, not just the fixture ones —
+    this is the property the equivalence argument in tokenizer.py claims."""
+    from auto_vectordb_spark.operators import tokenizer as TK
+
+    docs = spark.createDataFrame([(0, " ".join(words))], ["doc_id", "text"])
+    seq = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in TK.bpe_train(docs, num_merges=8, min_freq=2)[0]
+        .orderBy("rank")
+        .collect()
+    ]
+    bat = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in TK.bpe_train(docs, num_merges=8, min_freq=2, merge_batch=batch)[0]
+        .orderBy("rank")
+        .collect()
+    ]
+    assert bat == seq
+
+
+EDGE_LISTS = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=15,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(edges=EDGE_LISTS)
+def test_pagerank_mass_conserved_any_directed_graph(spark, edges):
+    """With dangling redistribution, total rank is exactly 1 on ANY directed
+    edge list — sinks, cycles, disconnected pieces."""
+    from auto_vectordb_spark.operators import graph as G
+
+    ranks = G.pagerank(
+        spark.createDataFrame(edges, ["src", "dst"]), iterations=4
+    ).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-9
+    assert all(r["rank"] > 0 for r in ranks)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    quals=st.lists(
+        st.floats(0.0, 1.0, allow_nan=False).map(lambda q: round(q, 3)),
+        min_size=6,
+        max_size=6,
+    )
+)
+def test_keep_best_one_survivor_per_component(spark, quals):
+    """keep_best elects exactly one survivor per component — the max-quality
+    member (min id on ties) — and passes singletons through, for ANY
+    quality assignment."""
+    from auto_vectordb_spark.operators import dedup as DD
+
+    ids = [1, 2, 3, 4, 5, 6]
+    docs = spark.createDataFrame([(i, "t") for i in ids], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"])
+    quality = spark.createDataFrame(
+        list(zip(ids, quals)), ["doc_id", "quality"]
+    )
+    got = {
+        r["doc_id"] for r in DD.apply_dedup_keep_best(docs, pairs, quality).collect()
+    }
+    q = dict(zip(ids, quals))
+    want_a = min([i for i in (1, 2, 3) if q[i] == max(q[1], q[2], q[3])])
+    want_b = min([i for i in (4, 5) if q[i] == max(q[4], q[5])])
+    assert got == {want_a, want_b, 6}
