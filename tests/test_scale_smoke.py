@@ -197,3 +197,37 @@ def test_bpe_train_256_merges_batched(spark):
     ranks = [r["rank"] for r in merges.orderBy("rank").collect()]
     assert ranks == list(range(256))
     assert elapsed < 300, f"256 batched merges took {elapsed:.0f}s"
+
+
+def test_minhash_dedup_200k_docs_fast_path(spark):
+    """Dedup front end at corpus scale: 200k synthetic docs with planted
+    duplicate classes (10 copies each of 20k templates) through the
+    production fast-hash path. Asserts the planted dups are found and the
+    pair count stays bucket-bounded (never N^2)."""
+    import time
+
+    from auto_vectordb_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(200_000).select(
+        F.col("id").alias("doc_id"),
+        # template = id % 20000 -> every template has 10 exact copies
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(
+                    F.lit(f"w{j}_"),
+                    (F.abs(F.xxhash64((F.col("id") % 20_000), F.lit(j))) % 50_000).cast("string"),
+                )
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs, fast=True)
+    n_pairs = pairs.count()
+    elapsed = time.time() - t0
+    # every template class of 10 docs yields C(10,2)=45 exact-dup pairs
+    assert n_pairs >= 20_000 * 45
+    # and no blow-up beyond the planted classes (identical signatures only)
+    assert n_pairs < 20_000 * 45 * 1.5
+    assert elapsed < 300, f"200k-doc minhash dedup took {elapsed:.0f}s"
