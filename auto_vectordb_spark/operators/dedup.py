@@ -305,12 +305,15 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 3,
     threshold: float = 0.8,
+    fast: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs ≥ threshold via inverted shingle index.
 
     jaccard = |A∩B| / (|A|+|B|−|A∩B|). The equi-join on shingle hash means
     only docs sharing ≥1 shingle are ever paired. Set sizes are computed
-    per-row from the distinct-shingle array (no shuffle).
+    per-row from the distinct-shingle array (no shuffle). ``fast=True``
+    swaps MD5 shingle hashing for xxhash64 (see doc_shingle_hashes) —
+    exact Jaccard either way up to 60-bit/64-bit hash-collision odds.
 
     The explicit ``repartition(sh)`` before the self-join is the key cost
     control: without an Exchange node the planner broadcasts one leg, and a
@@ -326,7 +329,9 @@ def ngram_jaccard_pairs(
     exchanged shingle table (groupBy doc_id) was ~0.3s slower than this
     per-row recompute (two extra 260k-row shuffles beat one codegen scan).
     """
-    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k).repartition(F.col("sh"))
+    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k, fast=fast).repartition(
+        F.col("sh")
+    )
     sizes = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k))).alias("sz"),
