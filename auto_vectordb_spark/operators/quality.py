@@ -185,3 +185,63 @@ def domain_rebalance(
         .filter(F.col("__rk") <= F.col("q"))
         .drop("__rk", "q")
     )
+
+
+def train_quality_classifier(
+    labeled_docs: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    num_features: int = 4096,
+    max_iter: int = 20,
+    reg_param: float = 0.01,
+):
+    """Model-based quality filter — the fastText-classifier step of modern
+    curation recipes (CCNet, RefinedWeb, LLaMA data): hashed bag-of-tokens
+    features → logistic regression, trained on whatever labels the caller
+    supplies (human judgments, weak labels from rule packs like
+    curation.gopher_rules, 'looks like Wikipedia' contrasts).
+
+    Returns a fitted pyspark.ml PipelineModel (HashingTF → LogisticRegression).
+
+    100 TB shape: HashingTF is a map-only transform (no vocabulary build, no
+    shuffle); LogisticRegression training is MLlib L-BFGS — per iteration
+    one treeAggregate of a ``num_features``-dim gradient, the corpus is
+    scanned, never shuffled. Scoring (:func:`score_quality_classifier`) is
+    broadcast-coefficients map-only. Keep ``num_features`` modest (2^12-2^18):
+    the driver holds one dense gradient of that size per iteration.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+
+    from ..functions.text import tokenize
+
+    prepped = labeled_docs.withColumn("__toks", tokenize(F.col(text_col)))
+    tf = HashingTF(inputCol="__toks", outputCol="__feat", numFeatures=num_features)
+    lr = LogisticRegression(
+        featuresCol="__feat",
+        labelCol=label_col,
+        maxIter=max_iter,
+        regParam=reg_param,
+    )
+    return Pipeline(stages=[tf, lr]).fit(prepped)
+
+
+def score_quality_classifier(
+    model,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, clf_quality, predicted) — P(label=1) and the hard decision from
+    a :func:`train_quality_classifier` model. Map-only at any scale."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ..functions.text import tokenize
+
+    out = model.transform(docs.withColumn("__toks", tokenize(F.col(text_col))))
+    return out.select(
+        F.col(id_col),
+        F.round(vector_to_array("probability")[1], 6).alias("clf_quality"),
+        F.col("prediction").cast("int").alias("predicted"),
+    )

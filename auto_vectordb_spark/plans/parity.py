@@ -6285,6 +6285,31 @@ def text_nfc_normalize(spark, sf):
 
 
 @_register(
+    "quality_classifier_score",
+    None,
+    doc="Model-based quality filtering (the fastText-classifier step of "
+    "CCNet/RefinedWeb-style curation): hashed bag-of-tokens -> MLlib "
+    "logistic regression trained on weak labels from the Gopher rule pack "
+    "(even doc_ids), scoring the held-out odd doc_ids. Rows-only: L-BFGS "
+    "training is not SQL-expressible; held-out AUC >= 0.85 and "
+    "shape/determinism gated in tests/test_quality.py "
+    "(operators/quality.py train_quality_classifier)",
+)
+def quality_classifier_score(spark, sf):
+    from ..operators import curation as CU
+    from ..operators import quality as Q
+
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    labels = CU.gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    data = docs.join(labels, "doc_id")
+    model = Q.train_quality_classifier(data.filter(F.col("doc_id") % 2 == 0))
+    return Q.score_quality_classifier(model, docs.filter(F.col("doc_id") % 2 == 1))
+
+
+@_register(
     "quality_weighted_sample",
     f"""
     WITH survivors AS (SELECT doc_id, text FROM documents),

@@ -148,3 +148,34 @@ def test_ivf_pq_recall_vs_full_adc(spark, pq_setup):
     assert len(f) == 50
     recall = len(f & p) / len(f)
     assert recall >= 0.7, f"IVF-PQ recall {recall} too low"
+
+
+def test_quality_classifier_learns_weak_labels(spark, sf_dir):
+    """fastText-style classifier (hashed tokens -> MLlib LR) must learn the
+    Gopher weak labels well out-of-sample (AUC gate) and score map-only."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.operators import curation as CU
+    from auto_vectordb_spark.operators import quality as Q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = CU.gopher_rules(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("label")
+    )
+    data = docs.join(labels, "doc_id")
+    train = data.filter(F.col("doc_id") % 2 == 0)
+    test = data.filter(F.col("doc_id") % 2 == 1)
+    model = Q.train_quality_classifier(train)
+    scored = Q.score_quality_classifier(model, test).join(labels, "doc_id")
+    rows = scored.collect()
+    assert rows and set(scored.columns) == {"doc_id", "clf_quality", "predicted", "label"}
+    assert all(0.0 <= r["clf_quality"] <= 1.0 for r in rows)
+    pos = [r["clf_quality"] for r in rows if r["label"] == 1]
+    neg = [r["clf_quality"] for r in rows if r["label"] == 0]
+    assert pos and neg
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    auc = wins / (len(pos) * len(neg))
+    assert auc >= 0.85, f"held-out AUC {auc:.3f}"
+    # scoring plan is map-only: no exchange over the corpus
+    plan = Q.score_quality_classifier(model, test)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan.split("== Initial Plan ==")[0]
