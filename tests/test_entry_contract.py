@@ -11,29 +11,24 @@ def test_registry_shape():
     qs, osql = E.queries(), E.oracle_sql()
     assert len(qs) >= 30
     assert set(osql) <= set(qs)
-    # only ANN/BLAS/random-projection/sketch/iterative entries may skip the
-    # oracle (cluster_kmeans_lloyd is iterative Lloyd's, mmr_rerank is greedy
-    # sequential selection — both gated instead by numpy-exact equivalence
-    # tests in tests/test_cluster.py / tests/test_bm25_hybrid.py)
-    for name in set(qs) - set(osql):
-        assert name.startswith(
-            (
-                "ann_",
-                "knn_blas",
-                "dedup_embedding_blas",
-                "dedup_embedding_lsh",
-                "approx_",
-                "cluster_kmeans_lloyd",
-                "knn_ivf_pq",
-                "mmr_rerank",
-                "bpe_train_merges",  # iterative argmax loop (tokenizer.py),
-                # gated by the pure-Python reference in tests/test_tokenizer.py
-                "events_wau_hll",  # Datasketches HLL (DuckDB's HLL is not
-                # sketch-compatible); error-gated in tests/test_relational.py
-                "graph_pagerank",  # recursive aggregation (graph.py), gated
-                # by the pure-Python power iteration in tests/test_graph.py
-            )
-        ), name
+    # only genuinely non-oracle-able entries may skip the SQL twin —
+    # probabilistic recall, engine-specific sketches, RE2-incompatible
+    # regexp replay, trained-model inference. Fixed-iteration deterministic
+    # algorithms (pagerank, Lloyd, MMR) are oracle-paired via unrolled CTEs
+    # and must NOT appear here.
+    ROWS_ONLY_OK = {
+        "ann_ivf_topk",  # nprobe bucket pruning; recall-gated (test_ann.py)
+        "ann_lsh_topk",  # MLlib random-projection LSH; recall-gated
+        "knn_ivf_pq",  # IVFADC; recall-gated (test_cluster.py)
+        "dedup_embedding_blas",  # sign-LSH bucketing, measured 0.971 recall
+        "dedup_embedding_lsh",  # sign-LSH; recall-gated (test_dedup.py)
+        "approx_distinct_users",  # HLL sketch; error-gated
+        "events_wau_hll",  # Datasketches HLL rollup; error-gated
+        "bpe_train_merges",  # lookaround regexp replay RE2 can't express;
+        # batched-vs-sequential identity gated in test_tokenizer.py
+        "quality_classifier_score",  # MLlib L-BFGS training; AUC-gated
+    }
+    assert set(qs) - set(osql) == ROWS_ONLY_OK
 
 
 def test_oracle_sql_is_valid_duckdb(sf_dir):
@@ -138,3 +133,19 @@ def test_bench_emits_valid_json(tmp_path):
     assert out["metric"] == "headline_suite_total" and out["unit"] == "sec"
     assert out["value"] > 0 and len(out["queries"]) == 14
     assert all(v >= 0 for v in out["queries"].values())
+
+
+def test_attest_window_invariants():
+    """The driver samples the first 50 queries() entries; the window must
+    stay exactly 50 names, all registered, all oracle-paired, and queries()
+    must actually lead with it (rotation contract, VERDICT r2 #1)."""
+    import __spark_entry__ as E
+    from auto_vectordb_spark.plans.parity import _ATTEST_WINDOW, REGISTRY
+
+    assert len(_ATTEST_WINDOW) == 50
+    assert len(set(_ATTEST_WINDOW)) == 50
+    missing = [n for n in _ATTEST_WINDOW if n not in REGISTRY]
+    assert not missing, missing
+    no_oracle = [n for n in _ATTEST_WINDOW if REGISTRY[n].sql is None]
+    assert not no_oracle, no_oracle
+    assert list(E.queries())[:50] == _ATTEST_WINDOW

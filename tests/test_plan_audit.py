@@ -16,8 +16,6 @@ review. Whitelists are intentionally exact-name (not patterns): widening
 them is a reviewed diff.
 """
 
-import re
-
 import pytest
 
 from auto_vectordb_spark.plans.parity import REGISTRY
