@@ -194,6 +194,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     shingle_k: int = 3,
+    fast: bool = False,
 ) -> DataFrame:
     """Incremental near-dup: candidate pairs (id_a < id_b) where at least one
     side is in ``new_docs``, against a PERSISTED bucket table — the
@@ -206,8 +207,14 @@ def minhash_lsh_pairs_incremental(
     least/greatest + per-(pair,band) dedup so each collision counts once —
     identical pair set to a from-scratch :func:`minhash_lsh_pairs` run
     restricted to pairs touching the batch.
+
+    ``fast`` MUST match the flag the persisted ``bucket_table`` was built
+    with: md5-keyed and xxhash64-keyed band keys never collide, so a
+    mismatched probe silently finds zero cross-batch pairs.
     """
-    nb = minhash_bucket_table(new_docs, id_col, text_col, num_hashes, bands, shingle_k)
+    nb = minhash_bucket_table(
+        new_docs, id_col, text_col, num_hashes, bands, shingle_k, fast=fast
+    )
     all_b = bucket_table.unionByName(nb)
     a, b = nb.alias("a"), all_b.alias("b")
     cand = a.join(

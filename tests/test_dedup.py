@@ -365,3 +365,22 @@ def test_apply_dedup_keep_best(spark):
     # component {1,2,3}: 2 and 3 tie at 0.9 -> min id 2 wins (not min-id-1)
     # component {20,21}: tie -> 20; singleton 9 survives
     assert got == {2, 9, 20}
+
+
+def test_minhash_incremental_fast_flag_must_match(spark):
+    """The incremental probe keys must be built with the same hash family
+    as the persisted bucket table: matching flags find the cross-batch
+    dup; mismatched flags silently find nothing (the documented footgun)."""
+    from auto_vectordb_spark.operators import dedup as DD
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    table_fast = DD.minhash_bucket_table(old, fast=True)
+    hit = DD.minhash_lsh_pairs_incremental(new, table_fast, fast=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in hit} == {(1, 2)}
+    miss = DD.minhash_lsh_pairs_incremental(new, table_fast, fast=False).collect()
+    assert miss == []
