@@ -320,3 +320,40 @@ def incremental_bm25_index(
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def incremental_ivf_index(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> StreamingQuery:
+    """Streaming vector-index maintenance — the vector-side twin of
+    :func:`incremental_bm25_index`: each micro-batch of embeddings is
+    assigned under the FROZEN centroid set and appended into the persisted
+    IVF index's ``centroid_id=`` partition dirs
+    (:func:`~auto_vectordb_spark.operators.knn.ivf_append`). Continuous
+    embedding ingestion: searches pick up new vectors on their next scan,
+    no index downtime, the existing index is never read or rewritten.
+
+    Replay safety under foreachBatch's at-least-once contract: a retried
+    batch re-appends IDENTICAL rows (frozen centroids → same assignment),
+    which ``ivf_compact`` squashes to one row per id — run it from the
+    same maintenance scheduler that owns BM25 epoch compaction. At 100 TB
+    per-batch work is proportional to the batch and appends are
+    partition-parallel.
+    """
+    from ..operators import knn as KNN
+
+    def _write(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        KNN.ivf_append(batch, centroids, path, vec_col=vec_col, corpus_id=corpus_id)
+
+    return (
+        stream.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -561,3 +561,72 @@ def test_compact_index_recovers_stale_old_dirs(spark, tmp_path):
     for name in ("doc_lens", "postings"):
         assert (tmp_path / "bmidx" / name).exists()
         assert not (tmp_path / "bmidx" / f"_{name}_old").exists()
+
+
+def test_incremental_ivf_index_stream(spark, sf_dir, tmp_path):
+    """Streaming IVF maintenance: micro-batches of embeddings land in the
+    persisted index; a replayed batch's duplicates are squashed by
+    ivf_compact; persisted search then matches a batch-built index."""
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.operators import knn as KNN
+    from auto_vectordb_spark.streaming.pipeline import incremental_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = KNN.label_centroids(emb)
+    idx = str(tmp_path / "ivf_stream")
+    # seed index with the first half
+    KNN.ivf_write(KNN.ivf_build(emb.filter(F.col("vec_id") < 250), centroids), idx)
+
+    # stream the second half in as two file micro-batches
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_ivf_index(stream, idx, ckpt, centroids)
+
+    def feed(df, name):
+        # the file source wants FILES in src, not nested write dirs
+        import glob
+        import shutil
+
+        staging = tmp_path / f"_stage_{name}"
+        df.coalesce(1).write.parquet(str(staging))
+        part = glob.glob(str(staging / "part-*.parquet"))[0]
+        shutil.move(part, src / f"{name}.parquet")
+
+    feed(emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 400)), "b1")
+    feed(emb.filter(F.col("vec_id") >= 400), "b2")
+    q.processAllAvailable()
+    q.stop()
+
+    n_total = emb.count()
+    assert spark.read.parquet(idx).count() == n_total
+
+    # simulate a crash-replayed append, then compact
+    KNN.ivf_append(emb.filter(F.col("vec_id") >= 400), centroids, idx)
+    counts = KNN.ivf_compact(spark, idx)
+    assert counts["rows_after"] == n_total
+
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in KNN.ivf_search_persisted(
+            queries, spark, idx, centroids, k=5, nprobe=8
+        ).collect()
+    )
+    clean = str(tmp_path / "ivf_clean")
+    KNN.ivf_write(KNN.ivf_build(emb, centroids), clean)
+    want = sorted(
+        (r["query_id"], r["vec_id"])
+        for r in KNN.ivf_search_persisted(
+            queries, spark, clean, centroids, k=5, nprobe=8
+        ).collect()
+    )
+    assert got == want
