@@ -138,3 +138,76 @@ def test_bpe_batched_matches_python_reference_wikitextish(spark):
     ]
     assert got == want_merges
     assert len(got) > 20
+
+
+def test_select_merge_batch_fuzz_pure_python():
+    """600-corpus pure-python fuzz of the batched-merge safety rule against
+    textbook sequential BPE — calls the REAL _select_merge_batch on head
+    rows and replays its picks, so any weakening of the rule (dominance
+    cut, interaction stop, collision truncation) fails here in seconds,
+    without Spark."""
+    import random
+
+    def pair_counts(vocab):
+        c = Counter()
+        for sym, n in vocab.items():
+            s = sym.split(" ")
+            for i in range(len(s) - 1):
+                c[(s[i], s[i + 1])] += n
+        return c
+
+    def apply(vocab, left, right):
+        pat = re.compile(
+            r"(?<!\S)" + re.escape(left) + " " + re.escape(right) + r"(?!\S)"
+        )
+        return {pat.sub(left + right, sym): n for sym, n in vocab.items()}
+
+    def seq(wc, num_merges, min_freq=2):
+        vocab = {" ".join(list(w) + [TK.END_OF_WORD]): n for w, n in wc.items()}
+        merges = []
+        for _ in range(num_merges):
+            pc = pair_counts(vocab)
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            if pc[best] < min_freq:
+                break
+            merges.append((best[0], best[1], pc[best]))
+            vocab = apply(vocab, *best)
+        return merges
+
+    def batched(wc, num_merges, batch, min_freq=2):
+        vocab = {" ".join(list(w) + [TK.END_OF_WORD]): n for w, n in wc.items()}
+        merges = []
+        while len(merges) < num_merges:
+            b = min(batch, num_merges - len(merges))
+            head_n = max(64, 4 * b) if b > 1 else 1
+            pc = pair_counts(vocab)
+            head = [
+                {"left": p[0], "right": p[1], "freq": f}
+                for p, f in sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:head_n]
+            ]
+            if not head or head[0]["freq"] < min_freq:
+                break
+            picks = TK._select_merge_batch(
+                head, b, min_freq, exhaustive=len(head) < head_n
+            )
+            if len(picks) > 1:
+                live = {s for sym in vocab for s in sym.split(" ")}
+                for i, (left, right, _) in enumerate(picks):
+                    if left + right in live:
+                        picks = picks[:i] if i >= 1 else picks[:1]
+                        break
+            for left, right, freq in picks:
+                merges.append((left, right, freq))
+                vocab = apply(vocab, left, right)
+        return merges
+
+    rng = random.Random(7)
+    for _ in range(600):
+        wc: dict[str, int] = {}
+        for _w in range(rng.randint(1, 25)):
+            w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+            wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+        nm, batch = rng.randint(1, 15), rng.choice([2, 3, 5, 8])
+        assert batched(wc, nm, batch) == seq(wc, nm), (wc, nm, batch)
