@@ -6285,6 +6285,60 @@ def text_nfc_normalize(spark, sf):
 
 
 @_register(
+    "text_sentences",
+    r"""
+    WITH punct AS (
+      SELECT doc_id,
+             regexp_replace(text, '\b(table|value|merge)\b', '\1.', 'g') AS ptext
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             string_split(regexp_replace(ptext, '([.!?])\s+', '\1' || chr(1), 'g'),
+                          chr(1)) AS sents
+      FROM punct
+    ),
+    ex AS (
+      SELECT doc_id, generate_subscripts(sents, 1) AS sent_idx,
+             trim(unnest(sents)) AS sent
+      FROM marked
+    )
+    SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx, md5(sent) AS sent_hash,
+           CAST(length(sent) AS INT) AS n_chars
+    FROM ex WHERE sent <> ''
+    """,
+    doc="Sentence segmentation — the curation primitive under sentence-level "
+    "dedup/sampling. RE2 has no lookbehind, so the split is a portable "
+    "sentinel insertion (punctuation + whitespace -> punctuation + U+0001, "
+    "then split on the sentinel) — identical regex semantics on both "
+    "engines. The fixture corpus carries no punctuation, so the entry "
+    "first derives it deterministically (period after three marker words) "
+    "— docs then split into many sentences and the segmentation is "
+    "exercised on every row. Row-local, zero shuffle; sentences ship as "
+    "md5+length, never text",
+)
+def text_sentences(spark, sf):
+    t = load_views(spark, sf)
+    ptext = F.regexp_replace(F.col("text"), r"\b(table|value|merge)\b", "$1.")
+    sents = F.split(F.regexp_replace(ptext, r"([.!?])\s+", "$1\x01"), "\x01")
+    ex = (
+        t["documents"]
+        .select("doc_id", F.posexplode(sents).alias("idx0", "sent0"))
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("int").alias("sent_idx"),
+            F.trim(F.col("sent0")).alias("sent"),
+        )
+    )
+    return ex.filter(F.col("sent") != "").select(
+        "doc_id",
+        "sent_idx",
+        F.md5("sent").alias("sent_hash"),
+        F.length("sent").cast("int").alias("n_chars"),
+    )
+
+
+@_register(
     "quality_classifier_score",
     None,
     doc="Model-based quality filtering (the fastText-classifier step of "
