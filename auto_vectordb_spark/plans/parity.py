@@ -6339,6 +6339,55 @@ def text_sentences(spark, sf):
 
 
 @_register(
+    "dedup_sentences_crossdoc",
+    r"""
+    WITH punct AS (
+      SELECT doc_id,
+             regexp_replace(text, '\b(table|value|merge)\b', '\1.', 'g') AS ptext
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id,
+             string_split(regexp_replace(ptext, '([.!?])\s+', '\1' || chr(1), 'g'),
+                          chr(1)) AS sents
+      FROM punct
+    ),
+    ex0 AS (
+      SELECT doc_id, trim(unnest(sents)) AS sent FROM marked
+    ),
+    ex AS (
+      SELECT DISTINCT doc_id, md5(sent) AS sent_hash FROM ex0 WHERE sent <> ''
+    )
+    SELECT sent_hash, CAST(count(*) AS BIGINT) AS n_docs
+    FROM ex GROUP BY sent_hash HAVING count(*) >= 2
+    """,
+    doc="Sentence-level cross-document dedup signal: sentences (per "
+    "text_sentences' segmentation) appearing verbatim in >= 2 docs — the "
+    "sentence-granularity analog of the windowed exact-substring signal "
+    "(substring_dup_spans), the unit most boilerplate removal operates on. "
+    "One short-key shuffle on sent_hash, map-side combined; sentences "
+    "never ship as text",
+)
+def dedup_sentences_crossdoc(spark, sf):
+    t = load_views(spark, sf)
+    ptext = F.regexp_replace(F.col("text"), r"\b(table|value|merge)\b", "$1.")
+    sents = F.split(F.regexp_replace(ptext, r"([.!?])\s+", "$1\x01"), "\x01")
+    ex = (
+        t["documents"]
+        .select("doc_id", F.explode(sents).alias("sent0"))
+        .select("doc_id", F.trim("sent0").alias("sent"))
+        .filter(F.col("sent") != "")
+        .select("doc_id", F.md5("sent").alias("sent_hash"))
+        .distinct()
+    )
+    return (
+        ex.groupBy("sent_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@_register(
     "quality_classifier_score",
     None,
     doc="Model-based quality filtering (the fastText-classifier step of "
