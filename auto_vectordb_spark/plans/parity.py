@@ -6253,13 +6253,20 @@ def langid_confusion(spark, sf):
     )
 
 
+# decomposed suffix exercised by text_nfc_normalize — ONE definition with the
+# SQL form generated from it so Spark and oracle can never desynchronize
+_NFC_SUFFIX = " café Å"
+_NFC_SUFFIX_SQL = "text || ' cafe' || chr(769) || ' A' || chr(778)"
+assert _NFC_SUFFIX == " cafe" + chr(769) + " A" + chr(778)
+
+
 @_register(
     "text_nfc_normalize",
-    """
+    f"""
     SELECT doc_id,
-           md5(nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))) AS norm_hash,
-           (nfc_normalize(text || ' cafe' || chr(769) || ' A' || chr(778))
-            <> (text || ' cafe' || chr(769) || ' A' || chr(778))) AS changed
+           md5(nfc_normalize({_NFC_SUFFIX_SQL})) AS norm_hash,
+           (nfc_normalize({_NFC_SUFFIX_SQL})
+            <> ({_NFC_SUFFIX_SQL})) AS changed
     FROM documents
     """,
     doc="Unicode NFC canonical composition (functions/text.py "
@@ -6273,9 +6280,7 @@ def text_nfc_normalize(spark, sf):
     from ..functions.text import nfc_normalize_udf
 
     t = load_views(spark, sf)
-    suffixed = F.concat(
-        F.col("text"), F.lit(" cafe\u0301 A\u030a")
-    )
+    suffixed = F.concat(F.col("text"), F.lit(_NFC_SUFFIX))
     norm = nfc_normalize_udf()(suffixed)
     return t["documents"].select(
         "doc_id",
@@ -6284,20 +6289,37 @@ def text_nfc_normalize(spark, sf):
     )
 
 
+# Sentence segmentation building blocks shared by text_sentences and
+# dedup_sentences_crossdoc — ONE definition so the Spark side, the marker
+# list, and both oracles can never desynchronize (the _DUPSPAN_W lesson).
+_SENT_MARKERS = "table|value|merge"
+_SENTS_CTE = (
+    "punct AS (\n"
+    "      SELECT doc_id,\n"
+    "             regexp_replace(text, '\\b(" + _SENT_MARKERS + ")\\b', '\\1.', 'g') AS ptext\n"
+    "      FROM documents\n"
+    "    ),\n"
+    "    marked AS (\n"
+    "      SELECT doc_id,\n"
+    "             string_split(regexp_replace(ptext, '([.!?])\\s+', '\\1' || chr(1), 'g'),\n"
+    "                          chr(1)) AS sents\n"
+    "      FROM punct\n"
+    "    )"
+)
+
+
+def _sents_col():
+    """Spark twin of _SENTS_CTE: the per-doc sentence array Column."""
+    ptext = F.regexp_replace(
+        F.col("text"), r"\b(" + _SENT_MARKERS + r")\b", "$1."
+    )
+    return F.split(F.regexp_replace(ptext, r"([.!?])\s+", "$1\x01"), "\x01")
+
+
 @_register(
     "text_sentences",
-    r"""
-    WITH punct AS (
-      SELECT doc_id,
-             regexp_replace(text, '\b(table|value|merge)\b', '\1.', 'g') AS ptext
-      FROM documents
-    ),
-    marked AS (
-      SELECT doc_id,
-             string_split(regexp_replace(ptext, '([.!?])\s+', '\1' || chr(1), 'g'),
-                          chr(1)) AS sents
-      FROM punct
-    ),
+    f"""
+    WITH {_SENTS_CTE},
     ex AS (
       SELECT doc_id, generate_subscripts(sents, 1) AS sent_idx,
              trim(unnest(sents)) AS sent
@@ -6319,8 +6341,7 @@ def text_nfc_normalize(spark, sf):
 )
 def text_sentences(spark, sf):
     t = load_views(spark, sf)
-    ptext = F.regexp_replace(F.col("text"), r"\b(table|value|merge)\b", "$1.")
-    sents = F.split(F.regexp_replace(ptext, r"([.!?])\s+", "$1\x01"), "\x01")
+    sents = _sents_col()
     ex = (
         t["documents"]
         .select("doc_id", F.posexplode(sents).alias("idx0", "sent0"))
@@ -6340,18 +6361,8 @@ def text_sentences(spark, sf):
 
 @_register(
     "dedup_sentences_crossdoc",
-    r"""
-    WITH punct AS (
-      SELECT doc_id,
-             regexp_replace(text, '\b(table|value|merge)\b', '\1.', 'g') AS ptext
-      FROM documents
-    ),
-    marked AS (
-      SELECT doc_id,
-             string_split(regexp_replace(ptext, '([.!?])\s+', '\1' || chr(1), 'g'),
-                          chr(1)) AS sents
-      FROM punct
-    ),
+    f"""
+    WITH {_SENTS_CTE},
     ex0 AS (
       SELECT doc_id, trim(unnest(sents)) AS sent FROM marked
     ),
@@ -6370,8 +6381,7 @@ def text_sentences(spark, sf):
 )
 def dedup_sentences_crossdoc(spark, sf):
     t = load_views(spark, sf)
-    ptext = F.regexp_replace(F.col("text"), r"\b(table|value|merge)\b", "$1.")
-    sents = F.split(F.regexp_replace(ptext, r"([.!?])\s+", "$1\x01"), "\x01")
+    sents = _sents_col()
     ex = (
         t["documents"]
         .select("doc_id", F.explode(sents).alias("sent0"))
