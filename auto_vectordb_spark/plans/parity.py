@@ -6398,6 +6398,93 @@ def dedup_sentences_crossdoc(spark, sf):
 
 
 @_register(
+    "dedup_sentence_removal",
+    f"""
+    WITH {_SENTS_CTE},
+    ex0 AS (
+      SELECT doc_id, generate_subscripts(sents, 1) AS sent_idx,
+             trim(unnest(sents)) AS sent
+      FROM marked
+    ),
+    ex AS (SELECT * FROM ex0 WHERE sent <> ''),
+    boiler AS (
+      SELECT md5(sent) AS sent_hash
+      FROM (SELECT DISTINCT doc_id, sent FROM ex)
+      GROUP BY md5(sent) HAVING count(*) >= 2
+    ),
+    kept AS (
+      SELECT e.doc_id, e.sent_idx, e.sent
+      FROM ex e LEFT JOIN boiler b ON md5(e.sent) = b.sent_hash
+      WHERE b.sent_hash IS NULL
+    ),
+    reasm AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(sent, chr(1) ORDER BY sent_idx)) AS cleaned_hash
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS n_sents FROM ex GROUP BY doc_id)
+    SELECT t.doc_id, CAST(t.n_sents AS INT) AS n_sents,
+           CAST(t.n_sents - COALESCE(r.n_kept, 0) AS INT) AS n_removed,
+           COALESCE(r.cleaned_hash, md5('')) AS cleaned_hash
+    FROM totals t LEFT JOIN reasm r ON t.doc_id = r.doc_id
+    """,
+    doc="Boilerplate sentence removal APPLIED — the sentence-granularity "
+    "analog of dedup_span_removal: every sentence appearing verbatim in "
+    ">= 2 docs is excised, docs reassembled in sentence order and compared "
+    "by position-sensitive hash. Plan: sentence explode (row-local) -> one "
+    "short-key shuffle for the boiler set -> hash anti-join -> per-doc "
+    "ordered reassembly; the corpus text never shuffles twice",
+)
+def dedup_sentence_removal(spark, sf):
+    t = load_views(spark, sf)
+    ex = (
+        t["documents"]
+        .select("doc_id", F.posexplode(_sents_col()).alias("idx0", "sent0"))
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("int").alias("sent_idx"),
+            F.trim("sent0").alias("sent"),
+        )
+        .filter(F.col("sent") != "")
+    )
+    boiler = (
+        ex.select("doc_id", F.md5("sent").alias("sent_hash"))
+        .distinct()
+        .groupBy("sent_hash")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("sent_hash")
+    )
+    kept = ex.join(
+        boiler, F.md5(ex["sent"]) == boiler["sent_hash"], "left_anti"
+    )
+    reasm = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))),
+                    lambda x: x["sent"],
+                ),
+                "\x01",
+            )
+        ).alias("cleaned_hash"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_sents"))
+    return (
+        totals.join(reasm, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_sents").cast("int").alias("n_sents"),
+            (F.col("n_sents") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce(F.col("cleaned_hash"), F.md5(F.lit(""))).alias("cleaned_hash"),
+        )
+    )
+
+
+@_register(
     "quality_classifier_score",
     None,
     doc="Model-based quality filtering (the fastText-classifier step of "
