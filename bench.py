@@ -6,6 +6,15 @@ Headliners cover each engine pillar: columnar agg (q1), multi-join (q5),
 window top-k (topk_per_group), exact kNN (knn_exact_cosine), BM25, hybrid
 fusion, MinHash-LSH dedup, n-gram Jaccard dedup, embedding near-dup,
 sessionization, text quality scoring.
+
+Measurement notes: single timed run per query after an sf0.001 warm pass
+and a pre-query System.gc() (hygiene documented inline). Residual
+run-to-run variance is real — measured 20-30 s totals for the identical
+commit across one day on the shared test host (AQE re-plans at sf0.1 can
+trigger fresh whole-stage-codegen inside the timed window, and JIT/host
+conditions move) — so compare totals across rounds directionally, not to
+the decimal. The methodology and query set stay FROZEN for cross-round
+comparability with BASELINE.md.
 """
 
 from __future__ import annotations
