@@ -6019,6 +6019,69 @@ def knn_cascade_rerank(spark, sf):
 
 
 @_register(
+    "events_anomaly_mad",
+    """
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, quantile_cont(n_events, 0.5) AS med
+      FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+      SELECT h.event_type, h.hour, h.n_events, m.med,
+             abs(h.n_events - m.med) AS adev
+      FROM hourly h JOIN med m ON h.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.hour, d.n_events,
+           round(d.med, 6) AS med, round(a.mad, 6) AS mad,
+           CASE WHEN a.mad > 0 AND d.adev > 3.0 * a.mad THEN TRUE
+                ELSE FALSE END AS is_anomaly
+    FROM dev d JOIN mad a ON d.event_type = a.event_type
+    """,
+    doc="Robust (median/MAD) hourly anomaly detection — the outlier-immune "
+    "twin of events_anomaly_zscore (one wild hour inflates a std enough to "
+    "mask itself; it barely moves a median). Exact interpolated percentiles "
+    "on the REDUCED hourly table (two tiny per-type aggregations + "
+    "join-backs); integer counts make the interpolation arithmetic "
+    "bit-identical across engines. Plain MAD, threshold 3.0 (no 1.4826 "
+    "normal-consistency constant — document the knob, don't bake it)",
+)
+def events_anomaly_mad(spark, sf):
+    t = load_views(spark, sf)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return dev.join(mad, "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        ((F.col("mad") > 0) & (F.col("adev") > 3.0 * F.col("mad"))).alias("is_anomaly"),
+    )
+
+
+@_register(
     "events_anomaly_zscore",
     """
     WITH hourly AS (
