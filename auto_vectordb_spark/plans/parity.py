@@ -6082,6 +6082,61 @@ def events_anomaly_mad(spark, sf):
 
 
 @_register(
+    "events_seasonal_deviation",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             CAST(strftime(ts, '%H') AS INT) AS hod,
+             count(*) AS n_events
+      FROM events GROUP BY 1, 2, 3
+    ),
+    baseline AS (
+      SELECT event_type, hod, count(*) AS n_obs,
+             sum(n_events) AS s1
+      FROM hourly GROUP BY event_type, hod
+    )
+    SELECT h.event_type, h.hour, h.n_events,
+           round(CAST(b.s1 AS DOUBLE) / b.n_obs, 6) AS expected,
+           round(h.n_events - CAST(b.s1 AS DOUBLE) / b.n_obs, 6) AS deviation
+    FROM hourly h
+    JOIN baseline b ON h.event_type = b.event_type AND h.hod = b.hod
+    """,
+    doc="Seasonality-aware volume monitoring: each hour is compared to its "
+    "OWN hour-of-day baseline per event type (2am traffic judged against "
+    "2am norms, not the daily mean — the deviation the flat z-score/MAD "
+    "monitors misclassify on any diurnal workload). Two short-key "
+    "aggregations over the reduced hourly table; exact integer sums make "
+    "the baseline division engine-exact",
+)
+def events_seasonal_deviation(spark, sf):
+    t = load_views(spark, sf)
+    hourly = (
+        t["events"]
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias("hour"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    baseline = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"), F.sum("n_events").alias("s1")
+    )
+    expected = F.col("s1").cast("double") / F.col("n_obs")
+    return (
+        hourly.join(baseline, ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            F.round(expected, 6).alias("expected"),
+            F.round(F.col("n_events") - expected, 6).alias("deviation"),
+        )
+    )
+
+
+@_register(
     "events_anomaly_zscore",
     """
     WITH hourly AS (
