@@ -199,7 +199,9 @@ def ivf_pq_topk(
     Per query: pick ``nprobe`` nearest cells on the broadcast centroid
     table **by L2 distance — the same metric ADC approximates** (probing by
     cosine against an L2 scorer mis-ranks cells unless vectors are
-    normalized; measured recall@10 0.56 → 0.84 at nprobe=3 on the test
+    normalized; measured recall@10 0.56 → 0.84 at nprobe=3 on the 5
+    seed-set test queries — out-of-seed absolute recall on the isotropic
+    fixtures is far lower by construction, see RECALL.md — on the test
     corpus), then ADC-score ONLY codes in those cells — the scan fraction
     is ~nprobe/n_cells of an already ~64× compressed table. Join shape:
     broadcast(probes × query dtables) ⋈ codes on centroid_id; the code
