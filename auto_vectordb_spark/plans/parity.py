@@ -3971,6 +3971,87 @@ def orc_roundtrip(spark, sf):
 
 
 @_register(
+    "catalog_ddl_roundtrip",
+    """
+    SELECT 'cat_ddl_check' AS table_name, TRUE AS created, TRUE AS listed,
+           CAST(count(*) AS INT) AS n_rows, TRUE AS dropped
+    FROM nation
+    """,
+    doc="Catalog DDL lifecycle (SURVEY S13-S15, catalog.py — reference "
+    "process/postgres.py:40-146 CREATE/DROP/list): create a managed "
+    "parquet table from nation, verify existence + listing + row count, "
+    "drop it, verify it is gone — all at entry time, results returned as "
+    "literal rows (the table must not outlive the entry, so the returned "
+    "DataFrame cannot depend on it). Oracle checks the row count came "
+    "from the real table",
+)
+def catalog_ddl_roundtrip(spark, sf):
+    from .. import catalog as CAT
+
+    t = load_views(spark, sf)
+    name = "cat_ddl_check"
+    CAT.drop_table(spark, name)  # idempotent re-run safety
+    CAT.create_table(spark, name, t["nation"].select("n_nationkey", "n_name"))
+    created = CAT.table_exists(spark, name)
+    listed = name in CAT.list_tables(spark)
+    n_rows = int(spark.table(name).count())
+    CAT.drop_table(spark, name)
+    dropped = not CAT.table_exists(spark, name)
+    return spark.createDataFrame(
+        [(name, created, listed, n_rows, dropped)],
+        "table_name string, created boolean, listed boolean, "
+        "n_rows int, dropped boolean",
+    )
+
+
+@_register(
+    "csv_roundtrip",
+    f"""
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(sum({H.stable_hash60_sql('text')} % 1000003) AS BIGINT)
+             AS text_checksum
+    FROM documents GROUP BY lang
+    """,
+    doc="CSV source/sink round-trip (SURVEY S9, sources/files.py read_csv — "
+    "reference ingests CSV via pandas.read_csv, backend/routers/"
+    "upload.py): documents written as quoted/escaped CSV with header and "
+    "read back with an explicit schema; the per-lang MD5 checksum proves "
+    "text survives CSV quoting (commas, quotes, unicode) byte-identically "
+    "— the oracle computes the same checksum off the original parquet",
+)
+def csv_roundtrip(spark, sf):
+    import tempfile
+
+    from ..sources import files as SRC
+
+    t = load_views(spark, sf)
+    path = tempfile.mkdtemp(prefix="csv_roundtrip_") + "/docs"
+    (
+        t["documents"]
+        .select("doc_id", "lang", "text", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("escape", '"')
+        .csv(path)
+    )
+    # read_csv passes through reader OPTIONS; CSV columns land as strings,
+    # so types are restored with explicit casts (deterministic — no
+    # inferSchema sampling pass)
+    back = SRC.read_csv(spark, path, quote='"').select(
+        F.col("lang"),
+        F.col("text"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(H.stable_hash60(F.col("text")) % F.lit(1000003)).alias("text_checksum"),
+    )
+
+
+@_register(
     "jsonl_roundtrip",
     f"""
     SELECT lang, count(*) AS n_docs,
