@@ -3971,6 +3971,47 @@ def orc_roundtrip(spark, sf):
 
 
 @_register(
+    "staging_lifecycle",
+    """
+    SELECT 3 AS n_staged, CAST(count(*) > 0 AS BOOLEAN) AS counted,
+           0 AS n_after_clear, TRUE AS dir_kept
+    FROM documents
+    """,
+    doc="Upload-staging lifecycle (SURVEY S1-S4 + S17, pipeline.py "
+    "stage_files/clear_staging — reference routers/upload.py + "
+    "parsing.py:157-169 _clear_folder): stage 3 files, count them (S4), "
+    "clear the staging area (S17: contents deleted, dir kept), recount. "
+    "Filesystem actions run at entry time; results return as literal rows "
+    "(the staged files must not outlive the entry)",
+)
+def staging_lifecycle(spark, sf):
+    import tempfile
+    from pathlib import Path
+
+    from ..pipeline import VectorPipeline
+    from ..sources import files as SRC
+
+    load_views(spark, sf)  # session confs
+    base = tempfile.mkdtemp(prefix="staging_lifecycle_")
+    src = Path(base) / "incoming"
+    src.mkdir()
+    for i in range(3):
+        (src / f"f{i}.txt").write_text(f"doc {i}")
+    p = VectorPipeline(spark, base + "/store", dim=8)
+    staged = p.stage_files([str(src / f"f{i}.txt") for i in range(3)])
+    n_staged = SRC.count_files(spark, str(Path(base) / "store" / "uploaded"))
+    p.clear_staging()
+    # empty dir: binaryFile scans need >=1 file or they throw on schema
+    # inference; count the leftover entries directly
+    n_after = sum(1 for _ in (Path(base) / "store" / "uploaded").rglob("*"))
+    dir_kept = (Path(base) / "store" / "uploaded").exists()
+    return spark.createDataFrame(
+        [(int(n_staged), len(staged) == 3, int(n_after), bool(dir_kept))],
+        "n_staged int, counted boolean, n_after_clear int, dir_kept boolean",
+    )
+
+
+@_register(
     "catalog_ddl_roundtrip",
     """
     SELECT 'cat_ddl_check' AS table_name, TRUE AS created, TRUE AS listed,
