@@ -1,0 +1,143 @@
+"""Event-volume analytics: ingest-health monitors over an event firehose.
+
+North-star extension beyond the reference's query surface (the reference has
+no monitoring ops; its closest analog is the row-count bookkeeping in
+/root/reference/backend/process/postgres.py) — the monitors a streaming
+ingest pipeline runs on its own volume to catch drops/bursts.
+
+All three detectors reduce the firehose to an (event_type, hour) count table
+FIRST — at 100 TB the raw events shuffle exactly once on a short composite
+key with map-side combine, and every statistic after that runs on the tiny
+reduced table (per-type aggregation + a broadcast join-back):
+
+- :func:`hourly_counts` — the shared reduction.
+- :func:`volume_anomaly_zscore` — per-type z-score of hourly counts against
+  that type's own mean/std (moments from exact int64 sums).
+- :func:`volume_anomaly_mad` — robust median/MAD twin (one wild hour
+  inflates a std enough to mask itself; it barely moves a median). Plain
+  MAD with a threshold knob — no 1.4826 normal-consistency constant baked.
+- :func:`seasonal_deviation` — hour-of-day baselines per type (2am traffic
+  judged against 2am norms, not the daily mean — the deviation flat
+  z-score/MAD monitors misclassify on any diurnal workload).
+
+Oracle-verified via plans/parity.py entries events_anomaly_zscore /
+events_anomaly_mad / events_seasonal_deviation (exact integer moment sums
+and interpolated percentiles over integer counts are bit-identical across
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_counts(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    with_hod: bool = False,
+) -> DataFrame:
+    """(event_type, hour, [hod,] n_events) — the shared firehose reduction.
+
+    One shuffle on the short (type, hour) key, map-side combined; `hour` is
+    a formatted string so the output is engine- and timezone-stable under
+    the session's pinned UTC TZ.
+    """
+    keys = [
+        F.col(type_col).alias("event_type"),
+        F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00").alias("hour"),
+    ]
+    if with_hod:
+        keys.append(F.hour(F.col(ts_col)).alias("hod"))
+    return events.groupBy(*keys).agg(F.count("*").alias("n_events"))
+
+
+def volume_anomaly_zscore(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 2.0,
+) -> DataFrame:
+    """(event_type, hour, n_events, z, is_anomaly) — per-type z-score of
+    hourly volume against that type's own mean/std.
+
+    Moments come from exact int64 sums (s1, s2) so z is bit-identical
+    cross-engine; a zero-variance type scores z=0 (never anomalous).
+    """
+    hourly = hourly_counts(events, type_col, ts_col)
+    stats = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n_hours"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s1").cast("double") / F.col("n_hours")
+    var = F.col("s2").cast("double") / F.col("n_hours") - mean * mean
+    z = F.when(var > 0, (F.col("n_events") - mean) / F.sqrt(var)).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        (F.abs(z) >= float(threshold)).alias("is_anomaly"),
+    )
+
+
+def volume_anomaly_mad(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    threshold: float = 3.0,
+) -> DataFrame:
+    """(event_type, hour, n_events, med, mad, is_anomaly) — robust
+    median/MAD hourly anomaly detection.
+
+    Exact interpolated percentiles on the REDUCED hourly table (two tiny
+    per-type aggregations + join-backs); integer counts make the
+    interpolation arithmetic bit-identical across engines. A zero-MAD type
+    (more than half its hours at the median) never flags.
+    """
+    hourly = hourly_counts(events, type_col, ts_col)
+    med = hourly.groupBy("event_type").agg(
+        F.percentile("n_events", F.lit(0.5)).alias("med")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("n_events") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        ((F.col("mad") > 0) & (F.col("adev") > float(threshold) * F.col("mad"))).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+def seasonal_deviation(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(event_type, hour, n_events, expected, deviation) — each hour compared
+    to its OWN hour-of-day baseline per event type.
+
+    Two short-key aggregations over the reduced hourly table; exact integer
+    sums make the baseline division engine-exact.
+    """
+    hourly = hourly_counts(events, type_col, ts_col, with_hod=True)
+    baseline = hourly.groupBy("event_type", "hod").agg(
+        F.count("*").alias("n_obs"), F.sum("n_events").alias("s1")
+    )
+    expected = F.col("s1").cast("double") / F.col("n_obs")
+    return hourly.join(F.broadcast(baseline), ["event_type", "hod"]).select(
+        "event_type",
+        "hour",
+        "n_events",
+        F.round(expected, 6).alias("expected"),
+        F.round(F.col("n_events") - expected, 6).alias("deviation"),
+    )

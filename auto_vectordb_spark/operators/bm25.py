@@ -290,10 +290,14 @@ def compact_index(spark, index_dir: str) -> dict[str, int]:
     for name, df in jobs:
         df.write.mode("overwrite").parquet(str(base / f"_{name}_compact"))
     for name, _ in jobs:
-        # Aside-rename ordering keeps the live path always present: live ->
-        # _old (atomic), staging -> live (atomic), then delete _old. A crash
-        # between the renames leaves _old recoverable; the live dir is never
-        # absent for concurrent readers.
+        # Aside-rename ordering: live -> _old (atomic), staging -> live
+        # (atomic), then delete _old. Each rename is atomic, but BETWEEN
+        # the two the live path is briefly absent — a concurrent reader in
+        # that window sees a missing directory, and a crash there requires
+        # manually renaming _old back. Readers that must never observe a
+        # missing path need a versioned-directory or symlink-flip scheme
+        # on a filesystem that supports it; for batch maintenance windows
+        # (the intended use) this brief gap is acceptable.
         final = base / name
         old = base / f"_{name}_old"
         if old.exists():

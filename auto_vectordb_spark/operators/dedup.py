@@ -71,9 +71,15 @@ def doc_shingle_hashes(
     sampling noise (gated in tests/test_dedup.py).
     """
     def h(c):
-        # abs: universal_hash's (a*(h%P)+b)%P needs a non-negative input to
-        # stay in [0, P) on Spark's sign-preserving %
-        return F.abs(H.fast_hash64(c)) if fast else H.stable_hash60(c)
+        # universal_hash's (a*(h%P)+b)%P needs a non-negative input to stay
+        # in [0, P) on Spark's sign-preserving %. Mask the sign bit rather
+        # than abs(): abs(Long.MIN_VALUE) is still negative in two's
+        # complement, and abs folds ±x into one value, doubling collisions.
+        return (
+            H.fast_hash64(c).bitwiseAND(F.lit(0x7FFFFFFFFFFFFFFF))
+            if fast
+            else H.stable_hash60(c)
+        )
 
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -495,6 +501,87 @@ def remove_dup_spans(
         "n_tokens",
         (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
         F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_hash"),
+    )
+
+
+def sentence_crossdoc_dups(
+    sentences: DataFrame,
+    id_col: str = "doc_id",
+    sent_col: str = "sent",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(sent_hash, n_docs) — sentences appearing verbatim in ≥ ``min_docs``
+    documents: the cross-document boilerplate signal at sentence
+    granularity (the unit most boilerplate removal operates on; the k-gram
+    analog is :func:`substring_dup_spans`).
+
+    Input is a segmented sentence table — (doc_id, sent) from
+    :func:`~auto_vectordb_spark.operators.textstats.sentence_segments` or
+    any custom segmenter. Per-doc distinct first (a sentence repeated
+    WITHIN a doc counts once), then one short-key shuffle on sent_hash with
+    map-side combine; sentences never ship as text, only md5+count.
+    """
+    ex = (
+        sentences.select(
+            F.col(id_col).alias("doc_id"), F.md5(F.col(sent_col)).alias("sent_hash")
+        )
+        .distinct()
+    )
+    return (
+        ex.groupBy("sent_hash")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_dup_sentences(
+    sentences: DataFrame,
+    id_col: str = "doc_id",
+    idx_col: str = "sent_idx",
+    sent_col: str = "sent",
+    min_docs: int = 2,
+    joiner: str = " ",
+) -> DataFrame:
+    """APPLY sentence-level boilerplate removal: excise every sentence that
+    appears verbatim in ≥ ``min_docs`` docs, reassemble the survivors in
+    document order — the sentence-granularity analog of
+    :func:`remove_dup_spans`.
+
+    Input: a segmented sentence table (doc_id, sent_idx, sent) — see
+    :func:`sentence_crossdoc_dups`. Output per doc: (doc_id, n_sents,
+    n_removed, cleaned_text) with ``cleaned_text = ''`` for fully-removed
+    docs; callers wanting a narrow compare row hash the text (the
+    dedup_sentence_removal parity entry does exactly that).
+
+    Plan: boiler set = one short-key shuffle on sent_hash; removal = hash
+    anti-join; reassembly = one (doc_id) groupBy whose sort_array restores
+    sentence order inside the row — the corpus text never shuffles twice.
+    """
+    ex = sentences.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(idx_col).alias("sent_idx"),
+        F.col(sent_col).alias("sent"),
+    )
+    boiler = sentence_crossdoc_dups(ex, min_docs=min_docs).select("sent_hash")
+    kept = ex.join(boiler, F.md5(ex["sent"]) == boiler["sent_hash"], "left_anti")
+    reasm = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sent_idx", "sent"))),
+                lambda x: x["sent"],
+            ),
+            joiner,
+        ).alias("cleaned"),
+    )
+    totals = ex.groupBy("doc_id").agg(F.count("*").alias("n_sents"))
+    return totals.join(reasm, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_sents").cast("int").alias("n_sents"),
+        (F.col("n_sents") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("int")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
     )
 
 

@@ -97,8 +97,18 @@ def knn_exact_blas(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     round_decimals: int | None = None,
+    max_queries: int = 65536,
 ) -> DataFrame:
     """Exact cosine top-k via an Arrow/NumPy BLAS kernel (the throughput path).
+
+    BOUNDED-QUERY CONTRACT: the query side is collected to the driver and
+    broadcast, so it must be a bounded working set — ``max_queries``
+    (default 64k; at d=1024 float64 that is ~0.5 GB broadcast) fails fast
+    past the bound rather than OOMing the driver. For unbounded query sets
+    (corpus-vs-corpus scoring) use the DataFrame-native paths instead:
+    :func:`knn_exact` (expression kernel, both sides stay distributed) or
+    ``dedup.embedding_neardup_pairs_blas_bucketed`` (sign-LSH bucketed
+    per-partition GEMM).
 
     The query matrix (small) is collected, L2-normalized, and broadcast; each
     corpus partition computes one ``block @ Q.T`` matmul inside mapInPandas
@@ -121,7 +131,15 @@ def knn_exact_blas(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select("query_id", query_vec).collect()
+    # limit(max+1) bounds the collect itself (no separate count job); one
+    # extra row is enough to prove the bound was crossed
+    q_rows = queries.select("query_id", query_vec).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"knn_exact_blas collects the query side to the driver; got more "
+            f"than max_queries={max_queries} rows. Use knn_exact or the "
+            f"bucketed BLAS dedup path for unbounded query sets."
+        )
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[query_vec], dtype=np.float64) for r in q_rows])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
@@ -224,9 +242,18 @@ def ivf_search(
             "score", {"cosine": V.cosine, "dot": V.dot}[metric](F.col("__qv"), F.col(vec_col))
         )
     )
-    return top_k_per_group(
-        cand.select("query_id", corpus_id, "score"), ["query_id"], "score", k, tie_break=corpus_id
+    # Collapse duplicate ids BEFORE top-k: an at-least-once replayed append
+    # (streaming.incremental_ivf_index) can leave the same vec_id in the
+    # index more than once until the next ivf_compact; without this a
+    # duplicate could occupy two top-k slots, displacing a real neighbor.
+    # Replayed rows are identical (frozen centroids), so max(score) is
+    # exact. One extra shuffle on the already-pruned candidate set only.
+    best = (
+        cand.select("query_id", corpus_id, "score")
+        .groupBy("query_id", corpus_id)
+        .agg(F.max("score").alias("score"))
     )
+    return top_k_per_group(best, ["query_id"], "score", k, tie_break=corpus_id)
 
 
 def ivf_write(index: DataFrame, path: str) -> None:
@@ -283,9 +310,13 @@ def ivf_search_persisted(
         .join(index, "centroid_id")
         .withColumn("score", V.cosine(F.col("__qv"), F.col(vec_col)))
     )
-    return top_k_per_group(
-        cand.select("query_id", corpus_id, "score"), ["query_id"], "score", k, tie_break=corpus_id
+    # Same replay-duplicate collapse as ivf_search — see the comment there.
+    best = (
+        cand.select("query_id", corpus_id, "score")
+        .groupBy("query_id", corpus_id)
+        .agg(F.max("score").alias("score"))
     )
+    return top_k_per_group(best, ["query_id"], "score", k, tie_break=corpus_id)
 
 
 def label_centroids(
@@ -624,9 +655,12 @@ def ivf_compact(spark, path: str, corpus_id: str = "vec_id") -> dict[str, int]:
         .partitionBy("centroid_id")
         .parquet(staging)
     )
-    # Aside-rename ordering: the live index path is never absent (live ->
-    # _old, staging -> live, delete _old); a crash mid-swap leaves _old
-    # recoverable instead of a missing index.
+    # Aside-rename ordering: live -> _old, staging -> live, delete _old.
+    # Each rename is atomic, but between the two the live path is briefly
+    # absent — concurrent readers in that window see a missing directory,
+    # and a crash there requires manually renaming _old back. Acceptable
+    # for the intended paused-ingest maintenance window; continuous readers
+    # need a versioned-directory scheme instead.
     old = Path(path).parent / f"_{Path(path).name}_old"
     if old.exists():
         shutil.rmtree(old)

@@ -241,6 +241,45 @@ def scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     )
 
 
+def sentence_split(text: Column) -> Column:
+    """Per-row sentence array: split on sentence-final punctuation.
+
+    RE2-portable sentinel insertion — no lookbehind exists in RE2, so
+    ``([.!?])\\s+`` is rewritten to punctuation + U+0001 and the string is
+    split on the sentinel. Identical regex semantics on Spark (Java regex)
+    and RE2-class engines, and the exact split the DuckDB oracles mirror
+    (plans/parity.py _SENTS_CTE). Row-local, zero shuffle.
+    """
+    return F.split(F.regexp_replace(text, r"([.!?])\s+", "$1\x01"), "\x01")
+
+
+def sentence_segments(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sent_idx, sent) — sentence segmentation, the curation
+    primitive under sentence-level dedup/sampling (boilerplate removal
+    operates on sentences, not k-grams).
+
+    1-based ``sent_idx`` preserves document order for reassembly; sentences
+    are trimmed and empties dropped. Row-local explode — the only data
+    growth is the sentence rows themselves. Oracle-verified via the
+    text_sentences parity entry (which ships sentences as md5+length, never
+    text).
+    """
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(sentence_split(F.col(text_col))).alias("idx0", "sent0"),
+        )
+        .select(
+            "doc_id",
+            (F.col("idx0") + 1).cast("int").alias("sent_idx"),
+            F.trim(F.col("sent0")).alias("sent"),
+        )
+        .filter(F.col("sent") != "")
+    )
+
+
 def repetition_stats(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -339,11 +339,15 @@ def incremental_ivf_index(
     no index downtime, the existing index is never read or rewritten.
 
     Replay safety under foreachBatch's at-least-once contract: a retried
-    batch re-appends IDENTICAL rows (frozen centroids → same assignment),
-    which ``ivf_compact`` squashes to one row per id — run it from the
-    same maintenance scheduler that owns BM25 epoch compaction. At 100 TB
-    per-batch work is proportional to the batch and appends are
-    partition-parallel.
+    batch re-appends IDENTICAL rows (frozen centroids → same assignment).
+    Correctness holds at SEARCH time, not just at compaction: ivf_search /
+    ivf_search_persisted collapse duplicate ids (max score per
+    (query_id, vec_id)) before the top-k window, so a replayed vec_id can
+    never occupy two top-k slots in the window between a replay and the
+    next ``ivf_compact`` — which still squashes the storage duplicates,
+    run from the same maintenance scheduler that owns BM25 epoch
+    compaction. At 100 TB per-batch work is proportional to the batch and
+    appends are partition-parallel.
     """
     from ..operators import knn as KNN
 

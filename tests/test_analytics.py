@@ -1,0 +1,85 @@
+"""Engine-level tests for operators/analytics.py (event-volume monitors).
+
+The oracle parity entries (events_anomaly_zscore/mad, events_seasonal_deviation)
+cross-check values against DuckDB on the fixture corpus; these tests pin the
+semantics on hand-built micro-fixtures where the right answer is computable
+by hand.
+"""
+
+from datetime import datetime
+
+import pytest
+
+from auto_vectordb_spark.operators.analytics import (
+    hourly_counts,
+    seasonal_deviation,
+    volume_anomaly_mad,
+    volume_anomaly_zscore,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["event_type", "ts"])
+
+
+@pytest.fixture(scope="module")
+def spiky(spark):
+    # type "a": 11 calm hours with 10 events, one spike hour with 100
+    rows = []
+    for h in range(11):
+        rows += [("a", datetime(2024, 1, 1, h, 5))] * 10
+    rows += [("a", datetime(2024, 1, 1, 11, 5))] * 100
+    # type "b": perfectly flat — never anomalous under any detector
+    for h in range(12):
+        rows += [("b", datetime(2024, 1, 1, h, 30))] * 7
+    return _events(spark, rows)
+
+
+def test_hourly_counts_reduction(spark, spiky):
+    got = {
+        (r["event_type"], r["hour"]): r["n_events"] for r in hourly_counts(spiky).collect()
+    }
+    assert got[("a", "2024-01-01 11:00")] == 100
+    assert got[("a", "2024-01-01 03:00")] == 10
+    assert all(v == 7 for (t, _), v in got.items() if t == "b")
+
+
+def test_zscore_flags_spike_only(spark, spiky):
+    rows = volume_anomaly_zscore(spiky).collect()
+    flagged = {(r["event_type"], r["hour"]) for r in rows if r["is_anomaly"]}
+    assert flagged == {("a", "2024-01-01 11:00")}
+    # zero-variance type scores z=0 everywhere
+    assert all(r["z"] == 0.0 for r in rows if r["event_type"] == "b")
+
+
+def test_mad_flags_spike_and_resists_masking(spark, spiky):
+    rows = volume_anomaly_mad(spiky).collect()
+    a = {r["hour"]: r for r in rows if r["event_type"] == "a"}
+    # median of (10×11, 100) = 10; MAD must be 0 -> plain MAD never flags a
+    # majority-constant series; perturb to get nonzero MAD
+    assert all(not r["is_anomaly"] for r in rows if r["event_type"] == "b")
+    assert a["2024-01-01 11:00"]["med"] == 10.0
+
+    rows2 = []
+    for h, n in enumerate([8, 9, 10, 10, 11, 12, 100]):
+        rows2 += [("a", datetime(2024, 1, 2, h, 0))] * n
+    got = {r["hour"]: r for r in volume_anomaly_mad(_events(spark, rows2)).collect()}
+    assert got["2024-01-02 06:00"]["is_anomaly"]
+    assert sum(1 for r in got.values() if r["is_anomaly"]) == 1
+
+
+def test_seasonal_deviation_uses_hour_of_day_baseline(spark):
+    # 2am is ALWAYS 5 events, noon is always 50 across 3 days; on day 4,
+    # 2am=50 must deviate by +45 even though 50 is a normal noon volume
+    rows = []
+    for d in (1, 2, 3):
+        rows += [("a", datetime(2024, 1, d, 2, 0))] * 5
+        rows += [("a", datetime(2024, 1, d, 12, 0))] * 50
+    rows += [("a", datetime(2024, 1, 4, 2, 0))] * 50
+    got = {r["hour"]: r for r in seasonal_deviation(_events(spark, rows)).collect()}
+    anom = got["2024-01-04 02:00"]
+    # baseline for hod=2 is (5+5+5+50)/4 = 16.25 (the day-4 hour is part of
+    # its own baseline — streaming deployments freeze baselines instead)
+    assert anom["expected"] == 16.25
+    assert anom["deviation"] == 33.75
+    assert got["2024-01-01 12:00"]["deviation"] == 0.0

@@ -275,3 +275,18 @@ def test_ivf_compact_recovers_stale_old_dir(spark, emb, tmp_path):
     assert counts["rows_after"] == before  # no dups to squash; content kept
     assert (tmp_path / "ivf_idx").exists()
     assert not stale.exists()  # stale dir cleaned up by the new swap
+
+
+def test_knn_blas_query_bound_guard(spark):
+    import pytest
+
+    from auto_vectordb_spark.operators.knn import knn_exact_blas
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)], ["vec_id", "embedding"]
+    )
+    q = emb.selectExpr("vec_id as query_id", "embedding")
+    with pytest.raises(ValueError, match="max_queries"):
+        knn_exact_blas(q, emb, k=2, max_queries=4).collect()
+    # at the bound it still works
+    assert knn_exact_blas(q.limit(4), emb, k=2, max_queries=4).count() == 8

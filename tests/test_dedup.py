@@ -384,3 +384,46 @@ def test_minhash_incremental_fast_flag_must_match(spark):
     assert {(r["id_a"], r["id_b"]) for r in hit} == {(1, 2)}
     miss = DD.minhash_lsh_pairs_incremental(new, table_fast, fast=False).collect()
     assert miss == []
+
+
+def test_sentence_crossdoc_dups_and_removal(spark):
+    from auto_vectordb_spark.operators.dedup import (
+        remove_dup_sentences,
+        sentence_crossdoc_dups,
+    )
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Subscribe now. Unique alpha content. Subscribe now."),
+            (2, "Subscribe now. Totally different beta."),
+            (3, "Only original gamma text here."),
+        ],
+        ["doc_id", "text"],
+    )
+    seg = sentence_segments(docs)
+    dups = sentence_crossdoc_dups(seg).collect()
+    # "Subscribe now." appears in docs 1+2 (per-doc distinct: doc 1's repeat
+    # counts once) -> exactly one boilerplate hash with n_docs=2
+    assert len(dups) == 1 and dups[0]["n_docs"] == 2
+
+    rem = {r["doc_id"]: r for r in remove_dup_sentences(seg).collect()}
+    assert rem[1]["n_sents"] == 3 and rem[1]["n_removed"] == 2
+    assert rem[1]["cleaned_text"] == "Unique alpha content."
+    assert rem[2]["n_sents"] == 2 and rem[2]["n_removed"] == 1
+    assert rem[2]["cleaned_text"] == "Totally different beta."
+    assert rem[3]["n_removed"] == 0
+    assert rem[3]["cleaned_text"] == "Only original gamma text here."
+
+
+def test_remove_dup_sentences_fully_removed_doc_empty_text(spark):
+    from auto_vectordb_spark.operators.dedup import remove_dup_sentences
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    docs = spark.createDataFrame(
+        [(1, "Same thing."), (2, "Same thing.")], ["doc_id", "text"]
+    )
+    rem = {r["doc_id"]: r for r in remove_dup_sentences(sentence_segments(docs)).collect()}
+    for d in (1, 2):
+        assert rem[d]["n_sents"] == 1 and rem[d]["n_removed"] == 1
+        assert rem[d]["cleaned_text"] == ""

@@ -135,3 +135,40 @@ def test_zipf_fit_known_slope(spark):
     assert r["n_terms"] == 4
     assert abs(r["slope"] - slope) < 1e-5
     assert r["slope"] < 0  # frequency decays with rank
+
+
+def test_sentence_segments_order_trim_and_empties(spark):
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    df = spark.createDataFrame(
+        [
+            (1, "First one. Second two!  Third three? trailing"),
+            (2, "no terminator at all"),
+            (3, "Dot.    "),  # trailing whitespace-only fragment drops
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sentence_segments(df).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["sent_idx"], r["sent"]))
+    for v in by_doc.values():
+        v.sort()
+    assert by_doc[1] == [
+        (1, "First one."),
+        (2, "Second two!"),
+        (3, "Third three?"),
+        (4, "trailing"),
+    ]
+    assert by_doc[2] == [(1, "no terminator at all")]
+    # "Dot." splits into ["Dot.", "   "]; the whitespace-only tail trims empty
+    assert by_doc[3] == [(1, "Dot.")]
+
+
+def test_sentence_segments_mid_token_period_not_split(spark):
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    # period NOT followed by whitespace (version number) must not split
+    df = spark.createDataFrame([(1, "v1.2 shipped. done")], ["doc_id", "text"])
+    sents = [r["sent"] for r in sentence_segments(df).orderBy("sent_idx").collect()]
+    assert sents == ["v1.2 shipped.", "done"]
