@@ -1,26 +1,33 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "queries_median": {...}, "value_median": ..., "runs": [...], "sf": ...}
 
 Headliners cover each engine pillar: columnar agg (q1), multi-join (q5),
 window top-k (topk_per_group), exact kNN (knn_exact_cosine), BM25, hybrid
 fusion, MinHash-LSH dedup, n-gram Jaccard dedup, embedding near-dup,
 sessionization, text quality scoring.
 
-Measurement notes: single timed run per query after an sf0.001 warm pass
-and a pre-query System.gc() (hygiene documented inline). Residual
-run-to-run variance is real — measured 20-30 s totals for the identical
-commit across one day on the shared test host (AQE re-plans at sf0.1 can
-trigger fresh whole-stage-codegen inside the timed window, and JIT/host
-conditions move) — so compare totals across rounds directionally, not to
-the decimal. The methodology and query set stay FROZEN for cross-round
-comparability with BASELINE.md.
+Measurement notes: each query is timed once per repeat after an sf0.001
+warm pass and a pre-query System.gc() (hygiene documented inline).
+``value``/``queries`` keep the FROZEN single-run semantics of rounds 1-3
+(repeat #1) for cross-round comparability with BASELINE.md; since round 4
+the suite additionally runs $SPARK_GRAFT_REPEATS total repeats (default 3)
+and reports per-query MEDIANS (``queries_median``, ``value_median`` = sum
+of medians) plus every raw per-repeat total (``runs``) — the artifact
+carries its own noise bound. Rationale: run-to-run variance on the shared
+test host is real — measured 20-30 s single-run totals for the identical
+commit across one day (AQE re-plans at sf0.1 can trigger fresh
+whole-stage-codegen inside the timed window, and JIT/host conditions
+move); the median of 3 is the defensible per-round number. The query set
+stays FROZEN.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -65,27 +72,37 @@ def main() -> None:
     # eviction/GC pressure for warm-phase leftovers.
     spark.catalog.clearCache()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        q = REGISTRY[name]
-        # Standard JVM benchmark hygiene: collect the PREVIOUS query's
-        # garbage outside this query's timed window, so a G1 pause triggered
-        # by leftover allocation doesn't land mid-measurement (observed as
-        # random 3-9 s spikes on otherwise ~2 s queries).
-        spark._jvm.System.gc()  # noqa: SLF001
-        t0 = time.perf_counter()
-        df = q.spark(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0, f"{name} returned no count"
-    total = round(sum(timings.values()), 3)
+    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    all_runs: list[dict[str, float]] = []
+    for _ in range(repeats):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            q = REGISTRY[name]
+            # Standard JVM benchmark hygiene: collect the PREVIOUS query's
+            # garbage outside this query's timed window, so a G1 pause
+            # triggered by leftover allocation doesn't land mid-measurement
+            # (observed as random 3-9 s spikes on otherwise ~2 s queries).
+            spark._jvm.System.gc()  # noqa: SLF001
+            t0 = time.perf_counter()
+            df = q.spark(spark, sf_dir)
+            n = df.count() if df.isStreaming is False else -1
+            timings[name] = round(time.perf_counter() - t0, 3)
+            assert n >= 0, f"{name} returned no count"
+        all_runs.append(timings)
+    medians = {
+        name: round(statistics.median(r[name] for r in all_runs), 3) for name in HEADLINE
+    }
+    total = round(sum(all_runs[0].values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_suite_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": all_runs[0],
+                "value_median": round(sum(medians.values()), 3),
+                "queries_median": medians,
+                "runs": [round(sum(r.values()), 3) for r in all_runs],
                 "sf": sf,
             }
         )
