@@ -1,54 +1,203 @@
 """Propose the next driver-attestation window (see parity._ATTEST_WINDOW).
 
 The driver's correctness gate samples the FIRST 50 ``queries()`` entries
-per round. This tool reads every CORRECTNESS_r*.json in the repo root,
-collects the names that already have a fully-green driver row
-(rows+schema+hash all true), and prints the next 50-entry window:
+per round. This tool reads every CORRECTNESS_r*.json in the repo root and
+prints the next 50-entry window, prioritized:
 
-    a few kept-green sentinels  +  oracle-paired entries never yet attested
+    rotating sentinels  >  never-attested oracle-paired  >  STALE re-attests
+
+Staleness (the honesty guard): a past green driver row only proves the
+code AS OF THAT ROUND was correct. For every attested entry we compare its
+implementation between the graded tree (the parent of the ``round N:
+verdict/...`` artifact commit that added its green CORRECTNESS file) and
+HEAD:
+
+- the entry's own ``@_register(...)`` block in plans/parity.py (decorators
+  included, so the oracle SQL counts), extracted by AST and compared
+  whitespace-normalized; and
+- every engine module the entry's block references through parity's module
+  aliases (DD., KNN., TS., ...), compared by file bytes.
+
+If either changed since the entry's LATEST green row, the attestation is
+stale and the entry re-enters the window (newest-green last, so the oldest
+stale attestations re-verify first). This is deliberately conservative: a
+comment-only edit to operators/dedup.py re-attests every dedup entry —
+cheap, and it means "driver-green" always refers to code the driver has
+actually seen. Limitations (documented, not hidden): transitive engine
+imports (e.g. dedup -> functions/hashing) are caught only when the entry
+block itself names the alias; parity-local helpers shared across entries
+(load_views, _punct_docs, ...) are not fingerprinted.
+
+Sentinels rotate: 3 slots picked deterministically from the non-stale
+green pool by round index, so over rounds the driver re-confirms old
+greens instead of re-checking the same three forever.
 
 Paste the output over parity._ATTEST_WINDOW at the start of a round, run
 `python tools/check_parity.py /root/testdata/sf0.01 <window names>` to
-pre-verify, and the round's CORRECTNESS file attests 45+ fresh entries.
+pre-verify.
 
-Usage: python tools/next_window.py [--sentinels q1_pricing_summary,...]
+Usage: python tools/next_window.py [--no-stale]
 """
 
 from __future__ import annotations
 
+import ast
 import glob
 import json
+import re
+import subprocess
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 from auto_vectordb_spark.plans.parity import REGISTRY  # noqa: E402
 
-DEFAULT_SENTINELS = ["q1_pricing_summary", "hybrid_search", "dedup_minhash_lsh_pairs"]
 WINDOW = 50
+N_SENTINELS = 3
+PARITY_PATH = "auto_vectordb_spark/plans/parity.py"
+
+# parity.py module aliases -> repo file (keep in sync with parity's imports)
+ALIAS_FILES = {
+    "AN": "auto_vectordb_spark/operators/analytics.py",
+    "BM25": "auto_vectordb_spark/operators/bm25.py",
+    "CL": "auto_vectordb_spark/operators/cluster.py",
+    "CU": "auto_vectordb_spark/operators/curation.py",
+    "DD": "auto_vectordb_spark/operators/dedup.py",
+    "HY": "auto_vectordb_spark/operators/hybrid.py",
+    "KNN": "auto_vectordb_spark/operators/knn.py",
+    "PQ": "auto_vectordb_spark/operators/pq.py",
+    "QL": "auto_vectordb_spark/operators/quality.py",
+    "R": "auto_vectordb_spark/operators/relational.py",
+    "TS": "auto_vectordb_spark/operators/textstats.py",
+    "H": "auto_vectordb_spark/functions/hashing.py",
+    "V": "auto_vectordb_spark/functions/vector.py",
+}
+
+
+def _git_show(commit: str, path: str) -> str | None:
+    r = subprocess.run(
+        ["git", "-C", "/root/repo", "show", f"{commit}:{path}"],
+        capture_output=True,
+        text=True,
+    )
+    return r.stdout if r.returncode == 0 else None
+
+
+def _graded_commit(correctness_path: str) -> str | None:
+    """The tree the driver graded = parent of the commit that ADDED the
+    round's CORRECTNESS artifact (that commit adds artifacts only)."""
+    r = subprocess.run(
+        ["git", "-C", "/root/repo", "log", "--format=%H", "--diff-filter=A", "--", correctness_path],
+        capture_output=True,
+        text=True,
+    )
+    lines = r.stdout.split()
+    return f"{lines[-1]}^" if lines else None
+
+
+def entry_blocks(parity_source: str) -> dict[str, str]:
+    """name -> whitespace-normalized source of the @_register block
+    (decorators included, so oracle SQL + doc changes count)."""
+    tree = ast.parse(parity_source)
+    out: dict[str, str] = {}
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.FunctionDef):
+            continue
+        for dec in node.decorator_list:
+            if (
+                isinstance(dec, ast.Call)
+                and isinstance(dec.func, ast.Name)
+                and dec.func.id == "_register"
+                and dec.args
+                and isinstance(dec.args[0], ast.Constant)
+                and isinstance(dec.args[0].value, str)
+            ):
+                start = min(d.lineno for d in node.decorator_list) - 1
+                seg = "\n".join(parity_source.splitlines()[start : node.end_lineno])
+                out[dec.args[0].value] = re.sub(r"\s+", " ", seg).strip()
+    return out
+
+
+def referenced_alias_files(block: str) -> set[str]:
+    return {f for a, f in ALIAS_FILES.items() if re.search(rf"\b{a}\.", block)}
 
 
 def main() -> None:
-    sentinels = DEFAULT_SENTINELS
-    if len(sys.argv) > 2 and sys.argv[1] == "--sentinels":
-        sentinels = sys.argv[2].split(",")
+    check_stale = "--no-stale" not in sys.argv
 
-    attested: set[str] = set()
-    for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
+    # latest green round per entry
+    green_round: dict[str, str] = {}
+    files = sorted(glob.glob("/root/repo/CORRECTNESS_r*.json"))
+    for path in files:
         for name, row in json.load(open(path)).items():
             if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
-                attested.add(name)
+                green_round[name] = path
+    n_rounds = len(files)
 
-    fresh = [
-        n
-        for n, q in REGISTRY.items()
-        if q.sql is not None and n not in attested and n not in sentinels
+    head_parity = open(f"/root/repo/{PARITY_PATH}").read()
+    head_blocks = entry_blocks(head_parity)
+    head_files = {f: open(f"/root/repo/{f}", "rb").read() for f in ALIAS_FILES.values()}
+
+    stale: list[str] = []  # ordered oldest-green first
+    fresh_green: list[str] = []
+    if check_stale:
+        graded: dict[str, str | None] = {p: _graded_commit(p.split("/")[-1]) for p in files}
+        old_blocks_cache: dict[str, dict[str, str]] = {}
+        old_file_cache: dict[tuple[str, str], bytes | None] = {}
+        for name, path in sorted(green_round.items(), key=lambda kv: kv[1]):
+            commit = graded.get(path)
+            if name not in REGISTRY or REGISTRY[name].sql is None:
+                continue
+            if commit is None:
+                stale.append(name)
+                continue
+            if commit not in old_blocks_cache:
+                src = _git_show(commit, PARITY_PATH)
+                old_blocks_cache[commit] = entry_blocks(src) if src else {}
+            cur = head_blocks.get(name)
+            old = old_blocks_cache[commit].get(name)
+            is_stale = cur is None or old is None or cur != old
+            if not is_stale:
+                for f in referenced_alias_files(cur):
+                    key = (commit, f)
+                    if key not in old_file_cache:
+                        s = _git_show(commit, f)
+                        old_file_cache[key] = s.encode() if s is not None else None
+                    if old_file_cache[key] != head_files[f]:
+                        is_stale = True
+                        break
+            (stale if is_stale else fresh_green).append(name)
+    else:
+        fresh_green = [n for n in green_round if n in REGISTRY and REGISTRY[n].sql is not None]
+
+    never = [
+        n for n, q in REGISTRY.items() if q.sql is not None and n not in green_round
     ]
-    window = sentinels + fresh[: WINDOW - len(sentinels)]
-    backlog = fresh[WINDOW - len(sentinels):]
 
-    print(f"# attested so far: {len(attested)}; oracle-paired never attested: {len(fresh)}")
-    print(f"# next window ({len(window)}):")
+    # rotating sentinels from the non-stale green pool, by round index
+    pool = sorted(fresh_green)
+    sentinels = (
+        [pool[(n_rounds * N_SENTINELS + i) % len(pool)] for i in range(N_SENTINELS)]
+        if pool
+        else []
+    )
+    sentinels = list(dict.fromkeys(sentinels))
+
+    window: list[str] = list(sentinels)
+    for group in (never, stale):
+        for n in group:
+            if n not in window and len(window) < WINDOW:
+                window.append(n)
+    backlog = [n for n in [*never, *stale] if n not in window]
+
+    print(
+        f"# attested-green ever: {len(green_round)}; never attested (oracle-paired): "
+        f"{len(never)}; stale attestations needing re-verify: {len(stale)}"
+    )
+    if stale:
+        print(f"# stale: {stale}")
+    print(f"# next window ({len(window)}): {len(sentinels)} rotating sentinels + "
+          f"{min(len(never), WINDOW - len(sentinels))} never-attested + stale re-attests")
     print("_ATTEST_WINDOW = [")
     for n in window:
         print(f'    "{n}",')
