@@ -22,6 +22,12 @@ for the local verification harness):
    microseconds.
 4. **Portable hashing only** (functions/hashing.py): MD5-derived 60-bit
    integers, universal-hash MinHash family with int64-safe constants.
+
+REGISTRY FREEZE (round 4+): no new entries until every oracle-paired entry
+has a driver-green row (attestation must out-run registry growth — the
+r3 verdict's endgame plan). Fixes to existing entries are fine and go
+straight into the next window; a genuinely new operator gets its entry
+only after the backlog in ``tools/next_window.py`` reaches zero.
 """
 
 from __future__ import annotations
