@@ -1,0 +1,79 @@
+"""End-to-end LLM training-data curation over the test corpus.
+
+The north-star extension flow (README "LLM-data-pipeline operators"): clean
+→ dedup at three granularities → quality-filter → budget-sample, plus the
+ingest-health monitors a production firehose runs continuously. Every step
+is a distributed DataFrame plan (shuffle budgets documented in SCALE.md);
+nothing here collects more than scalar/k-row summaries. Run:
+
+    python examples/curation_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from auto_vectordb_spark.operators import analytics as AN
+from auto_vectordb_spark.operators import dedup as DD
+from auto_vectordb_spark.operators import textstats as TS
+from auto_vectordb_spark.pipeline import build_training_set
+from auto_vectordb_spark.plans.parity import load_views
+from auto_vectordb_spark.session import get_spark
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark(app_name="curation_pipeline", cpus=8)
+    t = load_views(spark, sf_dir)
+    docs, events = t["documents"], t["events"]
+
+    # 1. PII scrub + cheap quality features (row-local, codegen)
+    scrubbed = TS.scrub(docs).select("doc_id", "scrubbed")
+    print(f"scrubbed: {scrubbed.count()} docs")
+
+    # 2. Sentence-level boilerplate removal (cross-doc verbatim sentences).
+    #    The synthetic corpus carries no punctuation, so counts here are 0
+    #    on testdata — plans/parity.py's text_sentences entries derive
+    #    punctuation deterministically to exercise the split; on real text
+    #    this step is the boilerplate filter.
+    seg = TS.sentence_segments(docs)
+    boiler = DD.sentence_crossdoc_dups(seg)
+    print(f"boilerplate sentences (>=2 docs): {boiler.count()}")
+    cleaned = DD.remove_dup_sentences(seg)
+    removed = cleaned.filter("n_removed > 0").count()
+    print(f"docs with sentences removed: {removed}")
+
+    # 3. Near-dup document removal + quality gate + token-budget sample —
+    #    the flagship one-lineage flow (MinHash-LSH -> components ->
+    #    keep-one -> quality >= 0.5 -> deterministic budget prefix)
+    sample = build_training_set(docs, quality_min=0.5, token_budget=50_000)
+    n = sample.count()
+    toks = sample.agg({"n_tokens": "sum"}).collect()[0][0]
+    print(f"training sample: {n} docs, {toks} tokens (budget 50k)")
+
+    # 4. Ingest-health monitors on the event firehose (operators/analytics.py)
+    for name, df in (
+        ("z-score", AN.volume_anomaly_zscore(events)),
+        ("median/MAD", AN.volume_anomaly_mad(events)),
+    ):
+        k = df.filter("is_anomaly").count()
+        print(f"{name} anomalies: {k} hourly cells")
+    worst = (
+        AN.seasonal_deviation(events)
+        .orderBy("deviation", ascending=False)
+        .limit(3)
+        .collect()
+    )
+    for r in worst:
+        print(
+            f"seasonal outlier: {r['event_type']} {r['hour']} "
+            f"n={r['n_events']} expected={r['expected']}"
+        )
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

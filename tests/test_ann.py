@@ -290,3 +290,26 @@ def test_knn_blas_query_bound_guard(spark):
         knn_exact_blas(q, emb, k=2, max_queries=4).collect()
     # at the bound it still works
     assert knn_exact_blas(q.limit(4), emb, k=2, max_queries=4).count() == 8
+
+
+def test_ivf_search_collapses_replayed_duplicates(queries, emb, exact_topk):
+    """An at-least-once replayed append leaves identical rows in the index;
+    between replay and compaction, search must not hand one vec_id two
+    top-k slots (ADVICE r3: duplicate displaces a genuinely distinct
+    neighbor)."""
+    centroids = KNN.label_centroids(emb)
+    index = KNN.ivf_build(emb, centroids)
+    clean = KNN.ivf_search(queries, index, centroids, k=K, nprobe=8).collect()
+    # replay EVERY row once: same embedding, same frozen-centroid assignment
+    dup_index = index.unionAll(index)
+    dup = KNN.ivf_search(queries, dup_index, centroids, k=K, nprobe=8).collect()
+    # no duplicate ids within any query's top-k
+    seen: dict = {}
+    for r in dup:
+        key = (r["query_id"], r["vec_id"])
+        assert key not in seen, f"duplicate top-k slot {key}"
+        seen[key] = True
+    # and the result set is IDENTICAL to the clean index's
+    assert {(r["query_id"], r["vec_id"]) for r in dup} == {
+        (r["query_id"], r["vec_id"]) for r in clean
+    }

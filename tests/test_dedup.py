@@ -427,3 +427,31 @@ def test_remove_dup_sentences_fully_removed_doc_empty_text(spark):
     for d in (1, 2):
         assert rem[d]["n_sents"] == 1 and rem[d]["n_removed"] == 1
         assert rem[d]["cleaned_text"] == ""
+
+
+def test_remove_dup_sentences_idempotent(spark):
+    """Removal is a fixpoint: every cross-doc duplicate sentence is excised
+    from ALL docs in one pass, so a second pass over the cleaned corpus
+    removes nothing."""
+    from auto_vectordb_spark.operators.dedup import remove_dup_sentences
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Shared header. Alpha body text. Shared footer."),
+            (2, "Shared header. Beta body text. Shared footer."),
+            (3, "Gamma only. Shared header."),
+        ],
+        ["doc_id", "text"],
+    )
+    first = remove_dup_sentences(sentence_segments(docs))
+    cleaned = first.select("doc_id", F.col("cleaned_text").alias("text"))
+    second = {
+        r["doc_id"]: r
+        for r in remove_dup_sentences(sentence_segments(cleaned)).collect()
+    }
+    for r in first.collect():
+        kept = r["n_sents"] - r["n_removed"]
+        if kept:
+            assert second[r["doc_id"]]["n_removed"] == 0
+            assert second[r["doc_id"]]["cleaned_text"] == r["cleaned_text"]

@@ -149,3 +149,34 @@ def test_attest_window_invariants():
     no_oracle = [n for n in _ATTEST_WINDOW if REGISTRY[n].sql is None]
     assert not no_oracle, no_oracle
     assert list(E.queries())[:50] == _ATTEST_WINDOW
+
+
+def test_next_window_fingerprints_cover_registry():
+    """tools/next_window.py's staleness guard must see every entry and every
+    parity module alias — otherwise a changed entry could silently keep its
+    stale attestation."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import next_window as NW
+
+    src = open("/root/repo/auto_vectordb_spark/plans/parity.py").read()
+    blocks = NW.entry_blocks(src)
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    assert set(blocks) == set(REGISTRY)
+
+    # every module-level "from ..pkg import mod as ALIAS" whose alias some
+    # entry block references must be fingerprinted by ALIAS_FILES
+    for pkg, mod, alias in re.findall(
+        r"^from \.\.([\w.]+) import (\w+) as (\w+)$", src, re.M
+    ):
+        if any(re.search(rf"\b{alias}\.", b) for b in blocks.values()):
+            assert alias in NW.ALIAS_FILES, f"alias {alias} missing from ALIAS_FILES"
+            expect = f"auto_vectordb_spark/{pkg.replace('.', '/')}/{mod}.py"
+            assert NW.ALIAS_FILES[alias] == expect, (alias, NW.ALIAS_FILES[alias], expect)
+
+    # the AST parse must be reading decorators (oracle SQL changes count)
+    any_block = next(iter(blocks.values()))
+    assert "_register" in any_block
