@@ -4242,29 +4242,38 @@ def bigram_counts(spark, sf):
 @_register(
     "embedding_quantize_int8",
     """
-    SELECT vec_id,
-           round(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END, 6) AS scale,
-           list_transform(
-             emb, x -> CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
-                                            ELSE 0.0 END)) AS INTEGER)
-           ) AS q
-    FROM (
+    WITH qz AS (
       SELECT vec_id,
-             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
-             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
-      FROM embeddings
+             round(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END, 6) AS scale,
+             list_transform(
+               emb, x -> CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
+                                              ELSE 0.0 END)) AS INTEGER)
+             ) AS q
+      FROM (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+               list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax
+        FROM embeddings
+      )
     )
+    SELECT vec_id, scale, CAST(generate_subscripts(q, 1) - 1 AS INT) AS j,
+           unnest(q) AS qv
+    FROM qz
     """,
     doc="Symmetric per-vector int8 quantization of the embedding column "
     "(functions/vector.py::quantize_int8): 4x storage cut for the 100 TB "
-    "vector tier; scale + quantized array returned per vector",
+    "vector tier. The engine API returns (scale, q array<int>) per vector; "
+    "attested in long form (vec_id, scale, j, qv) because the driver's "
+    "pandas canonicalizer cannot sort array columns (the pq_encode r3 "
+    "lesson) — posexplode is a compare-shape adapter only",
 )
 def embedding_quantize_int8(spark, sf):
     t = load_views(spark, sf)
     scale, q = V.quantize_int8(F.col("embedding"))
-    return t["embeddings"].select(
+    enc = t["embeddings"].select(
         "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
     )
+    return enc.select("vec_id", "scale", F.posexplode("q").alias("j", "qv"))
 
 
 @_register(
