@@ -231,3 +231,52 @@ def test_minhash_dedup_200k_docs_fast_path(spark):
     # and no blow-up beyond the planted classes (identical signatures only)
     assert n_pairs < 20_000 * 45 * 1.5
     assert elapsed < 300, f"200k-doc minhash dedup took {elapsed:.0f}s"
+
+
+def test_sentence_removal_500k_docs(spark):
+    """Sentence boilerplate removal at 500k synthesized docs: the plan must
+    stay linear — one short-key shuffle for the boiler set, anti-join,
+    one per-doc reassembly groupBy. Docs share sentences from a 1k pool so
+    the boiler set is dense (worst case for the anti-join)."""
+    from auto_vectordb_spark.operators.dedup import remove_dup_sentences
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    n = 500_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("Shared sentence number "),
+            (F.abs(F.xxhash64("id")) % 1_000).cast("string"),
+            F.lit(". Unique tail "),
+            F.col("id").cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    out = remove_dup_sentences(sentence_segments(docs))
+    assert out.count() == n
+    # every shared sentence appears ~500x -> removed; the unique tail stays
+    agg = out.agg(F.sum("n_removed").alias("r"), F.sum("n_sents").alias("s")).collect()[0]
+    assert agg["s"] == 2 * n and agg["r"] == n
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_volume_monitors_5m_events(spark):
+    """All three monitors over 5M synthesized events: the firehose reduces
+    once to (type, hour); the statistics run on the reduced table."""
+    from auto_vectordb_spark.operators.analytics import (
+        seasonal_deviation,
+        volume_anomaly_mad,
+        volume_anomaly_zscore,
+    )
+
+    ev = _synth_events(spark).withColumn(
+        "event_type", (F.col("event_id") % 5).cast("string")
+    )
+    for fn in (volume_anomaly_zscore, volume_anomaly_mad, seasonal_deviation):
+        out = fn(ev)
+        assert out.count() > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "Exchange SinglePartition" not in plan
