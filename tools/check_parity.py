@@ -36,6 +36,24 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+def driver_shape_error(cols, rows) -> str | None:
+    """Replicate the driver's canonicalization on the RAW values.
+
+    The driver builds a pandas frame and ``sort_values`` over every column
+    before hashing — which raises on unhashable cells (array/map/struct
+    columns; this is exactly how pq_encode went driver-red in round 3 while
+    this tool's stringified compare passed it). Running the same call here
+    makes result-SHAPE errors visible locally before the driver sees them.
+    """
+    import pandas as pd
+
+    try:
+        pd.DataFrame(rows, columns=cols).sort_values(by=sorted(cols))
+    except Exception as e:  # noqa: BLE001 — any canonicalizer error is the finding
+        return f"{type(e).__name__}: {e}"
+    return None
+
+
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -75,6 +93,11 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        shape_err = driver_shape_error(s_cols, [tuple(r) for r in s_rows])
+        if shape_err:
+            print(f"FAIL  {name}: driver canonicalizer would crash: {shape_err}")
             failures.append(name)
             continue
         sc, sv = norm_rows(s_cols, [tuple(r) for r in s_rows])
