@@ -43,13 +43,19 @@ def hourly_counts(
     One shuffle on the short (type, hour) key, map-side combined; `hour` is
     a formatted string so the output is engine- and timezone-stable under
     the session's pinned UTC TZ.
+
+    Null handling: a monitor must not silently drop data, and plain-SQL
+    equi-joins downstream WOULD drop null keys — so null event types are
+    bucketed as ``__null__`` and null timestamps as ``hod = -1`` (their own
+    baseline group). A flood of typeless or unstamped events is itself an
+    ingest-health signal.
     """
     keys = [
-        F.col(type_col).alias("event_type"),
+        F.coalesce(F.col(type_col), F.lit("__null__")).alias("event_type"),
         F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00").alias("hour"),
     ]
     if with_hod:
-        keys.append(F.hour(F.col(ts_col)).alias("hod"))
+        keys.append(F.coalesce(F.hour(F.col(ts_col)), F.lit(-1)).alias("hod"))
     return events.groupBy(*keys).agg(F.count("*").alias("n_events"))
 
 

@@ -80,3 +80,45 @@ def test_embedder_null_safe(spark, dirty_docs):
     # empty/null docs embed to the zero vector, not an error
     for d in (2, 3, 4):
         assert got[d] is not None and all(v == 0.0 for v in got[d])
+
+
+def test_sentence_ops_null_safe(spark, dirty_docs):
+    from auto_vectordb_spark.operators.dedup import (
+        remove_dup_sentences,
+        sentence_crossdoc_dups,
+    )
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    seg = sentence_segments(dirty_docs)
+    got = {r["doc_id"] for r in seg.select("doc_id").distinct().collect()}
+    # null/empty/whitespace docs contribute zero sentences, no error
+    assert 1 in got and 3 not in got and 2 not in got and 4 not in got
+    assert sentence_crossdoc_dups(seg).count() == 0  # nothing repeats
+    rem = remove_dup_sentences(seg)
+    # only docs that HAD sentences appear; nothing removed
+    assert rem.filter(F.col("n_removed") != 0).count() == 0
+
+
+def test_volume_monitors_null_safe(spark):
+    from datetime import datetime
+
+    from auto_vectordb_spark.operators.analytics import (
+        seasonal_deviation,
+        volume_anomaly_mad,
+        volume_anomaly_zscore,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("a", datetime(2024, 1, 1, 2)),
+            ("a", None),  # null ts -> null hour bucket, must not error
+            (None, datetime(2024, 1, 1, 3)),  # null type -> its own group
+        ],
+        "event_type string, ts timestamp",
+    )
+    # no silent drops: null type -> "__null__" stream, null ts -> its own
+    # NULL-hour cell (hod -1 baseline in the seasonal monitor)
+    for fn in (volume_anomaly_zscore, volume_anomaly_mad, seasonal_deviation):
+        rows = fn(ev).collect()
+        assert len(rows) == 3, fn.__name__
+        assert {r["event_type"] for r in rows} == {"a", "__null__"}
