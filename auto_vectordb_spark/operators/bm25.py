@@ -83,7 +83,15 @@ def build_index(
     (term, doc_id) shuffle. Within a single query job Spark's
     ReusedExchange serves term_df and the query join from one postings
     computation; pass ``cache=True`` when the index is queried repeatedly
-    (e.g. the pipeline facade)."""
+    (e.g. the pipeline facade).
+
+    Measured dead-end (don't retry): pre-fanning an under-parallelized
+    corpus scan (dedup.fan_out_small_scan) is SLOWER here — min-of-5
+    0.91 s as-is vs 1.14 s fanned at sf0.1/local[32]. Unlike the shingle
+    +md5 front ends, tokenize+explode is cheap and the postings groupBy's
+    map-side combine crushes the token stream before its shuffle, so the
+    extra round-robin exchange costs more than the single-core stage it
+    parallelizes."""
     toks = tokenize(F.col(text_col))
     tokens = docs.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
     postings = tokens.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
