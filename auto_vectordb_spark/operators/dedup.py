@@ -66,6 +66,8 @@ def fan_out_small_scan(docs: DataFrame) -> DataFrame:
     and the shuffled payload is the raw doc rows ONCE, far smaller than
     the exploded shingle stream it unlocks parallelism for.
     """
+    if docs.isStreaming:  # partition introspection needs a batch plan
+        return docs
     par = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < par:
         return docs.repartition(par)

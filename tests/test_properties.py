@@ -204,3 +204,55 @@ def test_keep_best_one_survivor_per_component(spark, quals):
     want_a = min([i for i in (1, 2, 3) if q[i] == max(q[1], q[2], q[3])])
     want_b = min([i for i in (4, 5) if q[i] == max(q[4], q[5])])
     assert got == {want_a, want_b, 6}
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(text=TEXTS)
+def test_sentence_split_matches_python_model(sql_one, text):
+    """Pure-Python model of the RE2-portable sentinel split: the Spark
+    column (textstats.sentence_split) must produce the exact array for ANY
+    text, including punctuation runs, missing terminators, and unicode
+    whitespace categories."""
+    from auto_vectordb_spark.operators.textstats import sentence_split
+
+    got = sql_one(sentence_split(F.col("t")), t=text)
+    # Java regex \s is ASCII-only ([ \t\n\x0b\f\r]) — unlike Python's
+    # Unicode-aware \s — and that ASCII reading is exactly what RE2/DuckDB
+    # share, so the model must use the explicit class
+    want = re.sub(r"([.!?])[ \t\n\x0b\f\r]+", "\\1\x01", text).split("\x01")
+    assert got == want
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Nd", "Po", "Zs")),
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_sentence_segments_matches_python_model(spark, texts):
+    """sentence_segments = split → trim → drop empties → 1-based index, for
+    ANY corpus (the reassembly contract remove_dup_sentences relies on)."""
+    from auto_vectordb_spark.operators.textstats import sentence_segments
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["sent_idx"]): r["sent"]
+        for r in sentence_segments(df).collect()
+    }
+    want = {}
+    for i, text in enumerate(texts):
+        parts = re.sub(r"([.!?])[ \t\n\x0b\f\r]+", "\\1\x01", text).split("\x01")
+        idx = 0
+        for p in parts:
+            # Spark F.trim strips the SPACE character only (as does DuckDB
+            # trim) — not Python's full Unicode whitespace set
+            p = p.strip(" ")
+            if p:
+                idx += 1
+                want[(i, idx)] = p
+    assert got == want

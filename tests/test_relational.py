@@ -107,18 +107,29 @@ def test_window_running_revenue_single_shuffle(spark, sf_dir):
 
 
 def test_minhash_signatures_single_shuffle(spark, sf_dir):
-    """The explicit repartition(doc_id) must be the ONLY exchange: it doubles
-    as the groupBy's required partitioning (no second shuffle) and as the
-    barrier keeping md5 out of the H min-aggregates."""
+    """The explicit repartition(doc_id) must be the only KEYED exchange: it
+    doubles as the groupBy's required partitioning (no second hash shuffle)
+    and as the barrier keeping md5 out of the H min-aggregates. One
+    round-robin fan-out of the under-parallelized fixture scan
+    (dedup.fan_out_small_scan) is allowed below it — and is absent when the
+    scan already parallelizes."""
     from auto_vectordb_spark.operators import dedup as DD
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = DD.minhash_signatures(docs)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning(doc_id") == 1
-    assert plan.count("Exchange") == 1
-    # the 60-bit hash is computed below the exchange, once — not inside aggs
-    below_exchange = plan.split("Exchange")[1]
+    assert plan.count("Exchange RoundRobinPartitioning") <= 1
+    assert plan.count("Exchange") == plan.count(
+        "Exchange hashpartitioning(doc_id"
+    ) + plan.count("Exchange RoundRobinPartitioning")
+    # the 60-bit hash is computed below the doc_id exchange, once — not
+    # inside the aggregates
+    below_exchange = plan.split("Exchange hashpartitioning(doc_id")[1]
     assert "md5" in below_exchange
+    # a pre-parallelized input gets NO fan-out exchange
+    wide = docs.repartition(64)
+    plan2 = DD.minhash_signatures(wide)._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange RoundRobinPartitioning") == 1  # only the explicit one above
 
 
 def test_asof_join_semantics(spark):
