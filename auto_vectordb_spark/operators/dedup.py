@@ -38,6 +38,16 @@ from ..functions.text import shingles, tokenize
 DEFAULT_NUM_HASHES = 16
 DEFAULT_BANDS = 4  # 4 bands × 4 rows
 
+# Version of the fast=True (xxhash64) shingle-hash family. Bumped to 2 when
+# abs() became a sign-bit mask (round 4): ~half of all hash values changed,
+# so ANY persisted artifact built with fast=True under version 1 — bucket
+# tables probed by minhash_lsh_pairs_incremental above all — must be
+# rebuilt; probing across versions silently finds zero cross-batch pairs.
+# Persist this constant alongside fast bucket tables and refuse mismatches.
+# The portable MD5 path (fast=False, the oracle-verified default) is
+# unaffected and has never changed.
+FAST_HASH_VERSION = 2
+
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: keep the lowest id per md5(text); report group size.
@@ -77,8 +87,13 @@ def fan_out_small_scan(docs: DataFrame) -> DataFrame:
 def doc_shingle_hashes(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3,
     fast: bool = False,
+    fan_out: bool = True,
 ) -> DataFrame:
     """(doc_id, sh) — distinct 60-bit hashes of word k-shingles per doc.
+
+    ``fan_out=False`` skips :func:`fan_out_small_scan` for callers that
+    already fanned the input (ngram_jaccard_pairs) — the re-check would be
+    a no-op but costs an extra driver-side plan materialization per call.
 
     Per-doc dedup happens with ``array_distinct`` BEFORE the explode — inside
     the row, no shuffle — rather than a post-explode ``.distinct()`` which
@@ -102,7 +117,9 @@ def doc_shingle_hashes(
             else H.stable_hash60(c)
         )
 
-    return fan_out_small_scan(docs).select(
+    if fan_out:
+        docs = fan_out_small_scan(docs)
+    return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("shingle"),
     ).select("doc_id", h(F.col("shingle")).alias("sh"))
@@ -237,7 +254,11 @@ def minhash_lsh_pairs_incremental(
 
     ``fast`` MUST match the flag the persisted ``bucket_table`` was built
     with: md5-keyed and xxhash64-keyed band keys never collide, so a
-    mismatched probe silently finds zero cross-batch pairs.
+    mismatched probe silently finds zero cross-batch pairs. The SAME
+    failure mode applies across fast-hash VERSIONS: probing a table built
+    under a different :data:`FAST_HASH_VERSION` (the round-4 sign-mask
+    change moved ~half of all xxhash64-derived values) silently finds
+    nothing — persist the constant with the table and rebuild on mismatch.
     """
     nb = minhash_bucket_table(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k, fast=fast
@@ -364,9 +385,9 @@ def ngram_jaccard_pairs(
     per-row recompute (two extra 260k-row shuffles beat one codegen scan).
     """
     docs = fan_out_small_scan(docs)  # both legs below tokenize+shingle
-    sh = doc_shingle_hashes(docs, id_col, text_col, shingle_k, fast=fast).repartition(
-        F.col("sh")
-    )
+    sh = doc_shingle_hashes(
+        docs, id_col, text_col, shingle_k, fast=fast, fan_out=False
+    ).repartition(F.col("sh"))
     sizes = docs.select(
         F.col(id_col).alias("doc_id"),
         F.size(F.array_distinct(shingles(tokenize(F.col(text_col)), shingle_k))).alias("sz"),

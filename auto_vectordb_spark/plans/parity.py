@@ -3945,16 +3945,11 @@ def sql_hybrid_topk(spark, sf):
     )
 
 
-def _materialize_then_rm(spark, df, tmpdir: str):
-    """Collect a SMALL aggregate that reads from ``tmpdir``, delete the dir,
-    and return the rows as a literal DataFrame — so roundtrip entries leave
-    nothing in /tmp after the sweep (the returned plan must not reference
-    the deleted path, hence the materialization)."""
-    import shutil
-
-    rows = df.collect()
-    shutil.rmtree(tmpdir, ignore_errors=True)
-    return spark.createDataFrame(rows, df.schema)
+def _materialize_literal(spark, df):
+    """Collect a SMALL aggregate and return it as a literal DataFrame, so a
+    roundtrip entry's caller can delete the tempdir the plan read from (in
+    the entry's try/finally) without invalidating the returned result."""
+    return spark.createDataFrame(df.collect(), df.schema)
 
 
 @_register(
@@ -3990,10 +3985,9 @@ def orc_roundtrip(spark, sf):
             F.sum("n_chars").alias("total_chars"),
             F.sum(H.stable_hash60(F.col("text")) % F.lit(1000003)).alias("text_checksum"),
         )
-        return _materialize_then_rm(spark, agg, base)
-    except BaseException:
+        return _materialize_literal(spark, agg)
+    finally:
         shutil.rmtree(base, ignore_errors=True)
-        raise
 
 
 @_register(
@@ -4125,10 +4119,9 @@ def csv_roundtrip(spark, sf):
             F.sum("n_chars").alias("total_chars"),
             F.sum(H.stable_hash60(F.col("text")) % F.lit(1000003)).alias("text_checksum"),
         )
-        return _materialize_then_rm(spark, agg, base)
-    except BaseException:
+        return _materialize_literal(spark, agg)
+    finally:
         shutil.rmtree(base, ignore_errors=True)
-        raise
 
 
 @_register(
@@ -4168,10 +4161,9 @@ def jsonl_roundtrip(spark, sf):
             F.sum("n_chars").alias("total_chars"),
             F.sum(H.stable_hash60(F.col("text")) % F.lit(1000003)).alias("text_checksum"),
         )
-        return _materialize_then_rm(spark, agg, path)
-    except BaseException:
+        return _materialize_literal(spark, agg)
+    finally:
         shutil.rmtree(path, ignore_errors=True)
-        raise
 
 
 # =========================================================================
@@ -6202,7 +6194,10 @@ def knn_cascade_rerank(spark, sf):
     "events_anomaly_mad",
     """
     WITH hourly AS (
-      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      -- mirror hourly_counts' no-silent-drop null buckets: a null type is
+      -- its own '__null__' stream (identity on the null-free fixture)
+      SELECT coalesce(event_type, '__null__') AS event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
              count(*) AS n_events
       FROM events GROUP BY 1, 2
     ),
@@ -6242,9 +6237,12 @@ def events_anomaly_mad(spark, sf):
     "events_seasonal_deviation",
     """
     WITH hourly AS (
-      SELECT event_type,
+      -- mirror hourly_counts' no-silent-drop null buckets: null type ->
+      -- '__null__' stream, null ts -> hod -1 baseline group (identity on
+      -- the null-free fixture)
+      SELECT coalesce(event_type, '__null__') AS event_type,
              strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-             CAST(strftime(ts, '%H') AS INT) AS hod,
+             coalesce(CAST(strftime(ts, '%H') AS INT), -1) AS hod,
              count(*) AS n_events
       FROM events GROUP BY 1, 2, 3
     ),
@@ -6276,7 +6274,10 @@ def events_seasonal_deviation(spark, sf):
     "events_anomaly_zscore",
     """
     WITH hourly AS (
-      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      -- mirror hourly_counts' no-silent-drop null buckets: a null type is
+      -- its own '__null__' stream (identity on the null-free fixture)
+      SELECT coalesce(event_type, '__null__') AS event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
              count(*) AS n_events
       FROM events GROUP BY 1, 2
     ),

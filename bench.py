@@ -72,9 +72,15 @@ def main() -> None:
     # eviction/GC pressure for warm-phase leftovers.
     spark.catalog.clearCache()
 
-    repeats = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_REPEATS", "3")))
     all_runs: list[dict[str, float]] = []
     for _ in range(repeats):
+        # Repeats must be cold-cache: entries that persist() intermediates
+        # (training_set_build's survivors table) would otherwise hand later
+        # repeats a warm InMemoryRelation via CacheManager plan
+        # substitution, making the medians incomparable to the frozen
+        # run-1 methodology.
+        spark.catalog.clearCache()
         timings: dict[str, float] = {}
         for name in HEADLINE:
             q = REGISTRY[name]

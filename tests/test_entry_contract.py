@@ -152,10 +152,10 @@ def test_attest_window_invariants():
 
 
 def test_next_window_fingerprints_cover_registry():
-    """tools/next_window.py's staleness guard must see every entry and every
-    parity module alias — otherwise a changed entry could silently keep its
-    stale attestation."""
-    import re
+    """tools/next_window.py's staleness guard must see every entry and
+    resolve every relative import parity.py uses — module-level aliases AND
+    function-local imports — otherwise a changed engine file could silently
+    keep a stale attestation green."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
@@ -167,15 +167,26 @@ def test_next_window_fingerprints_cover_registry():
 
     assert set(blocks) == set(REGISTRY)
 
-    # every module-level "from ..pkg import mod as ALIAS" whose alias some
-    # entry block references must be fingerprinted by ALIAS_FILES
-    for pkg, mod, alias in re.findall(
-        r"^from \.\.([\w.]+) import (\w+) as (\w+)$", src, re.M
-    ):
-        if any(re.search(rf"\b{alias}\.", b) for b in blocks.values()):
-            assert alias in NW.ALIAS_FILES, f"alias {alias} missing from ALIAS_FILES"
-            expect = f"auto_vectordb_spark/{pkg.replace('.', '/')}/{mod}.py"
-            assert NW.ALIAS_FILES[alias] == expect, (alias, NW.ALIAS_FILES[alias], expect)
+    imports = NW.import_map(src)
+    # every mapped file must exist (a rename in the engine package breaks
+    # fingerprinting loudly, not silently)
+    import os
+
+    for f, _kind in imports.values():
+        assert os.path.exists(f"/root/repo/{f}"), f
+
+    # the once-missed function-local imports resolve (the review gap):
+    assert imports["SRC"] == ("auto_vectordb_spark/sources/files.py", "module")
+    assert imports["VectorPipeline"] == ("auto_vectordb_spark/pipeline.py", "symbol")
+    assert imports["CAT"] == ("auto_vectordb_spark/catalog.py", "module")
+    # and the module-level aliases still do
+    assert imports["DD"] == ("auto_vectordb_spark/operators/dedup.py", "module")
+    assert imports["AN"] == ("auto_vectordb_spark/operators/analytics.py", "module")
+
+    # entry blocks referencing them are detected
+    staging = blocks["staging_lifecycle"]
+    assert "auto_vectordb_spark/pipeline.py" in NW.referenced_alias_files(staging, imports)
+    assert "auto_vectordb_spark/sources/files.py" in NW.referenced_alias_files(staging, imports)
 
     # the AST parse must be reading decorators (oracle SQL changes count)
     any_block = next(iter(blocks.values()))

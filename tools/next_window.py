@@ -15,8 +15,10 @@ HEAD:
 - the entry's own ``@_register(...)`` block in plans/parity.py (decorators
   included, so the oracle SQL counts), extracted by AST and compared
   whitespace-normalized; and
-- every engine module the entry's block references through parity's module
-  aliases (DD., KNN., TS., ...), compared by file bytes.
+- every engine file the entry's block references through ANY of parity's
+  relative imports — module-level aliases (DD., KNN., TS., ...) and
+  function-local imports (SRC., VectorPipeline, CAT., ...) alike, derived
+  automatically from parity's AST — compared by file bytes.
 
 If either changed since the entry's LATEST green row, the attestation is
 stale and the entry re-enters the window (newest-green last, so the oldest
@@ -25,7 +27,7 @@ comment-only edit to operators/dedup.py re-attests every dedup entry —
 cheap, and it means "driver-green" always refers to code the driver has
 actually seen. Limitations (documented, not hidden): transitive engine
 imports (e.g. dedup -> functions/hashing) are caught only when the entry
-block itself names the alias; parity-local helpers shared across entries
+block itself names the import; parity-local helpers shared across entries
 (load_views, _punct_docs, ...) are not fingerprinted.
 
 Sentinels rotate: 3 slots picked deterministically from the non-stale
@@ -56,22 +58,31 @@ WINDOW = 50
 N_SENTINELS = 3
 PARITY_PATH = "auto_vectordb_spark/plans/parity.py"
 
-# parity.py module aliases -> repo file (keep in sync with parity's imports)
-ALIAS_FILES = {
-    "AN": "auto_vectordb_spark/operators/analytics.py",
-    "BM25": "auto_vectordb_spark/operators/bm25.py",
-    "CL": "auto_vectordb_spark/operators/cluster.py",
-    "CU": "auto_vectordb_spark/operators/curation.py",
-    "DD": "auto_vectordb_spark/operators/dedup.py",
-    "HY": "auto_vectordb_spark/operators/hybrid.py",
-    "KNN": "auto_vectordb_spark/operators/knn.py",
-    "PQ": "auto_vectordb_spark/operators/pq.py",
-    "QL": "auto_vectordb_spark/operators/quality.py",
-    "R": "auto_vectordb_spark/operators/relational.py",
-    "TS": "auto_vectordb_spark/operators/textstats.py",
-    "H": "auto_vectordb_spark/functions/hashing.py",
-    "V": "auto_vectordb_spark/functions/vector.py",
-}
+PKG = "auto_vectordb_spark"
+
+
+def import_map(parity_source: str) -> dict[str, tuple[str, str]]:
+    """name/alias -> (repo-relative file, kind) for EVERY relative import in
+    parity.py — module-level AND function-local (the roundtrip/staging
+    entries import sources/files, pipeline, catalog, ... inside their
+    bodies; a static alias table silently missed those and their
+    attestations could never go stale). kind: "module" aliases are matched
+    as ``alias.``, "symbol" imports (functions/classes) as bare words."""
+    import os
+
+    out: dict[str, tuple[str, str]] = {}
+    for node in ast.walk(ast.parse(parity_source)):
+        if not isinstance(node, ast.ImportFrom) or node.level != 2:
+            continue
+        base = f"{PKG}/{node.module.replace('.', '/')}" if node.module else PKG
+        for a in node.names:
+            name = a.asname or a.name
+            mod_file = f"{base}/{a.name}.py"
+            if os.path.exists(f"/root/repo/{mod_file}"):
+                out[name] = (mod_file, "module")
+            else:
+                out[name] = (f"{base}.py", "symbol")
+    return out
 
 
 def _git_show(commit: str, path: str) -> str | None:
@@ -118,8 +129,13 @@ def entry_blocks(parity_source: str) -> dict[str, str]:
     return out
 
 
-def referenced_alias_files(block: str) -> set[str]:
-    return {f for a, f in ALIAS_FILES.items() if re.search(rf"\b{a}\.", block)}
+def referenced_alias_files(block: str, imports: dict[str, tuple[str, str]]) -> set[str]:
+    out = set()
+    for name, (f, kind) in imports.items():
+        pat = rf"\b{re.escape(name)}\." if kind == "module" else rf"\b{re.escape(name)}\b"
+        if re.search(pat, block):
+            out.add(f)
+    return out
 
 
 def main() -> None:
@@ -136,7 +152,10 @@ def main() -> None:
 
     head_parity = open(f"/root/repo/{PARITY_PATH}").read()
     head_blocks = entry_blocks(head_parity)
-    head_files = {f: open(f"/root/repo/{f}", "rb").read() for f in ALIAS_FILES.values()}
+    imports = import_map(head_parity)
+    head_files = {
+        f: open(f"/root/repo/{f}", "rb").read() for f, _ in imports.values()
+    }
 
     stale: list[str] = []  # ordered oldest-green first
     fresh_green: list[str] = []
@@ -158,7 +177,7 @@ def main() -> None:
             old = old_blocks_cache[commit].get(name)
             is_stale = cur is None or old is None or cur != old
             if not is_stale:
-                for f in referenced_alias_files(cur):
+                for f in referenced_alias_files(cur, imports):
                     key = (commit, f)
                     if key not in old_file_cache:
                         s = _git_show(commit, f)
