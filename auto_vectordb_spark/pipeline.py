@@ -480,6 +480,14 @@ def build_training_set(
     At 100 TB: stages 1-2 are the dedup/textstats operators at their
     documented shuffle budgets; stage 3 adds one hash shuffle on the bucket
     key plus a 256-row broadcast.
+
+    Measured dead-end (don't retry): fanning the 1-partition survivors
+    join output before quality_score/persist (dedup.fan_out_small_scan)
+    is a wash — min-of-4 2.90 s as-is vs 3.01 s fanned for the
+    front+persist segment at sf0.1/local[32]. The minhash front end
+    inside the join lineage dominates and is already fanned; the
+    single-core quality pass over the narrow survivor set costs less
+    than the extra exchange.
     """
     from pyspark.sql.window import Window
 

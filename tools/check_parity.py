@@ -5,10 +5,18 @@ on the same sf dir, then compares row count, column names/order-insensitive
 sorted values. Exit code 1 on any mismatch.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+       python tools/check_parity.py --json OUT.json [sf_dir] [query ...]
+
+``--json`` additionally writes a per-entry record
+{name: {status, rows, seconds, oracle}} — committed per round as
+PARITY_LOCAL_r{N}.json so entries OUTSIDE the driver's 50-entry
+attestation window still have an on-record, per-round local pass (the
+complement of the rotating-window honesty guard in tools/next_window.py).
 """
 
 from __future__ import annotations
 
+import json as _json
 import math
 import sys
 import time
@@ -55,8 +63,14 @@ def driver_shape_error(cols, rows) -> str | None:
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    records: dict[str, dict] = {}
     # A deliberately BARE session — the driver invokes registry callables
     # with a vanilla SparkSession, so the local gate must prove every query
     # self-provisions its needs (ensure_session_confs runs inside
@@ -80,12 +94,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            records[name] = {"status": "spark_error", "rows": None,
+                             "seconds": round(time.time() - t0, 2), "oracle": False}
             continue
         if q.sql is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            if len(s_rows) == 0:
+            ok_rows = len(s_rows) > 0
+            if not ok_rows:
                 print(f"FAIL  {name}: zero rows — a rows-only check proves nothing empty")
                 failures.append(name)
+            records[name] = {"status": "rows_only" if ok_rows else "rows_only_empty",
+                             "rows": len(s_rows),
+                             "seconds": round(time.time() - t0, 2), "oracle": False}
             continue
         try:
             res = con.execute(q.sql)
@@ -94,11 +114,15 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
+            records[name] = {"status": "duckdb_error", "rows": len(s_rows),
+                             "seconds": round(time.time() - t0, 2), "oracle": True}
             continue
         shape_err = driver_shape_error(s_cols, [tuple(r) for r in s_rows])
         if shape_err:
             print(f"FAIL  {name}: driver canonicalizer would crash: {shape_err}")
             failures.append(name)
+            records[name] = {"status": "driver_shape_error", "rows": len(s_rows),
+                             "seconds": round(time.time() - t0, 2), "oracle": True}
             continue
         sc, sv = norm_rows(s_cols, [tuple(r) for r in s_rows])
         dc, dv = norm_rows(d_cols, d_rows)
@@ -122,7 +146,21 @@ def main() -> int:
         if not s_rows:
             print(f"FAIL  {name}: zero rows — an empty hash-match is vacuous")
             failures.append(name)
+        records[name] = {
+            "status": "ok" if name not in failures else "mismatch",
+            "rows": len(sv),
+            "seconds": round(time.time() - t0, 2),
+            "oracle": True,
+        }
     print(f"\n{len(REGISTRY) - len(failures)}/{len(REGISTRY)} pass")
+    if json_out:
+        n_ok = sum(1 for r in records.values() if r["status"] in ("ok", "rows_only"))
+        _json.dump(
+            {"sf_dir": sf, "entries": records,
+             "summary": {"pass": n_ok, "total": len(records),
+                         "failures": sorted(set(failures))}},
+            open(json_out, "w"), indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     spark.stop()
     return 1 if failures else 0
 
