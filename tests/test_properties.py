@@ -256,3 +256,41 @@ def test_sentence_segments_matches_python_model(spark, texts):
                 idx += 1
                 want[(i, idx)] = p
     assert got == want
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(text=st.text(max_size=60))
+def test_stable_hash60_matches_duckdb(sql_one, text):
+    """The 60-bit MD5 hash is the foundation every dedup oracle rests on —
+    pin Spark == DuckDB directly for arbitrary unicode, not just via the
+    fixture corpus."""
+    import duckdb
+
+    from auto_vectordb_spark.functions import hashing as H
+
+    got = sql_one(H.stable_hash60(F.col("t")), t=text)
+    want = duckdb.execute(
+        f"SELECT {H.stable_hash60_sql('x')} FROM (SELECT ? AS x)", [text]
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    h=st.integers(min_value=0, max_value=(1 << 60) - 1),
+    j=st.integers(min_value=0, max_value=15),
+)
+def test_universal_hash_matches_duckdb(sql_one, h, j):
+    """MinHash permutation family: Spark and DuckDB must agree for every
+    60-bit input and every (a, b) parameter pair in use."""
+    import duckdb
+
+    from auto_vectordb_spark.functions import hashing as H
+
+    a, b = H.minhash_params(16)[j]
+    got = sql_one(H.universal_hash(F.col("h"), a, b), h=h)
+    want = duckdb.execute(
+        f"SELECT {H.universal_hash_sql('x', a, b)} FROM (SELECT CAST(? AS BIGINT) AS x)",
+        [h],
+    ).fetchone()[0]
+    assert got == want
