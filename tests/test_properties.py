@@ -294,3 +294,57 @@ def test_universal_hash_matches_duckdb(sql_one, h, j):
         [h],
     ).fetchone()[0]
     assert got == want
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(text=TEXTS)
+def test_tokenize_matches_duckdb(sql_one, text):
+    """The tokenizer's DuckDB twin (string_split_regex + list_filter) must
+    agree with Spark for arbitrary text — the foundation of every
+    BM25/TF-IDF/shingle oracle. Alphabet = the TEXTS categories (letters,
+    digits, punctuation, space separators); exotic locale-specific
+    lowercasing (e.g. U+0130) is out of contract — the oracle rules pin
+    inputs to text the two engines lowercase identically."""
+    import duckdb
+
+    from auto_vectordb_spark.functions.text import tokenize
+
+    got = sql_one(tokenize(F.col("t")), t=text)
+    want = duckdb.execute(
+        "SELECT list_filter(string_split_regex(lower(x), '[^a-z0-9]+'), t -> t <> '') "
+        "FROM (SELECT ? AS x)",
+        [text],
+    ).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False).map(
+            lambda x: round(x, 3)
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_cosine_matches_duckdb(spark, vals):
+    """Cosine similarity cross-engine: same fold order (index-ascending
+    sums on both sides), so agreement must hold to far better than the
+    6-decimal rounding every oracle applies before ranking."""
+    import duckdb
+
+    from auto_vectordb_spark.functions import vector as V
+
+    a = vals
+    b = list(reversed(vals))
+    if sum(x * x for x in a) == 0 or sum(x * x for x in b) == 0:
+        return  # zero vector: division undefined, excluded by dim_guard upstream
+    df = spark.createDataFrame(
+        [(a, b)], "a array<double>, b array<double>"
+    )
+    got = df.select(V.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"]
+    want = duckdb.execute(
+        f"SELECT {V.cosine_sql('a', 'b')} FROM (SELECT ? AS a, ? AS b)", [a, b]
+    ).fetchone()[0]
+    assert abs(got - want) < 1e-9, (got, want)
