@@ -348,3 +348,25 @@ def test_cosine_matches_duckdb(spark, vals):
         f"SELECT {V.cosine_sql('a', 'b')} FROM (SELECT ? AS a, ? AS b)", [a, b]
     ).fetchone()[0]
     assert abs(got - want) < 1e-9, (got, want)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(text=TEXTS, k=st.integers(min_value=2, max_value=4))
+def test_shingles_match_duckdb(sql_one, text, k):
+    """The word-k-gram twin (documented in functions/text.py shingles):
+    1-based inclusive list slices in DuckDB must equal the zip_with chain
+    in Spark for any text and k."""
+    import duckdb
+
+    from auto_vectordb_spark.functions.text import shingles, tokenize
+
+    got = sql_one(shingles(tokenize(F.col("t")), k), t=text)
+    want = duckdb.execute(
+        "WITH tok AS (SELECT list_filter(string_split_regex(lower(x), '[^a-z0-9]+'),"
+        " t -> t <> '') AS toks FROM (SELECT ? AS x)) "
+        f"SELECT CASE WHEN len(toks) < {k} THEN [] ELSE "
+        f"list_transform(range(1, len(toks) - {k - 2}), i -> "
+        f"array_to_string(toks[i:i+{k - 1}], ' ')) END FROM tok",
+        [text],
+    ).fetchone()[0]
+    assert got == want
