@@ -175,6 +175,13 @@ def minhash_bucket_table(
     ONE pass over the signatures: band keys as an array of structs exploded
     1→bands rows. A union of per-band projections would recompute the whole
     shingle→minhash pipeline once per band.
+
+    With ``fast=True`` every row carries a literal ``fhv`` column =
+    :data:`FAST_HASH_VERSION`, so the stamp persists WITH the table
+    (parquet write included) and :func:`minhash_lsh_pairs_incremental` can
+    refuse a cross-version probe instead of silently finding zero
+    cross-batch pairs. The portable md5 path has no version column — its
+    hash family has never changed.
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
@@ -190,9 +197,12 @@ def minhash_bucket_table(
         band_structs.append(
             F.struct(F.lit(bi).alias("band"), bkey.alias("bkey"))
         )
-    return sig.select(
+    out = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    if fast:
+        out = out.withColumn("fhv", F.lit(FAST_HASH_VERSION))
+    return out
 
 
 def minhash_lsh_pairs(
@@ -258,12 +268,44 @@ def minhash_lsh_pairs_incremental(
     failure mode applies across fast-hash VERSIONS: probing a table built
     under a different :data:`FAST_HASH_VERSION` (the round-4 sign-mask
     change moved ~half of all xxhash64-derived values) silently finds
-    nothing — persist the constant with the table and rebuild on mismatch.
+    nothing. Both mismatches now raise instead of returning nothing: a
+    fast table carries a persisted ``fhv`` stamp column (one first()-row
+    read to check — bucket tables are single-version by construction), a
+    portable table carries none, and any flag/version disagreement is a
+    ``ValueError``.
     """
+    has_stamp = "fhv" in bucket_table.columns
+    if fast:
+        if not has_stamp:
+            raise ValueError(
+                "bucket_table has no fhv stamp column: it was built with "
+                "fast=False (md5 band keys) or under a pre-stamp "
+                "FAST_HASH_VERSION; probing it with fast=True xxhash64 keys "
+                "would silently find zero cross-batch pairs — rebuild the "
+                "table with the current minhash_bucket_table(fast=True)"
+            )
+        row = bucket_table.select("fhv").first()
+        if row is not None and row["fhv"] != FAST_HASH_VERSION:
+            raise ValueError(
+                f"bucket_table was persisted under FAST_HASH_VERSION="
+                f"{row['fhv']} but this build is {FAST_HASH_VERSION}; the "
+                "xxhash64-derived band keys are incompatible across versions "
+                "(a cross-version probe silently finds nothing) — rebuild "
+                "the persisted table"
+            )
+    elif has_stamp:
+        raise ValueError(
+            "bucket_table carries an fhv stamp (built with fast=True) but "
+            "the probe is fast=False: md5 and xxhash64 band keys never "
+            "collide, so this probe would silently find zero cross-batch "
+            "pairs — pass fast=True or rebuild the table with fast=False"
+        )
     nb = minhash_bucket_table(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k, fast=fast
     )
-    all_b = bucket_table.unionByName(nb)
+    key_cols = ["doc_id", "band", "bkey"]
+    all_b = bucket_table.select(key_cols).unionByName(nb.select(key_cols))
+    nb = nb.select(key_cols)
     a, b = nb.alias("a"), all_b.alias("b")
     cand = a.join(
         b,
@@ -1144,10 +1186,17 @@ def source_shingle_overlap(
     text_col: str = "text",
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(source_a, source_b, n_shared, jaccard) for every source pair —
-    content-overlap matrix between corpus sources (which feeds mirror/scrape
-    double-counting into the training mix), computed on distinct shingle
-    sets per source.
+    """(source_a, source_b, n_shared, sz_a, sz_b, jaccard) for every source
+    pair — content-overlap matrix between corpus sources (which feeds
+    mirror/scrape double-counting into the training mix), computed on
+    distinct shingle sets per source.
+
+    The set sizes travel as exact int64 and jaccard is the UNROUNDED
+    division n_shared/(sz_a+sz_b-n_shared): identical int inputs through
+    one exactly-rounded IEEE divide is bit-identical in every engine,
+    whereas round(·, 6) of these rationals sat exactly ON 6-decimal
+    boundaries at sf0.01 (dyadic ties — margin-audit finding, the
+    rounding-mode flip hazard).
 
     Scale shape: the corpus reduces ONCE to the distinct (source, shingle)
     table — one shuffle, map-side combined; the pair counts come from a
@@ -1182,10 +1231,11 @@ def source_shingle_overlap(
             "source_a",
             "source_b",
             "n_shared",
-            F.round(
+            "sz_a",
+            "sz_b",
+            (
                 F.col("n_shared")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
-                6,
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared"))
             ).alias("jaccard"),
         )
     )

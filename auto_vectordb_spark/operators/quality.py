@@ -44,10 +44,16 @@ def dsir_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, n_tokens, weight) — hashed-unigram importance weight of each
-    document toward a target domain: w(d) = Σ_t [ln p_target(t) − ln p_raw(t)],
-    add-one smoothed over the joint vocabulary (DSIR §2.2 with unigram
-    features).
+    """(doc_id, n_tokens, weight_q_micro, weight) — hashed-unigram importance
+    weight of each document toward a target domain:
+    w(d) = Σ_t [ln p_target(t) − ln p_raw(t)], add-one smoothed over the
+    joint vocabulary (DSIR §2.2 with unigram features).
+
+    ``weight_q_micro`` is the exact int64 sum of 1e-6-quantized per-term
+    log-ratios — the bit-exact cross-engine representation verification
+    hashes (weight = weight_q_micro/1e6 is derived for human use; see
+    textstats.term_drift_by_source for why doubles rebuilt from quantized
+    sums must never be the verified column).
 
     ``target_pred`` selects the in-domain rows (e.g. ``F.col("lang")=="en"``
     or a curated id list). Docs that look like the target get weight > 0 and
@@ -86,7 +92,10 @@ def dsir_weights(
         .agg(F.count("*").alias("n_tokens"), F.sum("qlr").alias("qw"))
     )
     return per_doc.select(
-        id_col, "n_tokens", (F.col("qw").cast("double") / _Q).alias("weight")
+        id_col,
+        "n_tokens",
+        F.col("qw").alias("weight_q_micro"),
+        (F.col("qw").cast("double") / _Q).alias("weight"),
     )
 
 
@@ -95,10 +104,14 @@ def bigram_lm_score(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(doc_id, n_bigrams, nll) — average negative log-likelihood of each
-    document under an add-one-smoothed bigram LM trained on the corpus
-    itself (the CCNet-style fluency filter: high nll = atypical/garbled
-    text, low nll = repetitive boilerplate).
+    """(doc_id, n_bigrams, nll_q_micro, nll) — average negative
+    log-likelihood of each document under an add-one-smoothed bigram LM
+    trained on the corpus itself (the CCNet-style fluency filter: high nll
+    = atypical/garbled text, low nll = repetitive boilerplate).
+
+    ``nll_q_micro`` is the exact int64 sum of 1e-6-quantized per-bigram
+    −ln P terms — the bit-exact cross-engine column verification hashes
+    (nll = nll_q_micro/(n_bigrams·1e6) rounded, derived for human use).
 
     −ln P(w2|w1) = −ln (c(w1 w2)+1) + ln (c(w1)+V); both count tables come
     out of one token explode, and scoring re-joins them broadcast. The only
@@ -136,6 +149,7 @@ def bigram_lm_score(
     return per_doc.select(
         id_col,
         "n_bigrams",
+        F.col("q").alias("nll_q_micro"),
         F.round(F.col("q").cast("double") / (F.col("n_bigrams") * _Q), 6).alias("nll"),
     )
 

@@ -352,13 +352,28 @@ def term_drift_by_source(
     text_col: str = "text",
     quant_scale: int = 9,
 ) -> DataFrame:
-    """(source, n_terms, n_tokens, kl_div) — KL divergence of each source's
+    """(source, n_terms, n_tokens, kl_q, kl_div) — KL divergence of each source's
     unigram distribution against the whole-corpus distribution, the standard
     drift/mixture monitor for a multi-source training corpus (which domains
     diverge from the blend, and by how much).
 
     KL(P_s ‖ P) = Σ_t p_s(t)·ln(p_s(t)/p(t)); only terms present in the
     source contribute (p(t) > 0 always — the corpus is a superset).
+
+    Output carries the divergence twice: ``kl_q`` (BIGINT, the exact int64
+    sum of 10^-quant_scale-quantized contributions — the bit-exact,
+    cross-engine-stable representation; kl_div = kl_q/10^quant_scale) and
+    ``kl_div`` (the human-readable rounded double). Verification MUST hash
+    the integer, never the double: round 4's driver run proved that a
+    reconstructed ``round(Σq/1e9, 6)`` can land 4e-9 from its 6-decimal
+    rounding boundary, where engine-library skew (a different DuckDB/libm
+    build) flips the rounded value even though the integer sum is
+    bit-identical. Quantize once, then stay in integers. Cross-engine
+    verification additionally uses ``quant_scale=6`` (not the default 9):
+    per-contribution absolute margins to the quantization boundary scale as
+    1/10^quant_scale, so the coarser scale buys 1000x more headroom against
+    a verifier engine whose ln differs at the last few ulps, while 1e-6 per
+    term is still far below any drift threshold a monitor would alert on.
 
     Scale shape: the token stream is reduced ONCE by a (source, term)
     groupBy — the only full-corpus shuffle. Everything downstream operates
@@ -396,6 +411,7 @@ def term_drift_by_source(
             "source",
             "n_terms",
             F.col("t_s").alias("n_tokens"),
+            F.col("__qsum__").alias("kl_q"),
             F.round(F.col("__qsum__").cast("double") / F.lit(10.0**quant_scale), 6).alias(
                 "kl_div"
             ),
@@ -408,11 +424,19 @@ def zipf_fit(
     text_col: str = "text",
     top_n: int = 100,
     quant_scale: int = 9,
+    raw_sums: bool = False,
 ) -> DataFrame:
     """One-row (n_terms, slope, intercept) — least-squares fit of
     ln(term_frequency) against ln(rank) over the top-``top_n`` vocabulary,
     the Zipf-law health check for a text corpus (natural text ≈ -1 slope;
     boilerplate-heavy or synthetic corpora drift off it).
+
+    With ``raw_sums=True`` the row is instead the exact int64-quantized
+    regression sums (n_terms, sx_q, sy_q, sxx_q, sxy_q) — the bit-exact
+    cross-engine representation (slope = (n·sxy − sx·sy)/(n·sxx − sx²) on
+    the dequantized values). Verification hashes THIS form: a final
+    ``round(slope, 6)`` reconstructed from the sums is one engine-library
+    version away from a rounding-boundary flip (see term_drift_by_source).
 
     Scale shape: vocabulary reduction is the same one (term) shuffle the
     BM25 index pays; the top-N cut is TakeOrderedAndProject (no global
@@ -450,6 +474,14 @@ def zipf_fit(
         F.sum(F.round(x * y * F.lit(q)).cast("long")).alias("sxy"),
         F.sum(F.round(x * x * F.lit(q)).cast("long")).alias("sxx"),
     )
+    if raw_sums:
+        return sums.select(
+            F.col("n").alias("n_terms"),
+            F.col("sx").alias("sx_q"),
+            F.col("sy").alias("sy_q"),
+            F.col("sxx").alias("sxx_q"),
+            F.col("sxy").alias("sxy_q"),
+        )
     n = F.col("n").cast("double")
     sx, sy = F.col("sx") / F.lit(q), F.col("sy") / F.lit(q)
     sxy, sxx = F.col("sxy") / F.lit(q), F.col("sxx") / F.lit(q)

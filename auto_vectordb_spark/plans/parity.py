@@ -1654,18 +1654,23 @@ def events_pivot(spark, sf):
     WITH pa AS (
       SELECT p_partkey, p_brand,
              CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
-             avg(CAST(round(p_retailprice * 100) AS BIGINT))
-               OVER (PARTITION BY p_brand) AS brand_avg_cents
+             CAST(sum(CAST(round(p_retailprice * 100) AS BIGINT))
+               OVER (PARTITION BY p_brand) AS BIGINT) AS brand_sum_cents,
+             CAST(count(*) OVER (PARTITION BY p_brand) AS BIGINT) AS brand_n
       FROM part
     )
     SELECT p_partkey, p_brand,
            CAST(price_cents AS DOUBLE) / 100 AS price,
-           round(brand_avg_cents / 100, 6) AS brand_avg
-    FROM pa WHERE price_cents > brand_avg_cents
+           brand_sum_cents, brand_n
+    FROM pa WHERE price_cents * brand_n > brand_sum_cents
     """,
     doc="Correlated-subquery shape (price above its brand's average) "
     "decorrelated to a window aggregate: ONE shuffle on p_brand instead of "
-    "a self-join per brand; integer-exact average",
+    "a self-join per brand. Both the filter (price*n > sum, no division) "
+    "and the emitted average basis (brand_sum_cents, brand_n) are exact "
+    "int64 — a round(avg_cents/100, 6) output is lattice-valued below the "
+    "rounding grid and sat exactly ON 6-decimal boundaries at sf0.01 "
+    "(margin-audit tie), the term_drift_by_source hazard class",
 )
 def above_brand_average(spark, sf):
     t = load_views(spark, sf)
@@ -1675,13 +1680,17 @@ def above_brand_average(spark, sf):
         "p_partkey",
         "p_brand",
         price_cents.alias("price_cents"),
-        F.avg(price_cents).over(w).alias("brand_avg_cents"),
+        F.sum(price_cents).over(w).alias("brand_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("brand_n"),
     )
-    return pa.filter(F.col("price_cents") > F.col("brand_avg_cents")).select(
+    return pa.filter(
+        F.col("price_cents") * F.col("brand_n") > F.col("brand_sum_cents")
+    ).select(
         "p_partkey",
         "p_brand",
         (F.col("price_cents").cast("double") / 100).alias("price"),
-        F.round(F.col("brand_avg_cents") / 100, 6).alias("brand_avg"),
+        "brand_sum_cents",
+        "brand_n",
     )
 
 
@@ -4587,16 +4596,19 @@ def embedding_outliers(spark, sf):
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(qlr) AS qw
       FROM toks JOIN scored USING (term) GROUP BY doc_id
     )
-    SELECT doc_id, n_tokens, CAST(qw AS DOUBLE) / 1000000 AS weight FROM pd
+    SELECT doc_id, n_tokens, CAST(qw AS BIGINT) AS weight_q_micro FROM pd
     """,
     doc="DSIR-style importance weights (operators/quality.py, arXiv:"
     "2302.03169): per-doc hashed-unigram log-likelihood ratio toward a "
     "target domain (here lang='en'), add-one smoothed; one vocabulary-key "
-    "shuffle, model broadcast back, corpus never shuffled",
+    "shuffle, model broadcast back, corpus never shuffled; verified column "
+    "is the exact int64 quantized sum (see term_drift_by_source)",
 )
 def dsir_importance_weights(spark, sf):
     t = load_views(spark, sf)
-    return QL.dsir_weights(t["documents"], F.col("lang") == "en")
+    return QL.dsir_weights(t["documents"], F.col("lang") == "en").select(
+        "doc_id", "n_tokens", "weight_q_micro"
+    )
 
 
 @_register(
@@ -4618,17 +4630,19 @@ def dsir_importance_weights(spark, sf):
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(qnll) AS q
       FROM bgw JOIN model USING (bigram) GROUP BY doc_id
     )
-    SELECT doc_id, n_bigrams,
-           round(CAST(q AS DOUBLE) / (n_bigrams * 1000000), 6) AS nll
+    SELECT doc_id, n_bigrams, CAST(q AS BIGINT) AS nll_q_micro
     FROM pd
     """,
     doc="Corpus-trained add-one bigram LM fluency score (CCNet-style "
     "perplexity filter): avg -ln P(w2|w1) per doc; two vocabulary-key "
-    "shuffles build the model, scoring is a broadcast join",
+    "shuffles build the model, scoring is a broadcast join; verified "
+    "column is the exact int64 quantized sum (see term_drift_by_source)",
 )
 def bigram_lm_nll(spark, sf):
     t = load_views(spark, sf)
-    return QL.bigram_lm_score(t["documents"])
+    return QL.bigram_lm_score(t["documents"]).select(
+        "doc_id", "n_bigrams", "nll_q_micro"
+    )
 
 
 @_register(
@@ -5540,18 +5554,20 @@ def knn_matryoshka_16(spark, sf):
     "embedding_dim_stats",
     """
     SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
-           round(CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
-                               AS BIGINT)) AS DOUBLE) / count(*) / 1000000,
-                 6) AS mean_v,
-           round(min(CAST(embedding[i] AS DOUBLE)), 6) AS min_v,
-           round(max(CAST(embedding[i] AS DOUBLE)), 6) AS max_v
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
+                         AS BIGINT)) AS BIGINT) AS sum_q_micro,
+           min(CAST(embedding[i] AS DOUBLE)) AS min_v,
+           max(CAST(embedding[i] AS DOUBLE)) AS max_v
     FROM embeddings CROSS JOIN range(1, 65) AS r(i)
     GROUP BY i
     """,
     doc="Per-dimension embedding statistics (feature-store health check: "
     "dead/saturated dims, scale drift before quantization): posexplode + "
-    "one 64-key groupBy with map-side combine, micro-quantized exact mean "
-    "(parity rule 1)",
+    "one 64-key groupBy with map-side combine. The mean basis is the exact "
+    "int64 micro-quantized sum (parity rule 1; a rounded reconstructed "
+    "mean is the term_drift_by_source hazard class — this entry's old "
+    "mean_v was lattice-valued at 1e-9 under a 1e-6 grid); min/max are the "
+    "raw float32-origin doubles, bit-exact unrounded in both engines",
 )
 def embedding_dim_stats(spark, sf):
     t = load_views(spark, sf)
@@ -5560,14 +5576,9 @@ def embedding_dim_stats(spark, sf):
     )
     return ex.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.round(
-            F.sum(F.round(F.col("x") * 1000000, 0).cast("long")).cast("double")
-            / F.count("*")
-            / 1000000,
-            6,
-        ).alias("mean_v"),
-        F.round(F.min("x"), 6).alias("min_v"),
-        F.round(F.max("x"), 6).alias("max_v"),
+        F.sum(F.round(F.col("x") * 1000000, 0).cast("long")).alias("sum_q_micro"),
+        F.min("x").alias("min_v"),
+        F.max("x").alias("max_v"),
     )
 
 
@@ -5585,11 +5596,11 @@ def embedding_dim_stats(spark, sf):
       SELECT st.source,
              CAST(round((CAST(c_st AS DOUBLE) / t_s)
                         * ln((CAST(c_st AS DOUBLE) / t_s)
-                             / (CAST(c_t AS DOUBLE) / t_all)) * 1e9) AS BIGINT) AS q
+                             / (CAST(c_t AS DOUBLE) / t_all)) * 1e6) AS BIGINT) AS q
       FROM st JOIN ct USING (term) JOIN ts USING (source) CROSS JOIN grand
     )
     SELECT c.source, count(*) AS n_terms, ts.t_s AS n_tokens,
-           round(CAST(sum(q) AS DOUBLE) / 1e9, 6) AS kl_div
+           CAST(sum(q) AS BIGINT) AS kl_q
     FROM contrib c JOIN ts ON c.source = ts.source
     GROUP BY c.source, ts.t_s
     """,
@@ -5598,11 +5609,18 @@ def embedding_dim_stats(spark, sf):
     "corpora. ONE full-corpus (source, term) shuffle; all downstream "
     "aggregates/joins operate on the reduced table with broadcast totals; "
     "per-term contributions int64-quantized before the sum (parity rule 1) "
+    "and the verified column is the exact integer sum kl_q — round 4 "
+    "proved a reconstructed round(Σq/1e9, 6) flips across engine-library "
+    "builds when the value lands ~4e-9 from its 6-decimal boundary; "
+    "quant_scale=6 here (not 9) buys 1000x absolute margin per ln-based "
+    "contribution against verifier-libm skew "
     "(operators/textstats.py term_drift_by_source)",
 )
 def term_drift_by_source(spark, sf):
     t = load_views(spark, sf)
-    return TS.term_drift_by_source(t["documents"])
+    return TS.term_drift_by_source(t["documents"], quant_scale=6).select(
+        "source", "n_terms", "n_tokens", "kl_q"
+    )
 
 
 @_register(
@@ -5618,29 +5636,29 @@ def term_drift_by_source(spark, sf):
     ),
     sums AS (
       SELECT count(*) AS n,
-             sum(CAST(round(ln(rank) * 1e9) AS BIGINT)) AS sx,
-             sum(CAST(round(ln(tf) * 1e9) AS BIGINT)) AS sy,
-             sum(CAST(round(ln(rank) * ln(tf) * 1e9) AS BIGINT)) AS sxy,
-             sum(CAST(round(ln(rank) * ln(rank) * 1e9) AS BIGINT)) AS sxx
+             sum(CAST(round(ln(rank) * 1e6) AS BIGINT)) AS sx,
+             sum(CAST(round(ln(tf) * 1e6) AS BIGINT)) AS sy,
+             sum(CAST(round(ln(rank) * ln(tf) * 1e6) AS BIGINT)) AS sxy,
+             sum(CAST(round(ln(rank) * ln(rank) * 1e6) AS BIGINT)) AS sxx
       FROM ranked
     )
     SELECT n AS n_terms,
-           round((CAST(n AS DOUBLE) * (sxy/1e9) - (sx/1e9) * (sy/1e9))
-                 / (CAST(n AS DOUBLE) * (sxx/1e9) - (sx/1e9) * (sx/1e9)), 6) AS slope,
-           round(((sy/1e9) - ((CAST(n AS DOUBLE) * (sxy/1e9) - (sx/1e9) * (sy/1e9))
-                              / (CAST(n AS DOUBLE) * (sxx/1e9) - (sx/1e9) * (sx/1e9)))
-                             * (sx/1e9)) / CAST(n AS DOUBLE), 6) AS intercept
+           CAST(sx AS BIGINT) AS sx_q, CAST(sy AS BIGINT) AS sy_q,
+           CAST(sxx AS BIGINT) AS sxx_q, CAST(sxy AS BIGINT) AS sxy_q
     FROM sums
     """,
     doc="Zipf-law fit over the top-100 vocabulary (corpus-health check): "
     "one (term) shuffle + TakeOrderedAndProject cut; ranking inside one "
     "collected <=100-element array (no unpartitioned window); regression "
-    "sums int64-quantized (parity rule 1) "
+    "sums int64-quantized (parity rule 1) and verified AS the exact "
+    "integer sums — slope = (n*sxy - sx*sy)/(n*sxx - sx^2) dequantized; a "
+    "rounded reconstructed slope is the cross-engine hazard term_drift_by_"
+    "source hit in round 4; quant_scale=6 for verifier-libm headroom "
     "(operators/textstats.py zipf_fit)",
 )
 def zipf_fit(spark, sf):
     t = load_views(spark, sf)
-    return TS.zipf_fit(t["documents"])
+    return TS.zipf_fit(t["documents"], quant_scale=6, raw_sums=True)
 
 
 @_register(
@@ -5658,8 +5676,9 @@ def zipf_fit(spark, sf):
       GROUP BY a.source, b.source
     )
     SELECT i.source_a, i.source_b, i.n_shared,
-           round(CAST(i.n_shared AS DOUBLE)
-                 / (sa.sz + sb.sz - i.n_shared), 6) AS jaccard
+           sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(i.n_shared AS DOUBLE)
+                 / (sa.sz + sb.sz - i.n_shared) AS jaccard
     FROM inter i
     JOIN sizes sa ON i.source_a = sa.source
     JOIN sizes sb ON i.source_b = sb.source
@@ -5667,7 +5686,9 @@ def zipf_fit(spark, sf):
     doc="Cross-source content-overlap matrix on distinct 3-gram shingle "
     "sets — mirror/scrape double-counting detector for the training mix. "
     "One (source, shingle) distinct shuffle + inverted-index self-join "
-    "bounded by S^2 per shingle, never corpus N^2 "
+    "bounded by S^2 per shingle, never corpus N^2. Set sizes emitted as "
+    "exact ints, jaccard as the unrounded (bit-exact) int division — "
+    "round(·, 6) of these rationals had exact-tie margins at sf0.01 "
     "(operators/dedup.py source_shingle_overlap)",
 )
 def source_overlap(spark, sf):
@@ -6197,7 +6218,8 @@ def knn_cascade_rerank(spark, sf):
       -- mirror hourly_counts' no-silent-drop null buckets: a null type is
       -- its own '__null__' stream (identity on the null-free fixture)
       SELECT coalesce(event_type, '__null__') AS event_type,
-             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'),
+                      '__null__') AS hour,
              count(*) AS n_events
       FROM events GROUP BY 1, 2
     ),
@@ -6241,7 +6263,8 @@ def events_anomaly_mad(spark, sf):
       -- '__null__' stream, null ts -> hod -1 baseline group (identity on
       -- the null-free fixture)
       SELECT coalesce(event_type, '__null__') AS event_type,
-             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'),
+                      '__null__') AS hour,
              coalesce(CAST(strftime(ts, '%H') AS INT), -1) AS hod,
              count(*) AS n_events
       FROM events GROUP BY 1, 2, 3
@@ -6277,7 +6300,8 @@ def events_seasonal_deviation(spark, sf):
       -- mirror hourly_counts' no-silent-drop null buckets: a null type is
       -- its own '__null__' stream (identity on the null-free fixture)
       SELECT coalesce(event_type, '__null__') AS event_type,
-             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+             coalesce(strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00'),
+                      '__null__') AS hour,
              count(*) AS n_events
       FROM events GROUP BY 1, 2
     ),

@@ -147,6 +147,9 @@ def test_dsir_weights_favor_target_domain(spark, tables):
         .collect()
     }
     assert avg[True] > avg[False], f"target docs not favored: {avg}"
+    # weight is derived from the exact quantized integer (the verified column)
+    bad = w.filter(F.col("weight") != F.col("weight_q_micro").cast("double") / 1e6)
+    assert bad.count() == 0
 
 
 def test_bigram_lm_hand_computed(spark):
@@ -174,6 +177,12 @@ def test_bigram_lm_hand_computed(spark):
     assert rows[1]["nll"] == pytest.approx(round((2 * nll_ab + nll_ba) / 3, 6), abs=1e-6)
     assert rows[2]["n_bigrams"] == 1
     assert rows[2]["nll"] == pytest.approx(round(nll_ac, 6), abs=1e-6)
+    # nll_q_micro is the exact int64 sum of quantized per-bigram terms —
+    # the verified cross-engine column; nll is derived from it
+    assert rows[1]["nll_q_micro"] == round(2 * nll_ab * 1e6) + round(nll_ba * 1e6)
+    assert rows[2]["nll_q_micro"] == round(nll_ac * 1e6)
+    for r in rows.values():
+        assert r["nll"] == round(r["nll_q_micro"] / (r["n_bigrams"] * 1e6), 6)
 
 
 def test_domain_rebalance_explicit_shares(spark, tables):

@@ -113,6 +113,12 @@ def test_term_drift_by_source_values(spark):
     assert abs(got["B"]["kl_div"] - exp_b) < 1e-6
     # KL is non-negative and zero only when distributions match
     assert got["A"]["kl_div"] > 0 and got["B"]["kl_div"] > 0
+    # kl_q is the bit-exact verified representation: the int64 sum of
+    # 1e9-quantized contributions, with kl_div derived from it by division
+    for src, exp in (("A", exp_a), ("B", exp_b)):
+        assert isinstance(got[src]["kl_q"], int)
+        assert abs(got[src]["kl_q"] - exp * 1e9) <= 2  # ±0.5/quantized term
+        assert got[src]["kl_div"] == round(got[src]["kl_q"] / 1e9, 6)
 
 
 def test_zipf_fit_known_slope(spark):
@@ -135,6 +141,15 @@ def test_zipf_fit_known_slope(spark):
     assert r["n_terms"] == 4
     assert abs(r["slope"] - slope) < 1e-5
     assert r["slope"] < 0  # frequency decays with rank
+    # raw_sums mode emits the exact quantized regression sums (the verified
+    # cross-engine representation); the same slope must be recoverable
+    q = zipf_fit(df, raw_sums=True).collect()[0]
+    assert q["n_terms"] == 4
+    deq = {k: q[k] / 1e9 for k in ("sx_q", "sy_q", "sxx_q", "sxy_q")}
+    slope_q = (n * deq["sxy_q"] - deq["sx_q"] * deq["sy_q"]) / (
+        n * deq["sxx_q"] - deq["sx_q"] * deq["sx_q"]
+    )
+    assert abs(slope_q - slope) < 1e-5
 
 
 def test_sentence_segments_order_trim_and_empties(spark):
