@@ -46,13 +46,17 @@ def hourly_counts(
 
     Null handling: a monitor must not silently drop data, and plain-SQL
     equi-joins downstream WOULD drop null keys — so null event types are
-    bucketed as ``__null__`` and null timestamps as ``hod = -1`` (their own
-    baseline group). A flood of typeless or unstamped events is itself an
-    ingest-health signal.
+    bucketed as ``__null__``, null timestamps as ``hour = '__null__'`` (one
+    explicit unstamped-events cell per type, join-safe downstream), and
+    ``hod = -1`` in the seasonal monitor. A flood of typeless or unstamped
+    events is itself an ingest-health signal.
     """
     keys = [
         F.coalesce(F.col(type_col), F.lit("__null__")).alias("event_type"),
-        F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce(
+            F.date_format(F.date_trunc("hour", F.col(ts_col)), "yyyy-MM-dd HH:00"),
+            F.lit("__null__"),
+        ).alias("hour"),
     ]
     if with_hod:
         keys.append(F.coalesce(F.hour(F.col(ts_col)), F.lit(-1)).alias("hod"))

@@ -369,8 +369,13 @@ def test_apply_dedup_keep_best(spark):
 
 def test_minhash_incremental_fast_flag_must_match(spark):
     """The incremental probe keys must be built with the same hash family
-    as the persisted bucket table: matching flags find the cross-batch
-    dup; mismatched flags silently find nothing (the documented footgun)."""
+    AND the same fast-hash version as the persisted bucket table. Matching
+    flags find the cross-batch dup; every mismatch now RAISES via the
+    persisted fhv stamp instead of silently finding nothing (the
+    documented footgun, promoted from doc-warning to hard error)."""
+    import pyspark.sql.functions as SF
+    import pytest as _pytest
+
     from auto_vectordb_spark.operators import dedup as DD
 
     old = spark.createDataFrame(
@@ -380,10 +385,20 @@ def test_minhash_incremental_fast_flag_must_match(spark):
         [(2, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
     )
     table_fast = DD.minhash_bucket_table(old, fast=True)
+    assert "fhv" in table_fast.columns  # the stamp persists with the table
     hit = DD.minhash_lsh_pairs_incremental(new, table_fast, fast=True).collect()
     assert {(r["id_a"], r["id_b"]) for r in hit} == {(1, 2)}
-    miss = DD.minhash_lsh_pairs_incremental(new, table_fast, fast=False).collect()
-    assert miss == []
+    # hash-family mismatch: fast probe against a portable table and vice versa
+    table_md5 = DD.minhash_bucket_table(old, fast=False)
+    assert "fhv" not in table_md5.columns
+    with _pytest.raises(ValueError, match="fhv stamp"):
+        DD.minhash_lsh_pairs_incremental(new, table_fast, fast=False)
+    with _pytest.raises(ValueError, match="no fhv stamp"):
+        DD.minhash_lsh_pairs_incremental(new, table_md5, fast=True)
+    # version mismatch: a table persisted under an older FAST_HASH_VERSION
+    table_v1 = table_fast.withColumn("fhv", SF.lit(DD.FAST_HASH_VERSION - 1))
+    with _pytest.raises(ValueError, match="FAST_HASH_VERSION"):
+        DD.minhash_lsh_pairs_incremental(new, table_v1, fast=True)
 
 
 def test_sentence_crossdoc_dups_and_removal(spark):

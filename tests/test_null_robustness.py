@@ -117,8 +117,12 @@ def test_volume_monitors_null_safe(spark):
         "event_type string, ts timestamp",
     )
     # no silent drops: null type -> "__null__" stream, null ts -> its own
-    # NULL-hour cell (hod -1 baseline in the seasonal monitor)
+    # "__null__"-hour cell (hod -1 baseline in the seasonal monitor); the
+    # hour sentinel keeps downstream equi-joins from dropping the bucket
     for fn in (volume_anomaly_zscore, volume_anomaly_mad, seasonal_deviation):
         rows = fn(ev).collect()
         assert len(rows) == 3, fn.__name__
         assert {r["event_type"] for r in rows} == {"a", "__null__"}
+        null_ts_cells = [r for r in rows if r["hour"] == "__null__"]
+        assert len(null_ts_cells) == 1, fn.__name__
+        assert null_ts_cells[0]["event_type"] == "a"

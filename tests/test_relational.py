@@ -126,8 +126,10 @@ def test_minhash_signatures_single_shuffle(spark, sf_dir):
     # inside the aggregates
     below_exchange = plan.split("Exchange hashpartitioning(doc_id")[1]
     assert "md5" in below_exchange
-    # a pre-parallelized input gets NO fan-out exchange
-    wide = docs.repartition(64)
+    # a pre-parallelized input gets NO fan-out exchange; repartition to the
+    # session's own parallelism so fan_out_small_scan's threshold (a
+    # defaultParallelism multiple) is met on any host core count
+    wide = docs.repartition(max(64, spark.sparkContext.defaultParallelism))
     plan2 = DD.minhash_signatures(wide)._jdf.queryExecution().executedPlan().toString()
     assert plan2.count("Exchange RoundRobinPartitioning") == 1  # only the explicit one above
 

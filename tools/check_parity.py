@@ -126,28 +126,31 @@ def main() -> int:
             continue
         sc, sv = norm_rows(s_cols, [tuple(r) for r in s_rows])
         dc, dv = norm_rows(d_cols, d_rows)
-        status = "ok   "
+        # one status per entry, most-specific failure mode wins; a name
+        # enters `failures` at most once (per-entry modes: ok / empty /
+        # columns / rowcount / values — distinct in the --json evidence)
+        status = "ok"
         if sc != dc:
-            status = "FAIL "
+            status = "columns"
             print(f"FAIL  {name}: columns differ spark={sc} duck={dc}")
         elif len(sv) != len(dv):
-            status = "FAIL "
+            status = "rowcount"
             print(f"FAIL  {name}: rowcount spark={len(sv)} duck={len(dv)}")
         elif sv != dv:
-            status = "FAIL "
+            status = "values"
             diffs = [i for i, (a, b) in enumerate(zip(sv, dv)) if a != b][:3]
             print(f"FAIL  {name}: values differ at sorted rows {diffs}")
             for i in diffs:
                 print(f"   spark: {sv[i]}\n   duck : {dv[i]}")
-        if status.startswith("FAIL"):
-            failures.append(name)
-        else:
-            print(f"{status} {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
-        if not s_rows:
+        elif not s_rows:
+            status = "empty"
             print(f"FAIL  {name}: zero rows — an empty hash-match is vacuous")
+        if status == "ok":
+            print(f"ok    {name}: {len(sv)} rows [{time.time()-t0:.1f}s]")
+        else:
             failures.append(name)
         records[name] = {
-            "status": "ok" if name not in failures else "mismatch",
+            "status": status,
             "rows": len(sv),
             "seconds": round(time.time() - t0, 2),
             "oracle": True,
