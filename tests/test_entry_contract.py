@@ -191,3 +191,26 @@ def test_next_window_fingerprints_cover_registry():
     # the AST parse must be reading decorators (oracle SQL changes count)
     any_block = next(iter(blocks.values()))
     assert "_register" in any_block
+
+    # one-level TRANSITIVE deps are fingerprinted (VERDICT r4 #4): an entry
+    # whose block names DD. must go stale when functions/hashing.py changes
+    dedup_f = "auto_vectordb_spark/operators/dedup.py"
+    deps = NW.module_relative_deps(open(f"/root/repo/{dedup_f}").read(), dedup_f)
+    assert "auto_vectordb_spark/functions/hashing.py" in deps
+    assert "auto_vectordb_spark/functions/text.py" in deps
+    expanded = NW.expand_transitive(
+        {dedup_f}, {dedup_f: open(f"/root/repo/{dedup_f}", "rb").read()}
+    )
+    assert "auto_vectordb_spark/functions/hashing.py" in expanded
+
+    # parity-local helpers/constants ride along with each block: editing
+    # load_views or an SQL-fragment constant must stale every referencing
+    # entry even though the block text itself is unchanged
+    defs = NW.local_defs(src)
+    for helper in ("load_views", "_punct_docs", "TOKS_SQL", "_QUALITY_CTE"):
+        assert helper in defs, helper
+    blk = blocks["term_drift_by_source"]
+    aug = NW.augment_block(blk, defs)
+    assert defs["load_views"] in aug and defs["TOKS_SQL"] in aug
+    defs2 = dict(defs, load_views=defs["load_views"] + " # changed")
+    assert NW.augment_block(blk, defs2) != aug

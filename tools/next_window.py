@@ -13,22 +13,27 @@ verdict/...`` artifact commit that added its green CORRECTNESS file) and
 HEAD:
 
 - the entry's own ``@_register(...)`` block in plans/parity.py (decorators
-  included, so the oracle SQL counts), extracted by AST and compared
+  included, so the oracle SQL counts), extracted by AST, AUGMENTED with the
+  source of every parity-local helper/constant the block references
+  (load_views, _punct_docs, TOKS_SQL, _QUALITY_CTE, ... — constants matter
+  because the oracle f-strings expand them at import time), and compared
   whitespace-normalized; and
 - every engine file the entry's block references through ANY of parity's
   relative imports — module-level aliases (DD., KNN., TS., ...) and
   function-local imports (SRC., VectorPipeline, CAT., ...) alike, derived
-  automatically from parity's AST — compared by file bytes.
+  automatically from parity's AST — PLUS each such module's own one-level
+  relative-import deps (dedup -> functions/hashing & functions/text, ...),
+  compared by file bytes.
 
-If either changed since the entry's LATEST green row, the attestation is
-stale and the entry re-enters the window (newest-green last, so the oldest
-stale attestations re-verify first). This is deliberately conservative: a
-comment-only edit to operators/dedup.py re-attests every dedup entry —
-cheap, and it means "driver-green" always refers to code the driver has
-actually seen. Limitations (documented, not hidden): transitive engine
-imports (e.g. dedup -> functions/hashing) are caught only when the entry
-block itself names the import; parity-local helpers shared across entries
-(load_views, _punct_docs, ...) are not fingerprinted.
+If any of that changed since the entry's LATEST green row, the attestation
+is stale and the entry re-enters the window (newest-green last, so the
+oldest stale attestations re-verify first). This is deliberately
+conservative: a comment-only edit to operators/dedup.py re-attests every
+dedup entry — cheap, and it means "driver-green" always refers to code the
+driver has actually seen. Remaining limitation (documented, not hidden):
+the engine-module walk is one import level deep — a change in a
+second-level dep reached ONLY through another engine module (none exist
+today; functions/* have no further relative fan-out) would be missed.
 
 Sentinels rotate: 3 slots picked deterministically from the non-stale
 green pool by round index, so over rounds the driver re-confirms old
@@ -96,14 +101,40 @@ def _git_show(commit: str, path: str) -> str | None:
 
 def _graded_commit(correctness_path: str) -> str | None:
     """The tree the driver graded = parent of the commit that ADDED the
-    round's CORRECTNESS artifact (that commit adds artifacts only)."""
+    round's CORRECTNESS artifact.
+
+    That derivation is only sound if the artifact commit contains NO
+    engine/parity/tooling changes — otherwise staleness would be computed
+    against a tree the driver never saw, and a changed entry could keep a
+    green attestation it no longer deserves. Verified here, loudly: a mixed
+    artifact commit aborts the tool rather than silently mis-fingerprinting.
+    """
     r = subprocess.run(
         ["git", "-C", "/root/repo", "log", "--format=%H", "--diff-filter=A", "--", correctness_path],
         capture_output=True,
         text=True,
     )
     lines = r.stdout.split()
-    return f"{lines[-1]}^" if lines else None
+    if not lines:
+        return None
+    commit = lines[-1]
+    touched = subprocess.run(
+        ["git", "-C", "/root/repo", "show", "--name-only", "--format=", commit],
+        capture_output=True,
+        text=True,
+    ).stdout.split()
+    code = [
+        p for p in touched
+        if p.startswith((f"{PKG}/", "tools/", "tests/", "__spark_entry__", "bench.py"))
+    ]
+    if code:
+        raise SystemExit(
+            f"artifact commit {commit[:12]} (adds {correctness_path}) also "
+            f"touches code {code}: the graded-tree derivation (parent of the "
+            "artifact commit) is unsound for this round — inspect the commit "
+            "and fix the derivation before trusting staleness output"
+        )
+    return f"{commit}^"
 
 
 def entry_blocks(parity_source: str) -> dict[str, str]:
@@ -138,6 +169,93 @@ def referenced_alias_files(block: str, imports: dict[str, tuple[str, str]]) -> s
     return out
 
 
+def module_relative_deps(source: str, mod_file: str) -> set[str]:
+    """Repo-relative files imported by an engine module via RELATIVE imports
+    — the one-level transitive expansion the round-4 verdict asked for: an
+    entry whose block names ``DD.`` must go stale when functions/hashing.py
+    (which dedup imports) changes, not only when dedup.py itself does.
+    One level deep by design: every engine module's own relative imports
+    land in functions/ or sibling operators/, which have no further
+    relative fan-out worth walking (and a full closure would make every
+    entry depend on everything, erasing the signal)."""
+    import os
+
+    pkg_dir = mod_file.rsplit("/", 1)[0]  # e.g. auto_vectordb_spark/operators
+    out: set[str] = set()
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return out
+    for node in ast.walk(tree):
+        if not isinstance(node, ast.ImportFrom) or node.level == 0:
+            continue
+        base_parts = pkg_dir.split("/")
+        if node.level > 1:
+            base_parts = base_parts[: len(base_parts) - (node.level - 1)]
+        base = "/".join(base_parts + (node.module.split(".") if node.module else []))
+        for a in node.names:
+            cand = f"{base}/{a.name}.py"
+            if os.path.exists(f"/root/repo/{cand}"):
+                out.add(cand)
+            elif os.path.exists(f"/root/repo/{base}.py"):
+                out.add(f"{base}.py")
+    return out
+
+
+def expand_transitive(files: set[str], file_bytes: dict[str, bytes]) -> set[str]:
+    """files + each file's one-level relative-import deps (resolved against
+    the CURRENT tree's sources in ``file_bytes``; a dep file is fingerprinted
+    whenever any referencing module is)."""
+    out = set(files)
+    for f in files:
+        src = file_bytes.get(f)
+        if src is not None:
+            out |= module_relative_deps(src.decode("utf-8", "replace"), f)
+    return out
+
+
+def local_defs(parity_source: str) -> dict[str, str]:
+    """name -> normalized source of parity.py's own top-level helpers —
+    plain functions (load_views, _punct_docs, ...) and constants (TOKS_SQL,
+    _QUALITY_CTE, ...) that entry blocks reference. Registered entries are
+    excluded (they are the blocks themselves). Constants matter because the
+    oracle SQL f-strings expand them at import time: the block SOURCE shows
+    ``{TOKS_SQL...}`` unchanged while the executed SQL changes."""
+    lines = parity_source.splitlines()
+    out: dict[str, str] = {}
+
+    def seg(node) -> str:
+        start = min(
+            [node.lineno] + [d.lineno for d in getattr(node, "decorator_list", [])]
+        ) - 1
+        return re.sub(r"\s+", " ", "\n".join(lines[start : node.end_lineno])).strip()
+
+    for node in ast.parse(parity_source).body:
+        if isinstance(node, ast.FunctionDef):
+            if any(
+                isinstance(d, ast.Call)
+                and isinstance(d.func, ast.Name)
+                and d.func.id == "_register"
+                for d in node.decorator_list
+            ):
+                continue
+            out[node.name] = seg(node)
+        elif isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+            node.targets[0], ast.Name
+        ):
+            out[node.targets[0].id] = seg(node)
+    return out
+
+
+def augment_block(block: str, defs: dict[str, str]) -> str:
+    """Block source + the normalized sources of every parity-local helper it
+    references, so a helper edit marks all its entries stale."""
+    used = sorted(
+        name for name in defs if re.search(rf"\b{re.escape(name)}\b", block)
+    )
+    return block + " || " + " || ".join(defs[n] for n in used)
+
+
 def main() -> None:
     check_stale = "--no-stale" not in sys.argv
 
@@ -152,16 +270,28 @@ def main() -> None:
 
     head_parity = open(f"/root/repo/{PARITY_PATH}").read()
     head_blocks = entry_blocks(head_parity)
+    head_defs = local_defs(head_parity)
     imports = import_map(head_parity)
-    head_files = {
-        f: open(f"/root/repo/{f}", "rb").read() for f, _ in imports.values()
-    }
+
+    head_file_cache: dict[str, bytes | None] = {}
+
+    def head_bytes(f: str) -> bytes | None:
+        if f not in head_file_cache:
+            try:
+                head_file_cache[f] = open(f"/root/repo/{f}", "rb").read()
+            except OSError:
+                head_file_cache[f] = None
+        return head_file_cache[f]
+
+    for f, _ in imports.values():
+        head_bytes(f)
 
     stale: list[str] = []  # ordered oldest-green first
     fresh_green: list[str] = []
     if check_stale:
         graded: dict[str, str | None] = {p: _graded_commit(p.split("/")[-1]) for p in files}
         old_blocks_cache: dict[str, dict[str, str]] = {}
+        old_defs_cache: dict[str, dict[str, str]] = {}
         old_file_cache: dict[tuple[str, str], bytes | None] = {}
         for name, path in sorted(green_round.items(), key=lambda kv: kv[1]):
             commit = graded.get(path)
@@ -173,16 +303,24 @@ def main() -> None:
             if commit not in old_blocks_cache:
                 src = _git_show(commit, PARITY_PATH)
                 old_blocks_cache[commit] = entry_blocks(src) if src else {}
-            cur = head_blocks.get(name)
-            old = old_blocks_cache[commit].get(name)
-            is_stale = cur is None or old is None or cur != old
+                old_defs_cache[commit] = local_defs(src) if src else {}
+            raw_cur = head_blocks.get(name)
+            raw_old = old_blocks_cache[commit].get(name)
+            is_stale = raw_cur is None or raw_old is None
             if not is_stale:
-                for f in referenced_alias_files(cur, imports):
+                # parity-local helpers ride along with the block text
+                cur = augment_block(raw_cur, head_defs)
+                old = augment_block(raw_old, old_defs_cache[commit])
+                is_stale = cur != old
+            if not is_stale:
+                direct = referenced_alias_files(raw_cur, imports)
+                live = {f for f in direct if head_bytes(f) is not None}
+                for f in sorted(expand_transitive(live, head_file_cache)):
                     key = (commit, f)
                     if key not in old_file_cache:
                         s = _git_show(commit, f)
                         old_file_cache[key] = s.encode() if s is not None else None
-                    if old_file_cache[key] != head_files[f]:
+                    if old_file_cache[key] != head_bytes(f):
                         is_stale = True
                         break
             (stale if is_stale else fresh_green).append(name)
