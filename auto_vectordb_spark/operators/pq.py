@@ -123,6 +123,164 @@ def pq_encode(
     return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
+def _codebook_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """One-row DataFrame carrying the codebooks as DATA (``__cb``:
+    array<array<array<double>>>) for the broadcast encode/search path."""
+    return spark.createDataFrame(
+        [(codebooks,)], "__cb array<array<array<double>>>"
+    )
+
+
+def pq_encode_broadcast(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — encode against codebooks shipped as a
+    broadcast ONE-ROW table instead of literal expressions.
+
+    :func:`pq_encode` inlines every codeword into the plan, which is ideal
+    for small books (whole-stage codegen, zero joins) but explodes the
+    expression tree at production sizes — m=8 x ksub=256 is 2048 literal
+    arrays, beyond what codegen handles. Here the codebook is DATA: a
+    broadcast single-row crossJoin (replicated to every task, no shuffle of
+    the corpus) and the argmin runs in row-local higher-order lambdas.
+    Still one map-only scan of the vectors — the correct shape at 100 TB,
+    where the codebook is a few MB and the corpus never moves. (The
+    lambdas evaluate interpreted rather than codegen'd — the price of
+    data-driven codebooks; encode is a one-off batch job, search stays on
+    the compact codes.)
+    """
+    v = V.as_double_array(F.col(vec_col))
+    sub = len(codebooks[0][0])
+    cb = _codebook_df(vectors.sparkSession, codebooks)
+    codes = F.transform(
+        F.col("__cb"),
+        lambda book, j: F.array_min(
+            F.transform(
+                book,
+                lambda cw, ci: F.struct(
+                    F.round(sqdist(F.slice(v, j * F.lit(sub) + 1, sub), cw), 6).alias("d"),
+                    ci.alias("code"),
+                ),
+            )
+        )["code"],
+    )
+    return vectors.crossJoin(F.broadcast(cb)).select(
+        F.col(id_col), codes.cast("array<int>").alias("codes")
+    )
+
+
+def pq_adc_topk_broadcast(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, adist) — ADC top-k with data-driven distance
+    tables (the :func:`pq_adc_topk` twin for production-size codebooks).
+
+    The per-query dtable (m x ksub quantized int64 sub-distances) is
+    computed ONCE per query row from the broadcast codebook table, then the
+    broadcast-crossJoin scoring is the same m element_at lookups + exact
+    int sum as the literal path; the code table still never shuffles.
+    """
+    qv = V.as_double_array(F.col(query_vec))
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    cb = _codebook_df(queries.sparkSession, codebooks)
+    dtables = F.transform(
+        F.col("__cb"),
+        lambda book, j: F.transform(
+            book,
+            lambda cw: F.round(
+                sqdist(F.slice(qv, j * F.lit(sub) + 1, sub), cw) * _Q
+            ).cast("long"),
+        ),
+    )
+    q = F.broadcast(
+        queries.crossJoin(F.broadcast(cb)).select(
+            F.col("query_id"), dtables.alias("__dt")
+        )
+    )
+    score_q = None
+    for j in range(m):
+        term = F.element_at(F.col("__dt")[j], F.col("codes")[j] + 1)
+        score_q = term if score_q is None else score_q + term
+    scored = q.crossJoin(codes).select(
+        "query_id",
+        F.col(corpus_id),
+        (score_q.cast("double") / _Q).alias("adist"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "adist", k, ascending=True, tie_break=corpus_id
+    )
+
+
+def ivf_pq_topk_broadcast(
+    queries: DataFrame,
+    codes_indexed: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ (IVFADC) with data-driven distance tables — the
+    :func:`ivf_pq_topk` twin for production-size codebooks (same coarse L2
+    cell probing, same broadcast(probes x dtables) ⋈ codes join on
+    centroid_id; the code table never shuffles and at scale its
+    partitionBy("centroid_id") layout prunes the scan to ~nprobe/n_cells).
+    """
+    qv = V.as_double_array(F.col(query_vec))
+    sub = len(codebooks[0][0])
+    m = len(codebooks)
+    cscored = queries.select(F.col("query_id"), qv.alias("__qv")).crossJoin(
+        F.broadcast(
+            centroids.select(
+                F.col("centroid_id"), V.as_double_array(F.col("centroid")).alias("__cv")
+            )
+        )
+    ).select(
+        "query_id",
+        "centroid_id",
+        F.round(sqdist(F.col("__qv"), F.col("__cv")), 6).alias("__cd"),
+    )
+    probes = top_k_per_group(
+        cscored, ["query_id"], "__cd", nprobe, ascending=True, tie_break="centroid_id"
+    ).select("query_id", "centroid_id")
+    cb = _codebook_df(queries.sparkSession, codebooks)
+    dtables = F.transform(
+        F.col("__cb"),
+        lambda book, j: F.transform(
+            book,
+            lambda cw: F.round(
+                sqdist(F.slice(qv, j * F.lit(sub) + 1, sub), cw) * _Q
+            ).cast("long"),
+        ),
+    )
+    q = queries.crossJoin(F.broadcast(cb)).select(
+        F.col("query_id"), dtables.alias("__dt")
+    )
+    score_q = None
+    for j in range(m):
+        term = F.element_at(F.col("__dt")[j], F.col("codes")[j] + 1)
+        score_q = term if score_q is None else score_q + term
+    cand = F.broadcast(probes.join(q, "query_id")).join(codes_indexed, "centroid_id")
+    scored = cand.select(
+        "query_id",
+        F.col(corpus_id),
+        (score_q.cast("double") / _Q).alias("adist"),
+    )
+    return top_k_per_group(
+        scored, ["query_id"], "adist", k, ascending=True, tie_break=corpus_id
+    )
+
+
 def _query_dtables(query_vec: str, codebooks: list[list[list[float]]]):
     """Per-query ADC distance-table columns (__dt0..__dtm-1): quantized int64
     sqdist of each query subvector against every codeword — tiny literals,

@@ -313,3 +313,66 @@ def test_ivf_search_collapses_replayed_duplicates(queries, emb, exact_topk):
     assert {(r["query_id"], r["vec_id"]) for r in dup} == {
         (r["query_id"], r["vec_id"]) for r in clean
     }
+
+
+def test_pq_broadcast_paths_match_literal(queries, emb):
+    """The data-driven (broadcast codebook) encode and ADC paths must be
+    bit-identical to the literal-expression paths — same argmin, same
+    quantized int64 scoring, different physical carrier."""
+    from auto_vectordb_spark.operators import pq as PQ
+
+    books = PQ.pq_codebooks_seed(emb, m=4, ksub=16)
+    lit = {r["vec_id"]: list(r["codes"]) for r in PQ.pq_encode(emb, books).collect()}
+    brd = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode_broadcast(emb, books).collect()
+    }
+    assert lit == brd
+    codes = PQ.pq_encode(emb, books)
+    ta = sorted(
+        (r["query_id"], r["vec_id"], r["adist"])
+        for r in PQ.pq_adc_topk(queries, codes, books, k=K).collect()
+    )
+    tb = sorted(
+        (r["query_id"], r["vec_id"], r["adist"])
+        for r in PQ.pq_adc_topk_broadcast(queries, codes, books, k=K).collect()
+    )
+    assert ta == tb
+
+
+def test_trained_pq_recall_gate(spark, queries, emb):
+    """Trained-codebook PQ at production granularity (m=16, ksub=256 MLlib
+    KMeans, broadcast data-driven path) must clear recall@10 >= 0.7 vs the
+    exact-L2 oracle BOTH full-scan and as IVF-PQ at nprobe=8 — the round-4
+    verdict's usable-tier floor (RECALL.md records the measured curve; the
+    seed-codebook tiers stay gated at their honest >=0.2 floor)."""
+    import numpy as np
+
+    from auto_vectordb_spark.operators import pq as PQ
+
+    c_rows = emb.select("vec_id", "embedding").collect()
+    cids = np.array([r["vec_id"] for r in c_rows])
+    C = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in c_rows])
+    exact_l2 = {}
+    for r in queries.collect():
+        qv = np.asarray(r["embedding"], dtype=np.float64)
+        d = ((C - qv) ** 2).sum(axis=1)
+        exact_l2[r["query_id"]] = set(cids[np.argsort(d)[:K]].tolist())
+
+    books = PQ.pq_codebooks_kmeans(emb, m=16, ksub=256)
+    codes = PQ.pq_encode_broadcast(emb, books).cache()
+    full = _recall(
+        PQ.pq_adc_topk_broadcast(queries, codes, books, k=K).collect(), exact_l2
+    )
+    assert full >= 0.7, f"trained full-scan ADC recall@10 = {full}"
+
+    centroids = KNN.label_centroids(emb)
+    cells = KNN.ivf_build(emb, centroids).select("vec_id", "centroid_id")
+    indexed = codes.join(cells, "vec_id")
+    ivf = _recall(
+        PQ.ivf_pq_topk_broadcast(
+            queries, indexed, centroids, books, k=K, nprobe=8
+        ).collect(),
+        exact_l2,
+    )
+    assert ivf >= 0.7, f"trained IVF-PQ nprobe=8 recall@10 = {ivf}"

@@ -126,6 +126,35 @@ def main() -> None:
             f"| IVF-PQ (IVFADC), vs exact-L2 | nprobe={nprobe} | {recall(got, exact_l2):.3f} | {time.time() - t0:.2f} |"
         )
 
+    # TRAINED codebooks at production granularity (m=16, ksub=256 — the
+    # broadcast data-driven encode/ADC path; literal expressions cannot
+    # carry 4096 codewords): the round-4 verdict's ask — the real recall
+    # curve for a usable PQ tier on this fixture.
+    t0 = time.time()
+    books_t = PQ.pq_codebooks_kmeans(emb, m=16, ksub=256)
+    t_train = time.time() - t0
+    codes_t = PQ.pq_encode_broadcast(emb, books_t).cache()
+    codes_t.count()
+    t0 = time.time()
+    got = topk_sets(PQ.pq_adc_topk_broadcast(queries, codes_t, books_t, k=K))
+    rows.append(
+        f"| PQ ADC trained (m=16, ksub=256, kmeans {t_train:.0f}s), vs exact-L2 "
+        f"| full scan | {recall(got, exact_l2):.3f} | {time.time() - t0:.2f} |"
+    )
+    codes_t_indexed = codes_t.join(cells, "vec_id").cache()
+    codes_t_indexed.count()
+    for nprobe in (3, 6, 8):
+        t0 = time.time()
+        got = topk_sets(
+            PQ.ivf_pq_topk_broadcast(
+                queries, codes_t_indexed, centroids2, books_t, k=K, nprobe=nprobe
+            )
+        )
+        rows.append(
+            f"| IVF-PQ trained (m=16, ksub=256), vs exact-L2 | nprobe={nprobe} "
+            f"| {recall(got, exact_l2):.3f} | {time.time() - t0:.2f} |"
+        )
+
     # cascade: coarse_k sweep
     for coarse_k in (20, 50, 100):
         t0 = time.time()
@@ -144,8 +173,11 @@ def main() -> None:
         "codebooks reduce quantization MSE (tests/test_cluster.py). The",
         "0.84 figure in pq.py's docstring is the 5 SEED-SET queries (their",
         "quantization is exact by construction) — these 20-query curves",
-        "are the honest out-of-seed numbers. Production recall comes from",
-        "clustered embeddings + kmeans codebooks + larger m/ksub.",
+        "are the honest out-of-seed numbers. The TRAINED rows (m=16,",
+        "ksub=256 MLlib-KMeans codebooks via the broadcast data-driven",
+        "encode/ADC path) are the production-shaped tier: recall floors",
+        ">=0.7 full-scan and >=0.7 at nprobe=8 are gated in",
+        "tests/test_ann.py::test_trained_pq_recall_gate.",
         "",
         "Caveat on IVF absolute numbers: these synthetic embeddings are",
         "nearly isotropic (max pairwise cosine ~0.48, weak label clusters),",
