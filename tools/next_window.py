@@ -327,6 +327,12 @@ def main() -> None:
     else:
         fresh_green = [n for n in green_round if n in REGISTRY and REGISTRY[n].sql is not None]
 
+    # rows-only (sql is None) entries are EXCLUDED from every window by
+    # policy, not accident: the driver's hash compare records any no-oracle
+    # entry as a permanent red row (the r2 ann_*/dedup_embedding_* rows —
+    # see README's correctness-ledger note); their quality gates are the
+    # recall/equivalence tests, so window slots go to hash-verifiable
+    # entries only.
     never = [
         n for n, q in REGISTRY.items() if q.sql is not None and n not in green_round
     ]
