@@ -6747,58 +6747,66 @@ def quality_weighted_sample(spark, sf):
 # tests/test_dedup.py gate their recall instead).
 
 _ATTEST_WINDOW = [
-    # kept-green sentinels (driver-attested r01-r03; r3-green re-checked)
-    "q1_pricing_summary",
-    "hybrid_search",
-    "dedup_minhash_lsh_pairs",
-    # red in r3 (array-shape canonicalizer error), reshaped to long form
-    "pq_encode",
-    # never driver-attested, oracle-paired (tools/next_window.py r4 set)
-    "dedup_apply_keep_best",
-    "multimodal_frame_sample",
-    "set_ops_union_intersect",
+    # r5 window (tools/next_window.py output, curated — see note below):
+    # rotating sentinels (r-index picked from the non-stale green pool)
     "deterministic_sample",
-    "multimodal_audio_windows",
-    "stratified_sample_docs",
-    "knn_filtered",
-    "semantic_search_e2e",
-    "part_unpivot",
-    "rerank_hybrid",
-    "training_pack_bins",
-    "corpus_report",
-    "sql_similarity_topk",
-    "sql_bm25_topk",
-    "sql_hybrid_topk",
-    "orc_roundtrip",
-    "staging_lifecycle",
-    "catalog_ddl_roundtrip",
-    "csv_roundtrip",
-    "jsonl_roundtrip",
-    "vocab_top_terms",
-    "bigram_counts",
-    "embedding_quantize_int8",
-    "knn_int8_topk",
-    "cluster_kmeans_lloyd",
-    "embedding_outliers",
-    "dsir_importance_weights",
-    "bigram_lm_nll",
-    "domain_rebalance_uniform",
-    "gopher_rules",
     "domain_cap_source",
     "domain_rebalance_temp",
-    "fertility_by_lang",
-    "events_cohort_retention",
-    "events_funnel",
-    "keyword_tfidf_topk",
-    "mmr_rerank",
-    "semdedup_pairs",
-    "event_transitions",
-    "scd2_user_states",
-    "attribution_pairs",
-    "knn_binary_topk",
-    "knn_matryoshka_16",
-    "embedding_dim_stats",
+    # never driver-attested, oracle-paired (incl. term_drift_by_source —
+    # r4's red row, reshaped to hash the exact integer kl_q)
     "term_drift_by_source",
+    "source_overlap",
+    "neardup_pair_profile",
+    "dup_cluster_histogram",
+    "lateral_topn_per_nation",
+    "basket_pair_lift",
+    "graph_pagerank",
+    "events_dau_wau",
+    "knn_cascade_rerank",
+    "events_anomaly_mad",
+    "events_seasonal_deviation",
+    "events_anomaly_zscore",
+    "dataset_split_counts",
+    "sample_exact_n_per_lang",
+    "phrase_match",
+    "events_value_rank_stats",
+    "langid_confusion",
+    "text_nfc_normalize",
+    "text_sentences",
+    "dedup_sentences_crossdoc",
+    "dedup_sentence_removal",
+    "quality_weighted_sample",
+    # stale re-attests, oldest-green first (r5 code changes touched their
+    # engine files / oracle blocks)
+    "streaming_hourly",
+    "ingest_chunks",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_exact_cosine",
+    "knn_exact_dot",
+    "bm25_topk",
+    "pipeline_parse_pages",
+    "above_brand_average",
+    "knn_blas_topk",
+    "dedup_embedding_blas_exact",
+    "training_set_build",
+    "hybrid_rrf",
+    "text_chunking",
+    # curation: the four r5 SCHEMA-RESHAPED entries (integer verified
+    # columns) take the last stale slots ahead of four cosmetic-stale
+    # re-attests (decontaminate_docs, dedup_span_removal, more_like_this,
+    # text_scrub -> r6 backlog) — a changed result shape must re-attest
+    # before an unchanged result re-confirms
+    "dsir_importance_weights",
+    "bigram_lm_nll",
+    "embedding_dim_stats",
     "zipf_fit",
 ]
 
