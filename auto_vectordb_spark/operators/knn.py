@@ -89,6 +89,57 @@ def knn_exact(
     )
 
 
+def mine_hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    label_col: str = "label",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    round_decimals: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training: for each
+    query vector, the top-k most-similar corpus vectors whose ``label_col``
+    DIFFERS from the query's — the "similar but wrong" examples that make
+    the strongest negatives (the standard DPR/SimCSE recipe; the reference
+    has no trainer, so this extends its V2 search surface toward the
+    training-data pipeline this engine targets).
+
+    ``queries`` needs (query_id, <query_vec>, <label_col>). The query's own
+    row excludes itself for free (same label). Result: (query_id,
+    <corpus_id>, <label_col>, score) — the negative's label rides along so
+    downstream samplers can stratify by confusing class.
+
+    Scale: identical shape to :func:`knn_exact` — queries broadcast, the
+    100 TB corpus scanned in place with zero shuffle, the label predicate
+    prunes before ranking, one (query_id)-key shuffle for the windowed
+    top-k. ``round_decimals`` rounds scores BEFORE ranking (id tie-break)
+    for cross-engine-deterministic cuts.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col("query_id"),
+            F.col(label_col).alias("__qlabel"),
+            V.as_double_array(F.col(query_vec)).alias("__qv"),
+            V.norm(F.col(query_vec)).alias("__qn"),
+        )
+    )
+    c = corpus.withColumn("__cv", V.as_double_array(F.col(corpus_vec))).withColumn(
+        "__cn", V.norm(F.col(corpus_vec))
+    )
+    sim = V.cosine_with_norms(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"))
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col(label_col) != F.col("__qlabel"))
+        .withColumn("score", sim)
+        .select("query_id", corpus_id, label_col, "score")
+    )
+    if round_decimals is not None:
+        scored = scored.withColumn("score", F.round("score", round_decimals))
+    return top_k_per_group(scored, ["query_id"], "score", k, tie_break=corpus_id)
+
+
 def knn_exact_blas(
     queries: DataFrame,
     corpus: DataFrame,

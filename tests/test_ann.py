@@ -376,3 +376,25 @@ def test_trained_pq_recall_gate(spark, queries, emb):
         exact_l2,
     )
     assert ivf >= 0.7, f"trained IVF-PQ nprobe=8 recall@10 = {ivf}"
+
+
+def test_hard_negative_mining_excludes_query_label(spark):
+    """Every mined negative has a label different from its query's; the
+    query row itself never appears; scores arrive rank-ordered."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3) + 0.1, 1.0, float(i)], i % 2) for i in range(12)],
+        ["vec_id", "embedding", "label"],
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding", "label"
+    )
+    rows = KNN.mine_hard_negatives(q, emb, k=4, round_decimals=6).collect()
+    qlabel = {0: 0, 1: 1, 2: 0}
+    by_q = {}
+    for r in rows:
+        assert r["label"] != qlabel[r["query_id"]]
+        assert r["vec_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r["score"])
+    for qid, scores in by_q.items():
+        assert len(scores) == 4
+        assert scores == sorted(scores, reverse=True)
