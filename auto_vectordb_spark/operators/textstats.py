@@ -491,3 +491,55 @@ def zipf_fit(
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+def vocab_growth_curve(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heaps-law vocabulary-growth curve V(n) over a deterministic corpus
+    permutation, at 256-bucket granularity — the companion health check to
+    :func:`zipf_fit` (natural text grows V ≈ K·n^β with β ≈ 0.4–0.6;
+    template/boilerplate corpora flatten early, synthetic ID-heavy corpora
+    grow linearly).
+
+    Document order is md5(id) — the same shuffle-proof pseudo-random
+    permutation as ``pipeline.build_training_set`` — coarsened to its first
+    2 hex chars: 256 *contiguous ranges* of the global order (hex strings of
+    equal length sort lexicographically = numerically). Per bucket the row
+    is (bkt, cum_tokens, cum_vocab): cumulative token count and cumulative
+    distinct-vocabulary size, where a term counts toward the bucket of its
+    FIRST occurrence in permutation order. All-integer output → bit-exact
+    cross-engine; consumers fit ln V = ln K + β·ln n off the curve.
+
+    Scale shape: one explode+groupBy(term) shuffle for first-occurrence
+    buckets (map-side combine crushes repeats), one ≤256-group token-count
+    aggregate; the cumulative window runs over the ≤256-row reduced join —
+    a whitelisted single-partition funnel, never the corpus. A global
+    row-number over docs (the naive Heaps formulation) would serialize the
+    corpus through one task; the bucket coarsening is what removes it.
+    """
+    from pyspark.sql.window import Window
+
+    toks = tokenize(F.col(text_col))
+    d = docs.select(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2).alias("bkt"),
+        toks.alias("__toks"),
+    )
+    per_bucket = d.groupBy("bkt").agg(F.sum(F.size("__toks")).alias("__toks_b"))
+    first_seen = (
+        d.select("bkt", F.explode("__toks").alias("term"))
+        .groupBy("term")
+        .agg(F.min("bkt").alias("fb"))
+    )
+    new_terms = first_seen.groupBy(F.col("fb").alias("bkt")).agg(
+        F.count("*").alias("__new_b")
+    )
+    j = per_bucket.join(new_terms, "bkt", "left").select(
+        "bkt", "__toks_b", F.coalesce("__new_b", F.lit(0)).alias("__new_b")
+    )
+    w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "bkt",
+        F.sum("__toks_b").over(w).alias("cum_tokens"),
+        F.sum("__new_b").over(w).alias("cum_vocab"),
+    )

@@ -6782,6 +6782,41 @@ def hard_negative_mining(spark, sf):
     return KNN.mine_hard_negatives(queries, t["embeddings"], k=10, round_decimals=6)
 
 
+@_register(
+    "vocab_growth_curve",
+    f"""
+    WITH d AS (
+      SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bkt,
+             {TOKS_SQL.format(c='text')} AS toks
+      FROM documents
+    ),
+    per_bucket AS (SELECT bkt, sum(len(toks)) AS toks_b FROM d GROUP BY bkt),
+    first_seen AS (
+      SELECT term, min(bkt) AS fb
+      FROM (SELECT bkt, unnest(toks) AS term FROM d) GROUP BY term
+    ),
+    new_terms AS (SELECT fb AS bkt, count(*) AS new_b FROM first_seen GROUP BY fb),
+    j AS (
+      SELECT p.bkt, p.toks_b, COALESCE(n.new_b, 0) AS new_b
+      FROM per_bucket p LEFT JOIN new_terms n ON p.bkt = n.bkt
+    )
+    SELECT bkt,
+           sum(toks_b) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+           sum(new_b) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+    FROM j
+    """,
+    doc="Heaps-law vocabulary growth V(n) at 256-md5-bucket granularity: "
+    "cumulative tokens + cumulative first-occurrence vocabulary along a "
+    "deterministic corpus permutation. All-integer output; the cumulative "
+    "window runs over the ≤256-row reduced table, never the corpus",
+)
+def vocab_growth_curve(spark, sf):
+    t = load_views(spark, sf)
+    return TS.vocab_growth_curve(t["documents"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

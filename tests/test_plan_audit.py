@@ -49,6 +49,8 @@ SINGLE_PARTITION_OK = frozenset(
         "sql_bm25_topk",
         "sql_hybrid_topk",
         "term_drift_by_source",
+        # cumulative window over the ≤256-row per-bucket reduced table
+        "vocab_growth_curve",
     }
 )
 

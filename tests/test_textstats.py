@@ -187,3 +187,20 @@ def test_sentence_segments_mid_token_period_not_split(spark):
     df = spark.createDataFrame([(1, "v1.2 shipped. done")], ["doc_id", "text"])
     sents = [r["sent"] for r in sentence_segments(df).orderBy("sent_idx").collect()]
     assert sents == ["v1.2 shipped.", "done"]
+
+
+def test_vocab_growth_curve_totals_and_monotonicity(spark):
+    from auto_vectordb_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc{i % 7} gamma word{i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    rows = sorted(TS.vocab_growth_curve(docs).collect(), key=lambda r: r["bkt"])
+    # cumulative columns are non-decreasing along bucket order
+    for a, b in zip(rows, rows[1:]):
+        assert a["cum_tokens"] <= b["cum_tokens"]
+        assert a["cum_vocab"] <= b["cum_vocab"]
+    # final totals equal the corpus-wide exact numbers
+    assert rows[-1]["cum_tokens"] == 40 * 5
+    assert rows[-1]["cum_vocab"] == 3 + 7 + 40  # alpha/beta/gamma + doc0..6 + word0..39
