@@ -192,3 +192,58 @@ def fertility_by_lang(
             ).alias("avg_chars_per_token"),
         )
     )
+
+
+def oov_rate_by_lang(
+    docs: DataFrame,
+    vocab_size: int = 1000,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """(lang, n_tokens, n_oov, n_oov_terms, oov_rate) — out-of-vocabulary
+    report per language against a corpus-global top-``vocab_size`` term
+    vocabulary (count DESC, term ASC — a deterministic cut). The companion
+    to :func:`fertility_by_lang`: fertility says how expensive a language
+    tokenizes, OOV rate says how much of it a fixed vocabulary fails to
+    cover — the two inputs to vocabulary-budget allocation.
+
+    ``oov_rate`` is an unrounded division of two exact int64 counts —
+    bit-identical cross-engine (no reduction-order sensitivity, no libm).
+
+    Scale: the vocabulary cut is TakeOrderedAndProject (k-bounded, no global
+    sort materializes) and the ≤``vocab_size``-row vocab is broadcast
+    against the token stream — the corpus pays one explode + one
+    short-key (lang) groupBy, both map-side combined.
+    """
+    toks = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("__tf"))
+        .orderBy(F.desc("__tf"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("__iv"))
+    )
+    j = toks.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("__iv").isNull(), 1).otherwise(0)
+    return (
+        j.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(oov).alias("n_oov"),
+            F.count_distinct(
+                F.when(F.col("__iv").isNull(), F.col("term"))
+            ).alias("n_oov_terms"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            "n_oov_terms",
+            (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+                "oov_rate"
+            ),
+        )
+    )

@@ -6817,6 +6817,39 @@ def vocab_growth_curve(spark, sf):
     return TS.vocab_growth_curve(t["documents"])
 
 
+@_register(
+    "oov_rate_by_lang",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS tf FROM toks GROUP BY term
+        ORDER BY tf DESC, term ASC LIMIT 1000
+      )
+    ),
+    j AS (
+      SELECT t.lang, t.term, (v.term IS NOT NULL) AS iv
+      FROM toks t LEFT JOIN vocab v ON t.term = v.term
+    )
+    SELECT lang, count(*) AS n_tokens,
+           sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS n_oov,
+           count(DISTINCT CASE WHEN NOT iv THEN term END) AS n_oov_terms,
+           CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS oov_rate
+    FROM j GROUP BY lang
+    """,
+    doc="Per-language OOV rate vs a deterministic top-1000 global "
+    "vocabulary (count DESC, term ASC cut): coverage companion to "
+    "fertility_by_lang. Unrounded int/int division — bit-exact "
+    "cross-engine; vocab cut is TakeOrderedAndProject + broadcast",
+)
+def oov_rate_by_lang(spark, sf):
+    t = load_views(spark, sf)
+    return CU.oov_rate_by_lang(t["documents"], vocab_size=1000)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

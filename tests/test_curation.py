@@ -179,3 +179,23 @@ def test_quality_classifier_learns_weak_labels(spark, sf_dir):
     # scoring plan is map-only: no exchange over the corpus
     plan = Q.score_quality_classifier(model, test)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_oov_rate_by_lang_accounting(spark):
+    from auto_vectordb_spark.operators import curation as CU
+
+    # vocab_size=2 keeps {common, shared} (tf desc, term asc); rare* are OOV
+    docs = spark.createDataFrame(
+        [
+            (0, "common common shared rare1", "en"),
+            (1, "common shared rare2 rare2", "en"),
+            (2, "common shared", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {r["lang"]: r for r in CU.oov_rate_by_lang(docs, vocab_size=2).collect()}
+    en, de = rows["en"], rows["de"]
+    assert (en["n_tokens"], en["n_oov"], en["n_oov_terms"]) == (8, 3, 2)
+    assert en["oov_rate"] == 3 / 8
+    assert (de["n_tokens"], de["n_oov"], de["n_oov_terms"]) == (2, 0, 0)
+    assert de["oov_rate"] == 0.0
