@@ -214,3 +214,47 @@ def mmr_rerank(
         )
 
     return cand.groupBy("query_id").applyInPandas(kernel, out_schema)
+
+
+def pack_context_budget(
+    results: DataFrame,
+    docs: DataFrame,
+    token_budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG context assembly: per query, keep the highest-ranked retrieved
+    docs whose cumulative token count fits ``token_budget`` — the step
+    between retrieval (this module / operators/knn.py) and prompt
+    construction, where a context window is a hard token budget.
+
+    ``results``: (query_id, doc_id, score) from any retrieval operator —
+    rank scores BEFORE calling (round + id tie-break, parity rule 2) so the
+    pack order is cross-engine deterministic. Token counts are ``size ∘
+    tokenize`` (non-negative), so the running sum is monotone and the
+    ``cum <= budget`` filter IS the prefix cut: a doc that overflows the
+    budget also blocks every doc ranked after it (no fill-the-gaps
+    knapsack — deterministic truncation, the standard RAG policy).
+
+    Output: (query_id, doc_id, rank, n_tokens, cum_tokens, score).
+
+    Scale: the retrieval result is already reduced (k rows/query); the doc
+    join is an equi-join on doc id against a projected (id, n_tokens)
+    corpus scan, and both window functions partition by query_id — small
+    per-query groups, never a global sort.
+    """
+    from ..functions.text import tokenize
+
+    n_tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"),
+    )
+    j = results.join(n_tok, "doc_id")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= token_budget)
+        .select("query_id", "doc_id", "rank", "n_tokens", "cum_tokens", "score")
+    )

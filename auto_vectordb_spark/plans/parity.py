@@ -6850,6 +6850,60 @@ def oov_rate_by_lang(spark, sf):
     return CU.oov_rate_by_lang(t["documents"], vocab_size=1000)
 
 
+@_register(
+    "rag_context_pack",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS doc_id,
+             round(({V.cosine_sql('qv', 'c.embedding')}), 6) AS score
+      FROM q CROSS JOIN embeddings c
+    ),
+    hits AS (
+      SELECT query_id, doc_id, score FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM scored
+      ) WHERE rn <= 20
+    ),
+    ntok AS (
+      SELECT doc_id, len({TOKS_SQL.format(c='text')}) AS n_tokens FROM documents
+    ),
+    packed AS (
+      SELECT h.query_id, h.doc_id, h.score, n.n_tokens,
+             row_number() OVER (
+               PARTITION BY h.query_id ORDER BY h.score DESC, h.doc_id ASC
+             ) AS rank,
+             sum(n.n_tokens) OVER (
+               PARTITION BY h.query_id ORDER BY h.score DESC, h.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM hits h JOIN ntok n ON h.doc_id = n.doc_id
+    )
+    SELECT query_id, doc_id, rank, n_tokens, cum_tokens, score
+    FROM packed WHERE cum_tokens <= 150
+    """,
+    doc="RAG context assembly: retrieve top-20 per query (exact cosine, "
+    "rounded-score rank), join token counts, keep the rank-prefix whose "
+    "cumulative tokens fit a 150-token context budget. Monotone running "
+    "sum -> the filter IS the prefix cut; per-query windows only",
+)
+def rag_context_pack(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    hits = KNN.knn_exact(
+        queries, t["embeddings"], k=20, round_decimals=6
+    ).withColumnRenamed("vec_id", "doc_id")
+    return HY.pack_context_budget(hits, t["documents"], token_budget=150)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

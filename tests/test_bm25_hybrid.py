@@ -155,3 +155,28 @@ def test_mmr_diversifies_away_from_duplicates(spark):
     # pick 0 (tie with its twin, id-break), then the orthogonal one —
     # the identical twin's marginal is negative and it comes last
     assert order == [0, 3, 1]
+
+
+def test_pack_context_budget_prefix_cut(spark):
+    from auto_vectordb_spark.operators import hybrid as HY
+
+    results = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7), (1, 13, 0.6), (2, 10, 0.5)],
+        ["query_id", "doc_id", "score"],
+    )
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "d e"), (12, "f g h i j k l m n o"), (13, "p")],
+        ["doc_id", "text"],
+    )
+    rows = HY.pack_context_budget(results, docs, token_budget=6).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # q1: docs 10(3)+11(2)=5 fit; doc 12 overflows (15) and BLOCKS doc 13
+    # even though 5+1 would fit — prefix cut, not knapsack
+    q1 = sorted(by_q[1], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in q1] == [10, 11]
+    assert [r["cum_tokens"] for r in q1] == [3, 5]
+    assert [r["rank"] for r in q1] == [1, 2]
+    # q2: single 3-token doc fits
+    assert [(r["doc_id"], r["cum_tokens"]) for r in by_q[2]] == [(10, 3)]
