@@ -1,0 +1,158 @@
+"""ColBERT-style late-interaction retrieval (maxsim) as DataFrame algebra.
+
+Late interaction scores a (query, doc) pair as
+
+    maxsim(q, d) = Σ_{t ∈ tokens(q)} max_{u ∈ tokens(d)} <emb(t), emb(u)>
+
+— token-level matching that catches soft lexical overlap (morphology, typos,
+compounds) that document-level embeddings (functions/embedding.py) average
+away and BM25's exact term match misses entirely. The reference's retrieval
+surface is doc-level (ES match + knn, /root/reference/backend/process/
+elasticsearch_index.py:215-306); this operator extends it with the standard
+third retrieval family of the literature (Khattab & Zaharia, ColBERT,
+SIGIR 2020) re-expressed Spark-first.
+
+Token embeddings here are **deterministic char-trigram signed-hash vectors**
+(the token-level analog of the hash-projection document embedder, same
+portable 60-bit MD5 primitive, same float32-narrow + 6-dp rounding
+discipline as the oracle-verified ``embed_documents`` entry) — similar
+surface forms share trigrams, so their vectors correlate. A trained token
+embedder slots in by replacing :func:`token_embeddings`' output table
+(term, tdim, w); every downstream join is representation-agnostic.
+
+Cross-engine determinism: per-dimension products are int64-quantized at 1e9
+(parity rule 1 — the factor doubles are bit-identical in both engines), so
+dots, maxes, and the final maxsim sums are EXACT integers; the top-k cut
+ranks integers with an id tie-break — no float boundary to flip.
+
+Scale shape (100 TB corpus):
+- token vectors are computed once per DISTINCT surface form (the
+  vocab-table trick, operators/tokenizer.py) — vocabulary ≪ corpus;
+- query-side tables (tokens of the query batch, their vectors) are tiny →
+  broadcast; the per-dim pair join touches only candidate-vocab rows
+  sharing an active dimension with some query token;
+- the single corpus-scale operation is the (term → doc) membership join,
+  one equi-join on the token key with map-side-combined maxes after it;
+  the corpus text is scanned exactly once (tokenize + explode + distinct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions.text import tokenize
+from .relational import top_k_per_group
+
+DEFAULT_DIM = 16
+DOT_SCALE = 10**9
+
+
+def char_trigrams(tok: Column) -> Column:
+    """Char 3-grams of ``^token$`` (boundary-marked, ≥1 gram for any
+    non-empty token). DuckDB twin:
+    ``list_transform(range(1, len('^'||t||'$') - 1),
+                     i -> substring('^'||t||'$', i, 3))``."""
+    padded = F.concat(F.lit("^"), tok, F.lit("$"))
+    return F.transform(
+        F.sequence(F.lit(1), F.length(padded) - 2),
+        lambda i: F.substring(padded, i, F.lit(3)),
+    )
+
+
+def token_embeddings(
+    terms: DataFrame, term_col: str = "term", dim: int = DEFAULT_DIM
+) -> DataFrame:
+    """Sparse (term, tdim, w) signed-trigram-hash embedding per distinct
+    token: trigram → 60-bit MD5 hash → dimension ``h % dim`` with sign
+    ``bit 59``; signed counts L2-normalized, float32-narrowed, rounded to
+    6 dp (bit-identical cross-engine; zero dims dropped → sparse rows).
+    """
+    base = terms.select(F.col(term_col).alias("term"))
+    g = base.select("term", F.explode(char_trigrams(F.col("term"))).alias("__g"))
+    h = H.stable_hash60(F.col("__g"))
+    sgn = F.when(F.shiftright(h, 59).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    agg = (
+        g.select("term", (h % F.lit(dim)).alias("tdim"), sgn.alias("__s"))
+        .groupBy("term", "tdim")
+        .agg(F.sum("__s").cast("double").alias("__w"))
+        .filter(F.col("__w") != 0)
+    )
+    nrm = agg.groupBy("term").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__n")
+    )
+    return agg.join(nrm, "term").select(
+        "term",
+        "tdim",
+        F.round((F.col("__w") / F.col("__n")).cast("float").cast("double"), 6).alias(
+            "w"
+        ),
+    )
+
+
+def maxsim_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_text_col: str = "text",
+    dim: int = DEFAULT_DIM,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Top-k docs per query by exact-integer maxsim score.
+
+    ``queries``: (query_id, <query_text_col>); ``docs``: (<id_col>,
+    <text_col>). Result: (query_id, doc_id, maxsim_q) with ``maxsim_q`` the
+    1e9-quantized integer maxsim — rank it, or divide by 1e9 for display.
+
+    A query token that shares no active dimension with any token of a doc
+    contributes 0 to that doc (its pair rows don't exist) — by construction
+    identical in the DuckDB oracle, and the natural sparse semantics: "no
+    overlap anywhere" is a zero match, not a negative one.
+    """
+    dmem = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(F.col(text_col))).alias("cterm"),
+        )
+        .distinct()
+    )
+    qmem = (
+        queries.select(
+            "query_id", F.explode(tokenize(F.col(query_text_col))).alias("qterm")
+        )
+        .distinct()
+    )
+    qv = token_embeddings(
+        qmem.select(F.col("qterm").alias("term")).distinct(), dim=dim
+    ).select(F.col("term").alias("qterm"), "tdim", F.col("w").alias("qw"))
+    cv = token_embeddings(
+        dmem.select(F.col("cterm").alias("term")).distinct(), dim=dim
+    ).select(F.col("term").alias("cterm"), "tdim", F.col("w").alias("cw"))
+    # per-dim products quantized to int64 (parity rule 1): the sum below —
+    # and every max/sum after it — is exact integer arithmetic
+    pair = (
+        F.broadcast(qv)
+        .join(cv, "tdim")
+        .groupBy("qterm", "cterm")
+        .agg(
+            F.sum(
+                F.round(F.col("qw") * F.col("cw") * F.lit(DOT_SCALE), 0).cast("long")
+            ).alias("dot_q")
+        )
+    )
+    contrib = (
+        F.broadcast(qmem)
+        .join(pair, "qterm")
+        .join(dmem, "cterm")
+        .groupBy("query_id", "doc_id", "qterm")
+        .agg(F.max("dot_q").alias("best_q"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("best_q").alias("maxsim_q")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("doc_id"))
+    return top_k_per_group(scored, ["query_id"], "maxsim_q", k, tie_break="doc_id")

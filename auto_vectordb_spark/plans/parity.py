@@ -6904,6 +6904,87 @@ def rag_context_pack(spark, sf):
     return HY.pack_context_budget(hits, t["documents"], token_budget=150)
 
 
+_TRI_SQL = (
+    "list_transform(range(1, len('^' || term || '$') - 1), "
+    "i -> substring('^' || term || '$', i, 3))"
+)
+
+
+@_register(
+    "maxsim_late_interaction",
+    f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, unnest({TOKS_SQL.format(c='text')}) AS term FROM documents
+    ),
+    dmem AS MATERIALIZED (SELECT DISTINCT doc_id, term FROM toks),
+    vocab AS (SELECT DISTINCT term FROM dmem),
+    tri AS (
+      SELECT term, unnest({_TRI_SQL}) AS g FROM vocab
+    ),
+    sg AS (
+      SELECT term, {H.stable_hash60_sql('g')} % 16 AS tdim,
+             CASE WHEN ({H.stable_hash60_sql('g')} >> 59) & 1 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM tri
+    ),
+    agg AS (
+      SELECT term, tdim, CAST(sum(s) AS DOUBLE) AS w0
+      FROM sg GROUP BY term, tdim HAVING sum(s) <> 0
+    ),
+    nrm AS (SELECT term, sqrt(sum(w0 * w0)) AS n FROM agg GROUP BY term),
+    vec AS MATERIALIZED (
+      SELECT agg.term, tdim, round(CAST(CAST(w0 / n AS FLOAT) AS DOUBLE), 6) AS w
+      FROM agg JOIN nrm ON agg.term = nrm.term
+    ),
+    qmem AS MATERIALIZED (
+      SELECT DISTINCT doc_id AS query_id, term FROM toks WHERE doc_id % 101 = 0
+    ),
+    pair AS (
+      SELECT q.term AS qterm, c.term AS cterm,
+             sum(CAST(round(q.w * c.w * 1000000000) AS BIGINT)) AS dot_q
+      FROM (SELECT v.* FROM vec v
+            JOIN (SELECT DISTINCT term FROM qmem) qt USING (term)) q
+      JOIN vec c ON q.tdim = c.tdim
+      GROUP BY q.term, c.term
+    ),
+    contrib AS (
+      SELECT m.query_id, d.doc_id, p.qterm, max(p.dot_q) AS best_q
+      FROM qmem m
+      JOIN pair p ON p.qterm = m.term
+      JOIN dmem d ON d.term = p.cterm
+      GROUP BY m.query_id, d.doc_id, p.qterm
+    ),
+    scored AS (
+      SELECT query_id, doc_id, sum(best_q) AS maxsim_q
+      FROM contrib WHERE query_id <> doc_id
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, maxsim_q FROM (
+      SELECT query_id, doc_id, maxsim_q,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY maxsim_q DESC, doc_id ASC
+             ) AS rn
+      FROM scored
+    ) WHERE rn <= 10
+    """,
+    doc="ColBERT-style late interaction: per query token, max dot product "
+    "over the doc's char-trigram-hash token vectors; exact-integer "
+    "1e9-quantized dots so ranking has no float boundary. Vocab-table "
+    "embedding (once per distinct token), broadcast query side, one "
+    "corpus-key membership join",
+)
+def maxsim_late_interaction(spark, sf):
+    from ..operators import latesim as LS
+
+    t = load_views(spark, sf)
+    queries = (
+        t["documents"]
+        .filter(F.col("doc_id") % 101 == 0)
+        .select(F.col("doc_id").alias("query_id"), "text")
+    )
+    return LS.maxsim_topk(queries, t["documents"], k=10, exclude_self=True)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

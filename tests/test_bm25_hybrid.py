@@ -180,3 +180,40 @@ def test_pack_context_budget_prefix_cut(spark):
     assert [r["rank"] for r in q1] == [1, 2]
     # q2: single 3-token doc fits
     assert [(r["doc_id"], r["cum_tokens"]) for r in by_q[2]] == [(10, 3)]
+
+
+def test_maxsim_soft_lexical_match_ranks_related_doc_first(spark):
+    """Shared-morphology tokens (shared char trigrams) must outscore a
+    disjoint-alphabet doc; self-match is excluded when asked."""
+    from auto_vectordb_spark.operators import latesim as LS
+
+    docs = spark.createDataFrame(
+        [
+            (0, "running jumper quickly"),
+            (1, "runner jumping quick"),
+            (2, "zzz qqq vvv xxy"),
+        ],
+        ["doc_id", "text"],
+    )
+    q = docs.filter("doc_id = 0").selectExpr("doc_id AS query_id", "text")
+    rows = LS.maxsim_topk(q, docs, k=3, exclude_self=True).collect()
+    assert all(r["doc_id"] != 0 for r in rows)
+    scores = {r["doc_id"]: r["maxsim_q"] for r in rows}
+    assert scores[1] > scores[2]
+
+
+def test_maxsim_token_embeddings_normalized_and_sparse(spark):
+    import math
+
+    from auto_vectordb_spark.operators import latesim as LS
+
+    terms = spark.createDataFrame([("hello",), ("a",)], ["term"])
+    rows = LS.token_embeddings(terms).collect()
+    by_term = {}
+    for r in rows:
+        assert r["w"] != 0.0  # zero dims dropped
+        by_term.setdefault(r["term"], []).append(r["w"])
+    for t, ws in by_term.items():
+        assert math.isclose(sum(w * w for w in ws), 1.0, rel_tol=1e-4), t
+    # 'a' has exactly one trigram '^a$' -> a single ±1 dimension
+    assert len(by_term["a"]) == 1 and abs(by_term["a"][0]) == 1.0
