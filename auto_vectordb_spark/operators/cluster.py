@@ -171,3 +171,53 @@ def outliers_by_group_centroid(
         .select(F.col(id_col), F.col(group_col), d.alias("dist"))
     )
     return scored.orderBy(F.desc("dist"), F.asc(id_col)).limit(top_n)
+
+
+def gram_matrix(
+    df: DataFrame, vec_col: str = "embedding", quant_scale: int = 6
+) -> DataFrame:
+    """Exact-integer upper-triangular second-moment (Gram) matrix of an
+    embedding column: (i, j, sum_q) with 1-based dims, i ≤ j, and
+    ``sum_q = Σ_rows round(x_i · x_j · 10^quant_scale)`` (half-away, parity
+    rule 1 — per-row products are bit-identical doubles in any engine, the
+    sum is exact int64 in any reduction order).
+
+    This is the PCA/whitening/ZCA front end: together with the per-dim sums
+    of ``embedding_dim_stats`` it yields the covariance matrix
+    (cov = M/n − μμᵀ) without a second corpus pass; eigendecomposition of
+    the d×d result is a driver-side O(d³) afterthought.
+
+    Scale shape: an Arrow-batched kernel computes one d×d int64 partial
+    PER PARTITION (rows stream through numpy, nothing materializes beyond
+    a batch), then a groupBy over d(d+1)/2-row partials — the classic
+    treeAggregate shape expressed in DataFrame algebra. The corpus is
+    scanned once, shuffles only d² rows per partition. Headroom: per-row
+    quanta are ~10^q·|x|², so int64 holds ≳2^62/10^q rows per cell —
+    shard by a row-hash column and sum twice if a corpus ever exceeds it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    scale = float(10**quant_scale)
+
+    def part(it):
+        acc = None
+        for pdf in it:
+            vs = pdf[vec_col].to_numpy()
+            if len(vs) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            P = X[:, :, None] * X[:, None, :] * scale
+            Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
+            s = Q.sum(axis=0)
+            acc = s if acc is None else acc + s
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {"i": (iu[0] + 1).astype("int64"), "j": (iu[1] + 1).astype("int64"),
+             "s": acc[iu]}
+        )
+
+    partials = df.select(vec_col).mapInPandas(part, schema="i long, j long, s long")
+    return partials.groupBy("i", "j").agg(F.sum("s").alias("sum_q"))

@@ -6985,6 +6985,28 @@ def maxsim_late_interaction(spark, sf):
     return LS.maxsim_topk(queries, t["documents"], k=10, exclude_self=True)
 
 
+@_register(
+    "embedding_gram_matrix",
+    """
+    WITH idx AS (SELECT unnest(range(1, 65)) AS x)
+    SELECT a.x AS i, b.x AS j,
+           CAST(sum(CAST(round(CAST(e.embedding[a.x] AS DOUBLE)
+                                * CAST(e.embedding[b.x] AS DOUBLE)
+                                * 1000000) AS BIGINT)) AS BIGINT) AS sum_q
+    FROM embeddings e CROSS JOIN idx a CROSS JOIN idx b
+    WHERE a.x <= b.x
+    GROUP BY a.x, b.x
+    """,
+    doc="Exact-integer upper-triangular Gram (second-moment) matrix of the "
+    "embedding column — the PCA/whitening front end. Arrow-batched d×d "
+    "int64 partial per partition (treeAggregate shape), per-row products "
+    "quantized half-away at 1e6 before the exact sum",
+)
+def embedding_gram_matrix(spark, sf):
+    t = load_views(spark, sf)
+    return CL.gram_matrix(t["embeddings"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

@@ -211,3 +211,22 @@ def test_kmeans_oracle_quantizer_in_sync():
     from auto_vectordb_spark.plans.parity import _CL_QSQL
 
     assert _CL_QSQL == _Q
+
+
+def test_gram_matrix_matches_numpy_quantized_reference(spark):
+    import numpy as np
+
+    from auto_vectordb_spark.operators import cluster as CL
+
+    rng = [[0.5, -1.25, 2.0], [1.5, 0.25, -0.75], [-2.0, 1.0, 0.5]]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(rng)], ["vec_id", "embedding"])
+    got = {(r["i"], r["j"]): r["sum_q"] for r in CL.gram_matrix(df).collect()}
+    X = np.array(rng, dtype=np.float64)
+    P = X[:, :, None] * X[:, None, :] * 1e6
+    Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64).sum(axis=0)
+    for i in range(3):
+        for j in range(i, 3):
+            assert got[(i + 1, j + 1)] == Q[i, j], (i, j)
+    # upper triangle only, diagonal is a positive sum of squares
+    assert len(got) == 6
+    assert all(got[(d, d)] > 0 for d in (1, 2, 3))
