@@ -140,6 +140,70 @@ def mine_hard_negatives(
     return top_k_per_group(scored, ["query_id"], "score", k, tie_break=corpus_id)
 
 
+def mine_bitext_margin(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based bitext candidate mining (Artetxe & Schwenk 2019 ratio
+    margin, the LASER/CCMatrix recipe): a (src, tgt) pair is a parallel-text
+    candidate when its cosine stands out RELATIVE to each side's own
+    nearest-neighbor neighborhood —
+
+        margin(x, y) = cos(x, y) / ((avgₖ cos(x, NNₖ(x→tgt))
+                                     + avgₖ cos(y, NNₖ(y→src))) / 2)
+
+    computed over the forward top-k pairs and kept when margin > threshold
+    (1.0 = "better than your average neighbor"). Hubness-robust where a raw
+    cosine cut is not.
+
+    Cross-engine exactness: cosines are rounded to 6 dp before ranking
+    (rule 2), then re-quantized to int64 (exact — they sit on the 1e-6
+    grid), so neighborhood sums are exact integers and
+
+        margin = 2·cos_q·an·bn / (asum_q·bn + bsum_q·an)
+
+    is ONE division of two exact int64s — bit-identical everywhere.
+    Output: (src_id, tgt_id, cos_q, margin).
+
+    Scale: two :func:`knn_exact` passes (each: broadcast queries, in-place
+    corpus scan, per-query top-k) + two k-row-per-id aggregates + two
+    equi-joins on already-reduced tables. Nothing beyond the knn passes
+    touches corpus scale; for billion-pair mining swap the exact passes for
+    the IVF tier — the margin algebra is retrieval-agnostic.
+    """
+    fq = src.select(F.col(id_col).alias("query_id"), vec_col)
+    bq = tgt.select(F.col(id_col).alias("query_id"), vec_col)
+    fwd = knn_exact(fq, tgt, k=k, corpus_id=id_col, round_decimals=6)
+    bwd = knn_exact(bq, src, k=k, corpus_id=id_col, round_decimals=6)
+    q6 = F.round(F.col("score") * F.lit(1_000_000)).cast("long")
+    a_src = fwd.groupBy("query_id").agg(
+        F.sum(q6).alias("asum_q"), F.count("*").alias("an")
+    )
+    a_tgt = bwd.groupBy("query_id").agg(
+        F.sum(q6).alias("bsum_q"), F.count("*").alias("bn")
+    )
+    pairs = (
+        fwd.select(
+            F.col("query_id").alias("src_id"),
+            F.col(id_col).alias("tgt_id"),
+            q6.alias("cos_q"),
+        )
+        .join(a_src.withColumnRenamed("query_id", "src_id"), "src_id")
+        .join(a_tgt.withColumnRenamed("query_id", "tgt_id"), "tgt_id")
+    )
+    num = F.lit(2) * F.col("cos_q") * F.col("an") * F.col("bn")
+    den = F.col("asum_q") * F.col("bn") + F.col("bsum_q") * F.col("an")
+    return (
+        pairs.withColumn("margin", num.cast("double") / den.cast("double"))
+        .filter(F.col("margin") > threshold)
+        .select("src_id", "tgt_id", "cos_q", "margin")
+    )
+
+
 def knn_exact_blas(
     queries: DataFrame,
     corpus: DataFrame,

@@ -7007,6 +7007,81 @@ def embedding_gram_matrix(spark, sf):
     return CL.gram_matrix(t["embeddings"])
 
 
+@_register(
+    "bitext_margin_mining",
+    f"""
+    WITH srcp AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'en'
+    ),
+    tgtp AS MATERIALIZED (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id WHERE d.lang = 'de'
+    ),
+    fwd AS MATERIALIZED (
+      SELECT query_id, vec_id, score FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS rn
+        FROM (
+          SELECT s.vec_id AS query_id, t.vec_id AS vec_id,
+                 round(({V.cosine_sql('s.embedding', 't.embedding')}), 6) AS score
+          FROM srcp s CROSS JOIN tgtp t
+        )
+      ) WHERE rn <= 4
+    ),
+    bwd AS MATERIALIZED (
+      SELECT query_id, vec_id, score FROM (
+        SELECT query_id, vec_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS rn
+        FROM (
+          SELECT t.vec_id AS query_id, s.vec_id AS vec_id,
+                 round(({V.cosine_sql('t.embedding', 's.embedding')}), 6) AS score
+          FROM tgtp t CROSS JOIN srcp s
+        )
+      ) WHERE rn <= 4
+    ),
+    asrc AS (
+      SELECT query_id AS src_id,
+             CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS asum_q,
+             count(*) AS an
+      FROM fwd GROUP BY query_id
+    ),
+    atgt AS (
+      SELECT query_id AS tgt_id,
+             CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS bsum_q,
+             count(*) AS bn
+      FROM bwd GROUP BY query_id
+    )
+    SELECT src_id, tgt_id, cos_q, margin FROM (
+      SELECT f.query_id AS src_id, f.vec_id AS tgt_id,
+             CAST(round(f.score * 1000000) AS BIGINT) AS cos_q,
+             CAST(2 * CAST(round(f.score * 1000000) AS BIGINT) * a.an * b.bn
+                  AS DOUBLE)
+               / CAST(a.asum_q * b.bn + b.bsum_q * a.an AS DOUBLE) AS margin
+      FROM fwd f
+      JOIN asrc a ON f.query_id = a.src_id
+      JOIN atgt b ON f.vec_id = b.tgt_id
+    ) WHERE margin > 1.0
+    """,
+    doc="LASER/CCMatrix margin-based bitext mining (Artetxe & Schwenk "
+    "ratio margin) over en→de embedding pools: forward/backward knn "
+    "neighborhoods, exact-int64 neighborhood sums, margin as ONE int/int "
+    "division — bit-exact keep/drop decisions",
+)
+def bitext_margin_mining(spark, sf):
+    t = load_views(spark, sf)
+    pools = t["embeddings"].join(
+        t["documents"].select(F.col("doc_id").alias("vec_id"), "lang"), "vec_id"
+    )
+    src = pools.filter(F.col("lang") == "en").select("vec_id", "embedding")
+    tgt = pools.filter(F.col("lang") == "de").select("vec_id", "embedding")
+    return KNN.mine_bitext_margin(src, tgt, k=4, threshold=1.0)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

@@ -398,3 +398,27 @@ def test_hard_negative_mining_excludes_query_label(spark):
     for qid, scores in by_q.items():
         assert len(scores) == 4
         assert scores == sorted(scores, reverse=True)
+
+
+def test_bitext_margin_identical_vector_dominates(spark):
+    """A src vector with an exact copy in tgt must mine that pair with the
+    highest margin; margins are exact int-ratio doubles."""
+    import math
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    tgt = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0]), (101, [0.7, 0.7, 0.0]), (102, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = KNN.mine_bitext_margin(src, tgt, k=2, threshold=0.0).collect()
+    by_pair = {(r["src_id"], r["tgt_id"]): r for r in rows}
+    exact = by_pair[(0, 100)]
+    assert exact["cos_q"] == 1_000_000
+    best_margin_src0 = max(
+        r["margin"] for r in rows if r["src_id"] == 0
+    )
+    assert math.isclose(exact["margin"], best_margin_src0)
+    # margin is numerator/denominator of int64s: reconstructible exactly
+    assert exact["margin"] > 1.0
