@@ -140,6 +140,43 @@ def mine_hard_negatives(
     return top_k_per_group(scored, ["query_id"], "score", k, tie_break=corpus_id)
 
 
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Retrieval-quality evaluation as a first-class operator: per query,
+    the overlap between an approximate tier's hits and the exact top-k —
+    recall@k computed IN the engine, not in a test harness (tests/
+    test_ann.py and tools/recall_report.py wrap this same algebra; making
+    it an operator lets pipelines gate an index rebuild on measured recall
+    before swapping it live).
+
+    Inputs are any two ranked result sets with (query_id, <id_col>).
+    Output: (query_id, n_overlap, n_exact, recall) where recall is an
+    unrounded int/int division — bit-exact cross-engine.
+
+    Scale: both inputs are already reduced (k rows per query); one
+    equi-join on (query_id, id) and a per-query count — nothing touches
+    corpus scale.
+    """
+    a = approx.select("query_id", id_col)
+    e = exact.select("query_id", id_col)
+    hits = e.join(a, ["query_id", id_col], "left_semi")
+    n_hit = hits.groupBy("query_id").agg(F.count("*").alias("n_overlap"))
+    n_ex = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        n_ex.join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            "n_exact",
+        )
+        .withColumn(
+            "recall",
+            F.col("n_overlap").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
+
+
 def mine_bitext_margin(
     src: DataFrame,
     tgt: DataFrame,

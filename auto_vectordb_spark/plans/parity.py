@@ -7082,6 +7082,78 @@ def bitext_margin_mining(spark, sf):
     return KNN.mine_bitext_margin(src, tgt, k=4, threshold=1.0)
 
 
+@_register(
+    "ann_recall_eval",
+    f"""
+    WITH sig AS MATERIALIZED (
+      SELECT vec_id,
+             {_sign_word_sql('embedding', 0)} AS lo,
+             {_sign_word_sql('embedding', 32)} AS hi
+      FROM embeddings
+    ),
+    qs AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM sig
+           WHERE vec_id < {_N_QUERY_VECS}),
+    approx AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY CAST(bit_count(xor(q.qlo, c.lo))
+                               + bit_count(xor(q.qhi, c.hi)) AS BIGINT) ASC,
+                          c.vec_id ASC
+               ) AS rn
+        FROM qs q CROSS JOIN sig c
+      ) WHERE rn <= {_KNN_K}
+    ),
+    qv AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < {_N_QUERY_VECS}),
+    exact AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+               ) AS rn
+        FROM (
+          SELECT q.query_id, c.vec_id,
+                 round(({V.cosine_sql('qvec', 'c.embedding')}), 6) AS score
+          FROM qv q CROSS JOIN embeddings c
+        )
+      ) WHERE rn <= {_KNN_K}
+    ),
+    n_hit AS (
+      SELECT e.query_id, count(*) AS n_overlap
+      FROM exact e WHERE EXISTS (
+        SELECT 1 FROM approx a
+        WHERE a.query_id = e.query_id AND a.vec_id = e.vec_id
+      )
+      GROUP BY e.query_id
+    ),
+    n_ex AS (SELECT query_id, count(*) AS n_exact FROM exact GROUP BY query_id)
+    SELECT n_ex.query_id,
+           COALESCE(n_hit.n_overlap, 0) AS n_overlap,
+           n_ex.n_exact,
+           CAST(COALESCE(n_hit.n_overlap, 0) AS DOUBLE)
+             / CAST(n_ex.n_exact AS DOUBLE) AS recall
+    FROM n_ex LEFT JOIN n_hit ON n_ex.query_id = n_hit.query_id
+    """,
+    doc="Recall@k evaluation as a first-class operator: binary-sign ANN "
+    "tier vs exact cosine top-k, per-query overlap on already-reduced "
+    "result sets (one equi-join, never corpus scale); recall is an "
+    "unrounded int/int division. Lets pipelines gate index swaps on "
+    "measured recall in-engine",
+)
+def ann_recall_eval(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    approx = KNN.knn_binary(queries, t["embeddings"], k=_KNN_K)
+    exact = KNN.knn_exact(queries, t["embeddings"], k=_KNN_K, round_decimals=6)
+    return KNN.recall_at_k(approx, exact)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

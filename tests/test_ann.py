@@ -422,3 +422,17 @@ def test_bitext_margin_identical_vector_dominates(spark):
     assert math.isclose(exact["margin"], best_margin_src0)
     # margin is numerator/denominator of int64s: reconstructible exactly
     assert exact["margin"] > 1.0
+
+
+def test_recall_at_k_operator_counts_overlap(spark):
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 30), (2, 31)], ["query_id", "vec_id"]
+    )
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 30), (2, 31), (3, 50)], ["query_id", "vec_id"]
+    )
+    rows = {r["query_id"]: r for r in KNN.recall_at_k(approx, exact).collect()}
+    assert (rows[1]["n_overlap"], rows[1]["n_exact"], rows[1]["recall"]) == (1, 2, 0.5)
+    assert rows[2]["recall"] == 1.0
+    # a query the approx tier missed entirely still reports (0, n, 0.0)
+    assert (rows[3]["n_overlap"], rows[3]["recall"]) == (0, 0.0)
