@@ -259,3 +259,44 @@ def score_quality_classifier(
         F.round(vector_to_array("probability")[1], 6).alias("clf_quality"),
         F.col("prediction").cast("int").alias("predicted"),
     )
+
+
+def quality_calibration(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n_bins: int = 10
+) -> DataFrame:
+    """Calibration table of the cheap heuristic quality score
+    (textstats.quality_score) against the Gopher rule verdict
+    (curation.gopher_rules): fixed-width score bins × keep rate. The
+    reliability diagram every quality-signal consumer should look at
+    before thresholding — a well-calibrated score has keep_rate rising
+    monotonically with the bin; flat regions are where the cheap score
+    carries no signal and a model-based classifier
+    (:func:`train_quality_classifier`) earns its cost.
+
+    Output: (bin, n_docs, n_keep, keep_rate) with bin = min(⌊q·n_bins⌋,
+    n_bins−1) — q is bit-identical in both engines, and multiply/floor of
+    identical doubles is IEEE-exact, so binning is cross-engine stable;
+    keep_rate is an unrounded int/int division.
+
+    Scale: two map-only feature passes over the corpus (both pure column
+    expressions), one doc-key equi-join, one ≤n_bins-group aggregate.
+    """
+    from . import curation as CU
+    from . import textstats as TS
+
+    q = TS.quality_score(docs, id_col, text_col).select(id_col, "quality")
+    g = CU.gopher_rules(docs, id_col, text_col).select(id_col, "keep")
+    binned = q.join(g, id_col).select(
+        F.least(
+            F.floor(F.col("quality") * F.lit(n_bins)).cast("long"),
+            F.lit(n_bins - 1),
+        ).alias("bin"),
+        F.col("keep").cast("int").alias("__k"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__k").alias("n_keep"),
+        (F.sum("__k").cast("double") / F.count("*").cast("double")).alias(
+            "keep_rate"
+        ),
+    )

@@ -7154,6 +7154,63 @@ def ann_recall_eval(spark, sf):
     return KNN.recall_at_k(approx, exact)
 
 
+@_register(
+    "quality_calibration",
+    f"""
+    WITH survivors AS (SELECT doc_id, text FROM documents),
+    {_QUALITY_CTE},
+    gtk AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ),
+    gfeat AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks, t -> len(t))), 0) AS tot_chars,
+             len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS n_alpha,
+             len(list_filter(list_distinct(toks),
+                 t -> list_contains(['the','a','be','to','of','and','that',
+                                     'have','with'], t))) AS stop_hits
+      FROM gtk
+    ),
+    g AS (
+      SELECT doc_id,
+             ((n_words BETWEEN 50 AND 100000)
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(tot_chars AS DOUBLE) / n_words
+                        ELSE 0.0 END BETWEEN 3.0 AND 10.0)
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(n_sym AS DOUBLE) / n_words
+                        ELSE 0.0 END <= 0.1)
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(n_alpha AS DOUBLE) / n_words
+                        ELSE 0.0 END >= 0.8)
+              AND (stop_hits >= 2)) AS keep
+      FROM gfeat
+    ),
+    binned AS (
+      SELECT least(CAST(floor(q.quality * 10) AS BIGINT), 9) AS bin,
+             CASE WHEN g.keep THEN 1 ELSE 0 END AS k
+      FROM q JOIN g USING (doc_id)
+    )
+    SELECT bin, count(*) AS n_docs,
+           CAST(sum(k) AS BIGINT) AS n_keep,
+           CAST(sum(k) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS keep_rate
+    FROM binned GROUP BY bin
+    """,
+    doc="Calibration (reliability) table of the heuristic quality score vs "
+    "the Gopher rule verdict: fixed-width score deciles × keep rate. "
+    "IEEE-exact binning over bit-identical doubles, unrounded int/int "
+    "keep_rate; two map-only passes + one doc-key join + a ≤10-group agg",
+)
+def quality_calibration(spark, sf):
+    t = load_views(spark, sf)
+    return QL.quality_calibration(t["documents"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

@@ -199,3 +199,15 @@ def test_oov_rate_by_lang_accounting(spark):
     assert en["oov_rate"] == 3 / 8
     assert (de["n_tokens"], de["n_oov"], de["n_oov_terms"]) == (2, 0, 0)
     assert de["oov_rate"] == 0.0
+
+
+def test_quality_calibration_bins_partition_the_corpus(spark, sf_dir):
+    from auto_vectordb_spark.operators import quality as QL
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = QL.quality_calibration(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_keep"] <= r["n_docs"]
+        assert r["keep_rate"] == r["n_keep"] / r["n_docs"]
