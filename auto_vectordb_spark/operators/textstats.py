@@ -543,3 +543,89 @@ def vocab_growth_curve(
         F.sum("__toks_b").over(w).alias("cum_tokens"),
         F.sum("__new_b").over(w).alias("cum_vocab"),
     )
+
+
+def cooccurrence_pmi(
+    docs: DataFrame,
+    text_col: str = "text",
+    window: int = 2,
+    top_n: int = 50,
+    quant_scale: int = 6,
+) -> DataFrame:
+    """Top-``top_n`` co-occurring term pairs (skip-gram window ≤ ``window``)
+    with pointwise mutual information — the classic association statistic
+    (collocations, word2vec-era negative-sampling tables, phrase mining):
+
+        pmi(x, y) = ln( p(x,y) / (p(x)·p(y)) )
+                  = ln( n_xy · n_tok² / (n_pairs · n_x · n_y) )
+
+    Pairs are generated ROW-LOCALLY from the token array (nested
+    sequence/transform column expressions — never a positional self-join,
+    whose per-doc L² fan-out is the scale-killer for long documents), with
+    (x, y) ordered lexicographically so symmetric co-occurrences merge.
+    The cut ranks exact integer counts (n_xy DESC, x, y) →
+    TakeOrderedAndProject, deterministic cross-engine. ``pmi_q_micro``
+    quantizes the single ln at 1e6 (the bigram_lm_nll discipline): its
+    argument is an IEEE-exact-ordered product/ratio of exact integer
+    counts, identical in both engines to the last bit before the one libm
+    call.
+
+    Scale: one corpus scan (pairs + unigrams come from the same tokenize),
+    one (x, y) shuffle with map-side combine, broadcast 1-row totals.
+    """
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    e = lambda i: F.element_at(toks, i)  # noqa: E731 — 1-based array access
+    pairs_arr = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - 1),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.least(F.lit(window), n - i)),
+                    lambda d: F.struct(
+                        F.least(e(i), e(i + d)).alias("x"),
+                        F.greatest(e(i), e(i + d)).alias("y"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    prs = docs.select(F.explode(pairs_arr).alias("p")).select("p.x", "p.y")
+    uni = docs.select(F.explode(toks).alias("term"))
+    n_x = uni.groupBy("term").agg(F.count("*").alias("n_term"))
+    tot = uni.agg(F.count("*").alias("__n_tok"))
+    ptot = prs.agg(F.count("*").alias("__n_pairs"))
+    top = (
+        prs.groupBy("x", "y")
+        .agg(F.count("*").alias("n_xy"))
+        .orderBy(F.desc("n_xy"), F.asc("x"), F.asc("y"))
+        .limit(top_n)
+    )
+    # the ≤top_n-row side is ALWAYS the broadcast build side; the vocab
+    # table (corpus-sized at 100 TB) streams through both probe joins
+    t1 = (
+        n_x.withColumnRenamed("term", "x")
+        .join(F.broadcast(top), "x")
+        .withColumnRenamed("n_term", "n_x")
+    )
+    j = (
+        n_x.withColumnRenamed("term", "y")
+        .join(F.broadcast(t1), "y")
+        .withColumnRenamed("n_term", "n_y")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+    )
+    ratio = (
+        F.col("n_xy").cast("double") * F.col("__n_tok") * F.col("__n_tok")
+    ) / (F.col("__n_pairs").cast("double") * F.col("n_x") * F.col("n_y"))
+    return j.select(
+        "x",
+        "y",
+        "n_xy",
+        "n_x",
+        "n_y",
+        F.round(F.log(ratio) * F.lit(10**quant_scale)).cast("long").alias(
+            "pmi_q_micro"
+        ),
+    )

@@ -7211,6 +7211,47 @@ def quality_calibration(spark, sf):
     return QL.quality_calibration(t["documents"])
 
 
+@_register(
+    "cooccurrence_pmi",
+    f"""
+    WITH t AS MATERIALIZED (
+      SELECT {TOKS_SQL.format(c='text')} AS toks FROM documents
+    ),
+    prs AS MATERIALIZED (
+      SELECT least(toks[i], toks[i + d]) AS x,
+             greatest(toks[i], toks[i + d]) AS y
+      FROM (
+        SELECT toks, i, unnest(range(1, least(2, len(toks) - i) + 1)) AS d
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)
+      )
+    ),
+    uni AS MATERIALIZED (SELECT unnest(toks) AS term FROM t),
+    nx AS MATERIALIZED (SELECT term, count(*) AS n_term FROM uni GROUP BY term),
+    tot AS (SELECT count(*) AS n_tok FROM uni),
+    ptot AS (SELECT count(*) AS n_pairs FROM prs),
+    top AS (
+      SELECT x, y, count(*) AS n_xy FROM prs GROUP BY x, y
+      ORDER BY n_xy DESC, x ASC, y ASC LIMIT 50
+    )
+    SELECT top.x, top.y, top.n_xy, a.n_term AS n_x, b.n_term AS n_y,
+           CAST(round(ln((CAST(top.n_xy AS DOUBLE) * tot.n_tok * tot.n_tok)
+                         / (CAST(ptot.n_pairs AS DOUBLE) * a.n_term * b.n_term))
+                      * 1000000) AS BIGINT) AS pmi_q_micro
+    FROM top
+    JOIN nx a ON top.x = a.term
+    JOIN nx b ON top.y = b.term
+    CROSS JOIN tot CROSS JOIN ptot
+    """,
+    doc="Top-50 skip-gram (window ≤2) co-occurring term pairs with PMI: "
+    "row-local pair generation from the token array (no positional "
+    "self-join), integer-count ranking, single ln quantized at 1e6 over an "
+    "IEEE-exact integer ratio (bigram_lm_nll discipline)",
+)
+def cooccurrence_pmi(spark, sf):
+    t = load_views(spark, sf)
+    return TS.cooccurrence_pmi(t["documents"], window=2, top_n=50)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

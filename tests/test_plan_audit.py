@@ -31,6 +31,8 @@ SINGLE_PARTITION_OK = frozenset(
         "basket_pair_lift",
         "bigram_lm_nll",
         "bm25_topk",
+        # two 1-row totals (n_tok, n_pairs) broadcast into the top-50 join
+        "cooccurrence_pmi",
         "domain_rebalance_temp",
         "domain_rebalance_uniform",
         "dsir_importance_weights",

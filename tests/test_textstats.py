@@ -204,3 +204,24 @@ def test_vocab_growth_curve_totals_and_monotonicity(spark):
     # final totals equal the corpus-wide exact numbers
     assert rows[-1]["cum_tokens"] == 40 * 5
     assert rows[-1]["cum_vocab"] == 3 + 7 + 40  # alpha/beta/gamma + doc0..6 + word0..39
+
+
+def test_cooccurrence_pmi_counts_and_window(spark):
+    import math
+
+    from auto_vectordb_spark.operators import textstats as TS
+
+    # "a b c a" -> window-2 pairs: (a,b),(a,c),(b,c),(a,b)[b+2],(a,c)[c+1]
+    docs = spark.createDataFrame([(0, "a b c a")], ["doc_id", "text"])
+    rows = {(r["x"], r["y"]): r for r in TS.cooccurrence_pmi(docs).collect()}
+    assert rows[("a", "b")]["n_xy"] == 2
+    assert rows[("a", "c")]["n_xy"] == 2
+    assert rows[("b", "c")]["n_xy"] == 1
+    r = rows[("b", "c")]
+    assert (r["n_x"], r["n_y"]) == (1, 1)
+    # pmi = ln(n_xy * n_tok^2 / (n_pairs * n_x * n_y)) quantized at 1e6
+    want = round(math.log((1 * 4.0 * 4) / (5.0 * 1 * 1)) * 1e6)
+    assert r["pmi_q_micro"] == want
+    # a one-token doc contributes no pairs and does not crash
+    one = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
+    assert TS.cooccurrence_pmi(one).count() == 0
