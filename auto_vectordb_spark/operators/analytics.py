@@ -151,3 +151,75 @@ def seasonal_deviation(
         F.round(expected, 6).alias("expected"),
         F.round(F.col("n_events") - expected, 6).alias("deviation"),
     )
+
+
+def source_embedding_drift(
+    embeddings: DataFrame,
+    docs: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    source_col: str = "source",
+    dim: int = 64,
+    quant_scale: int = 6,
+) -> DataFrame:
+    """Embedding-space drift monitor across corpus sources: pairwise cosine
+    similarity of per-source CENTROID vectors — the companion to the
+    token-space :func:`~..textstats.term_drift_by_source` (two sources can
+    share vocabulary yet drift semantically, or vice versa; a centroid
+    cosine falling round-over-round is the cheap first alarm before
+    per-cluster analysis).
+
+    Output: (src_a, src_b, n_a, n_b, cos) for src_a < src_b.
+
+    Cross-engine determinism: per-(source, dim) sums are int64-quantized
+    (parity rule 1); centroids are dequantized by ONE exact-int division
+    each (sum_q / (10^s · n) — both operands exactly representable, IEEE
+    division is correctly rounded → bit-identical); the dot/norm reductions
+    run in fixed dim order (sequential array fold, the oracle-proven
+    cosine twin); the final round(cos, 6) is a display round over a
+    continuous value (margin-audited).
+
+    Scale: the corpus pays one (source, dim) shuffle with map-side combine
+    (the embedding_dim_stats shape, keyed finer); everything after operates
+    on s·d rows and the s² pair join of s centroid vectors — broadcast
+    territory for any real source count.
+    """
+    from ..functions import vector as V
+
+    scale = 10**quant_scale
+    ex = embeddings.join(
+        docs.select(F.col(doc_id_col).alias(id_col), F.col(source_col).alias("source")),
+        id_col,
+    ).select(
+        "source", F.posexplode(V.as_double_array(F.col(vec_col))).alias("dim", "x")
+    )
+    sums = ex.groupBy("source", "dim").agg(
+        F.sum(F.round(F.col("x") * F.lit(scale), 0).cast("long")).alias("sq"),
+        F.count("*").alias("n"),
+    )
+    vecs = (
+        sums.groupBy("source")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "sq"))).alias("__a"),
+            F.max("n").alias("n"),
+        )
+        .select(
+            "source",
+            "n",
+            F.transform(
+                "__a",
+                lambda s: s["sq"].cast("double")
+                / (F.lit(float(scale)) * F.col("n")),
+            ).alias("m"),
+        )
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = F.broadcast(a).join(b, F.col("a.source") < F.col("b.source"))
+    return pairs.select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(V.cosine(F.col("a.m"), F.col("b.m")), 6).alias("cos"),
+    )

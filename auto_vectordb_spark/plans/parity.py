@@ -7252,6 +7252,41 @@ def cooccurrence_pmi(spark, sf):
     return TS.cooccurrence_pmi(t["documents"], window=2, top_n=50)
 
 
+@_register(
+    "source_embedding_drift",
+    f"""
+    WITH ex AS MATERIALIZED (
+      SELECT d.source, i AS dim, CAST(e.embedding[i] AS DOUBLE) AS x
+      FROM embeddings e
+      JOIN documents d ON e.vec_id = d.doc_id
+      CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+    ),
+    sums AS (
+      SELECT source, dim,
+             CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sq,
+             count(*) AS n
+      FROM ex GROUP BY source, dim
+    ),
+    vecs AS MATERIALIZED (
+      SELECT source, max(n) AS n,
+             list(CAST(sq AS DOUBLE) / (1000000.0 * n) ORDER BY dim) AS m
+      FROM sums GROUP BY source
+    )
+    SELECT a.source AS src_a, b.source AS src_b, a.n AS n_a, b.n AS n_b,
+           round(({V.cosine_sql('a.m', 'b.m')}), 6) AS cos
+    FROM vecs a JOIN vecs b ON a.source < b.source
+    """,
+    doc="Embedding-space drift monitor: pairwise cosine of per-source "
+    "centroid vectors (semantic companion to the token-space "
+    "term_drift_by_source). One (source, dim) shuffle with int64-quantized "
+    "sums; centroids dequantized by one exact-int division; fixed-order "
+    "cosine fold; s² pair join on broadcast centroids",
+)
+def source_embedding_drift(spark, sf):
+    t = load_views(spark, sf)
+    return AN.source_embedding_drift(t["embeddings"], t["documents"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

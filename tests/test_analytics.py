@@ -83,3 +83,24 @@ def test_seasonal_deviation_uses_hour_of_day_baseline(spark):
     assert anom["expected"] == 16.25
     assert anom["deviation"] == 33.75
     assert got["2024-01-01 12:00"]["deviation"] == 0.0
+
+
+def test_source_embedding_drift_pairwise_centroid_cosine(spark):
+    import math
+
+    from auto_vectordb_spark.operators import analytics as AN
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    docs = spark.createDataFrame(
+        [(0, "sA"), (1, "sA"), (2, "sB"), (3, "sC")], ["doc_id", "source"]
+    )
+    rows = {(r["src_a"], r["src_b"]): r for r in AN.source_embedding_drift(
+        emb, docs, dim=2).collect()}
+    assert set(rows) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
+    ab = rows[("sA", "sB")]
+    assert (ab["n_a"], ab["n_b"]) == (2, 1)
+    assert ab["cos"] == 0.0  # orthogonal centroids
+    assert math.isclose(rows[("sA", "sC")]["cos"], 1 / math.sqrt(2), abs_tol=1e-6)
