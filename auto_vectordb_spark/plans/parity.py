@@ -54,6 +54,7 @@ from ..operators import dedup as DD
 from ..operators import hybrid as HY
 from ..operators import knn as KNN
 from ..operators import pq as PQ
+from ..operators import profiling as PF
 from ..operators import quality as QL
 from ..operators import relational as R
 from ..operators import textstats as TS
@@ -7285,6 +7286,37 @@ def cooccurrence_pmi(spark, sf):
 def source_embedding_drift(spark, sf):
     t = load_views(spark, sf)
     return AN.source_embedding_drift(t["embeddings"], t["documents"])
+
+
+_DOC_COLUMNS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+@_register(
+    "table_profile",
+    PF.table_profile_sql("documents", _DOC_COLUMNS),
+    doc="ANALYZE-style one-pass column profile of the documents table in "
+    "long form (nulls, exact NDV, lexicographic range, total chars): the "
+    "catalog surface (db_handler.py table stats) extended to column "
+    "statistics. One unpivoted scan; exact distinct is the two-phase "
+    "partial-distinct plan, approx_count_distinct is the 100 TB switch",
+)
+def table_profile(spark, sf):
+    t = load_views(spark, sf)
+    return PF.table_profile(t["documents"], _DOC_COLUMNS)
+
+
+@_register(
+    "shard_skew_report",
+    PF.shard_skew_sql("documents"),
+    doc="Shard-balance report for a 16-way hash-sharded corpus layout: "
+    "per-shard doc/char totals + unrounded int/int shares. The hash IS "
+    "the portable sink hash (stable_hash60 mod 16), so the report "
+    "predicts the real write layout; corpus reduces to ≤16 rows in one "
+    "map-side-combined shuffle, totals broadcast from a 1-row aggregate",
+)
+def shard_skew_report(spark, sf):
+    t = load_views(spark, sf)
+    return PF.shard_skew(t["documents"])
 
 
 # =========================================================================

@@ -48,6 +48,8 @@ SINGLE_PARTITION_OK = frozenset(
         "q22_idle_balance",
         "q6_revenue_filter",
         "rerank_hybrid",
+        # 1-row grand-total aggregate over the ≤16-row per-shard table
+        "shard_skew_report",
         "sql_bm25_topk",
         "sql_hybrid_topk",
         "term_drift_by_source",
