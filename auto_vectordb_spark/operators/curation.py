@@ -247,3 +247,50 @@ def oov_rate_by_lang(
             ),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int = 512,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, pack_id, n_docs, n_tokens, first_doc, fill) — GPT-style
+    sequence-packing plan: concatenate each source's documents in doc-id
+    order and cut the token stream into fixed ``ctx_len`` windows; a doc is
+    attributed to the pack where its first token lands (the deterministic
+    doc-level account of concat-then-chunk packing).
+
+    ``fill = n_tokens / ctx_len`` — exact dyadic division when ctx_len is a
+    power of two; > 1.0 marks packs whose last doc straddles the boundary,
+    ≪ 1.0 marks a source's tail pack (padding waste the mix planner sees).
+
+    Scale shape: ONE window prefix-sum partitioned by source (never a
+    global window) + one (source, pack_id) groupBy. A corpus dominated by
+    a single giant source should switch to the two-level 256-hex-bucket
+    prefix sum used by training-set token budgeting (pipeline.py:444) —
+    same algebra, bucket-local windows.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(source_col).alias("source"),
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = toks.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    packed = pos.withColumn(
+        "pack_id", F.floor(F.col("cum_before") / F.lit(float(ctx_len))).cast("long")
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        (F.sum("n_tok").cast("double") / F.lit(float(ctx_len))).alias("fill"),
+    )

@@ -1239,3 +1239,53 @@ def source_shingle_overlap(
             ).alias("jaccard"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_unseen, novelty) — per-doc fraction of
+    distinct word k-shingles NOT present anywhere in a reference corpus.
+
+    The inverse of :func:`decontaminate_flags`: decontamination asks "does
+    this doc overlap the eval set at all", novelty asks "how much of this
+    doc is new against what we already trained on" — the incremental-crawl
+    admission signal (near-zero novelty = re-crawl/boilerplate, admit
+    high-novelty docs first). Docs shorter than one shingle are absent
+    from the output (novelty of an empty set is undefined).
+
+    ``novelty = n_unseen / n_shingles`` stays an UNROUNDED int/int division
+    (bit-exact cross-engine, parity doctrine). Both sides shingle through
+    the portable 60-bit MD5 hash (:func:`doc_shingle_hashes`) so engine and
+    oracle see identical collision behavior.
+
+    Scale shape: the reference side reduces once to a distinct shingle-hash
+    table (map-side combined); the probe is a left-anti equi-join on the
+    hash — both sides shuffle on the same key, no broadcast assumption (the
+    reference corpus is the BIG side here, unlike decontamination's tiny
+    eval side).
+    """
+    new_sh = doc_shingle_hashes(docs, id_col, text_col, k)
+    ref_sh = doc_shingle_hashes(ref_docs, id_col, text_col, k).select("sh").distinct()
+    sizes = new_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    unseen = (
+        new_sh.join(ref_sh, "sh", "left_anti")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unseen"))
+    )
+    return (
+        sizes.join(unseen, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+            (
+                F.coalesce(F.col("n_unseen"), F.lit(0)).cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -7319,6 +7319,78 @@ def shard_skew_report(spark, sf):
     return PF.shard_skew(t["documents"])
 
 
+@_register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id, len({_TOKS_DOC}) AS n_tok FROM documents
+    ),
+    pos AS (
+      SELECT source, doc_id, n_tok,
+             COALESCE(sum(n_tok) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM toks
+    )
+    SELECT source,
+           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc,
+           CAST(sum(n_tok) AS DOUBLE) / 512 AS fill
+    FROM pos GROUP BY source, pack_id
+    """,
+    doc="GPT-style sequence packing (concat-then-chunk at ctx=512, doc "
+    "attributed to the pack of its first token): per-pack doc/token "
+    "accounting + dyadic-exact fill ratio. One source-partitioned window "
+    "prefix sum, never a global window; the 256-bucket two-level prefix "
+    "sum (pipeline.py:444) is the single-giant-source upgrade",
+)
+def sequence_packing(spark, sf):
+    t = load_views(spark, sf)
+    return CU.pack_sequences(t["documents"], ctx_len=512)
+
+
+@_register(
+    "ngram_novelty",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    shl AS (SELECT doc_id, {SHINGLES3_SQL.format(t='toks')} AS shs FROM tok),
+    ds AS (
+      SELECT DISTINCT doc_id, {H.stable_hash60_sql('shingle')} AS sh
+      FROM (SELECT doc_id, unnest(shs) AS shingle FROM shl)
+    ),
+    refsh AS (SELECT DISTINCT sh FROM ds WHERE doc_id % 5 <> 0),
+    newsh AS (SELECT doc_id, sh FROM ds WHERE doc_id % 5 = 0),
+    sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles
+      FROM newsh GROUP BY doc_id
+    ),
+    unseen AS (
+      SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_unseen
+      FROM newsh n LEFT JOIN refsh r USING (sh)
+      WHERE r.sh IS NULL GROUP BY n.doc_id
+    )
+    SELECT s.doc_id, s.n_shingles,
+           COALESCE(u.n_unseen, 0) AS n_unseen,
+           CAST(COALESCE(u.n_unseen, 0) AS DOUBLE)
+             / CAST(s.n_shingles AS DOUBLE) AS novelty
+    FROM sizes s LEFT JOIN unseen u ON s.doc_id = u.doc_id
+    """,
+    doc="Incremental-crawl novelty score: fraction of each held-out doc's "
+    "distinct word 3-shingles unseen in the 80% reference split (hash "
+    "split doc_id%5). Inverse of decontaminate_docs — here the reference "
+    "side is BIG, so both sides shuffle on the shingle hash (left-anti "
+    "equi-join), no broadcast assumption. Unrounded int/int novelty",
+)
+def ngram_novelty(spark, sf):
+    t = load_views(spark, sf)
+    new = t["documents"].filter(F.col("doc_id") % 5 == 0)
+    ref = t["documents"].filter(F.col("doc_id") % 5 != 0)
+    return DD.ngram_novelty(new, ref, k=3)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

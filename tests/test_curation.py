@@ -211,3 +211,32 @@ def test_quality_calibration_bins_partition_the_corpus(spark, sf_dir):
         assert 0 <= r["bin"] <= 9
         assert 0 <= r["n_keep"] <= r["n_docs"]
         assert r["keep_rate"] == r["n_keep"] / r["n_docs"]
+
+
+def test_pack_sequences_accounts_every_token_and_doc(spark, tables):
+    docs = tables["documents"]
+    packs = CU.pack_sequences(docs, ctx_len=512).collect()
+    from auto_vectordb_spark.functions.text import tokenize
+
+    total_toks = docs.select(F.sum(F.size(tokenize(F.col("text")))).alias("t")).collect()[0]["t"]
+    assert sum(r["n_tokens"] for r in packs) == total_toks
+    assert sum(r["n_docs"] for r in packs) == docs.count()
+    # pack ids are dense from 0 within each source
+    by_src = {}
+    for r in packs:
+        by_src.setdefault(r["source"], []).append(r["pack_id"])
+    for src, ids in by_src.items():
+        assert sorted(ids) == list(range(len(ids))), src
+    # every non-terminal pack spans at least the context (straddle >= ctx)
+    for src, ids in by_src.items():
+        rows = sorted((r for r in packs if r["source"] == src), key=lambda r: r["pack_id"])
+        cum = 0
+        for r in rows[:-1]:
+            cum += r["n_tokens"]
+            assert cum >= 512 * (r["pack_id"] + 1), (src, r)
+
+
+def test_pack_sequences_fill_is_tokens_over_ctx(spark, tables):
+    packs = CU.pack_sequences(tables["documents"], ctx_len=512).collect()
+    for r in packs:
+        assert r["fill"] == r["n_tokens"] / 512

@@ -470,3 +470,22 @@ def test_remove_dup_sentences_idempotent(spark):
         if kept:
             assert second[r["doc_id"]]["n_removed"] == 0
             assert second[r["doc_id"]]["cleaned_text"] == r["cleaned_text"]
+
+
+def test_ngram_novelty_bounds_and_self_reference_is_zero(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    out = DD.ngram_novelty(new, ref, k=3).collect()
+    assert out and all(0.0 <= r["novelty"] <= 1.0 for r in out)
+    assert all(r["n_unseen"] <= r["n_shingles"] for r in out)
+    # novelty against a reference that CONTAINS the probe docs is exactly 0
+    self_out = DD.ngram_novelty(new, docs, k=3).collect()
+    assert self_out and all(r["novelty"] == 0.0 and r["n_unseen"] == 0 for r in self_out)
+    # disjoint reference -> novelty exactly 1
+    import pyspark.sql.functions as SF
+    fake_ref = spark.createDataFrame(
+        [(999999, "zzqx1 zzqx2 zzqx3 zzqx4")], ["doc_id", "text"]
+    )
+    disj = DD.ngram_novelty(new.limit(20), fake_ref, k=3).collect()
+    assert disj and all(r["novelty"] == 1.0 for r in disj)
