@@ -221,3 +221,43 @@ def gram_matrix(
 
     partials = df.select(vec_col).mapInPandas(part, schema="i long, j long, s long")
     return partials.groupBy("i", "j").agg(F.sum("s").alias("sum_q"))
+
+
+def mean_pool_exact_long(
+    vectors: DataFrame,
+    group_col,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(group_id, pos, n, s_q, mean) — exact mean-pooling of member vectors
+    per group, in long (one-row-per-dimension) form.
+
+    The chunk→document pooling step of every late-chunking / passage
+    retrieval pipeline: chunk embeddings aggregate to one document vector.
+    Same exact-int discipline as :func:`centroid_means_exact` (per-row
+    ``_Q``-quantized int64 partials, deterministic in any reduce order) but
+    emitted LONG — an array column cannot ride the driver's pandas
+    canonicalization, and the exact BIGINT ``s_q`` is the attested value
+    while ``mean = s_q / (n·_Q)`` is the unrounded reconstruction (int→
+    double division, bit-exact cross-engine; never display-rounded).
+
+    ``group_col`` is a Column expression (e.g. ``F.col("vec_id") / 4`` for
+    fixed-size chunking); one (group, pos)-keyed shuffle with map-side
+    combine, d rows per group out — the corpus never re-shuffles on a
+    second key.
+    """
+    exploded = vectors.select(
+        group_col.cast("long").alias("group_id"),
+        F.posexplode(V.as_double_array(F.col(vec_col))).alias("pos", "v"),
+    ).withColumn("qv", F.round(F.col("v") * _Q).cast("long"))
+    return (
+        exploded.groupBy("group_id", "pos")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("s_q"))
+        .select(
+            "group_id",
+            "pos",
+            "n",
+            "s_q",
+            (F.col("s_q").cast("double") / (F.col("n") * F.lit(float(_Q)))).alias("mean"),
+        )
+    )

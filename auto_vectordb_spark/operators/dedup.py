@@ -1289,3 +1289,91 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """(id_a, id_b, inter, sz_a, sz_b, containment) — max-containment pairs:
+    containment = |A∩B| / min(|A|, |B|) over distinct word k-shingle sets.
+
+    Jaccard misses subset duplication (a quote, a doc embedded inside a
+    longer page scores low Jaccard but containment ≈ 1) — this is the
+    asymmetric companion the suffix/substring family approximates at the
+    character level. Same inverted-shingle-index plan as
+    :func:`ngram_jaccard_pairs` (only docs sharing ≥1 shingle pair up; the
+    repartition-on-hash lets AQE reuse one shingle-pipeline computation for
+    both self-join legs), with the UNROUNDED int/int containment division
+    (bit-exact cross-engine — see source_shingle_overlap for why not
+    round(·, 6)).
+    """
+    docs = fan_out_small_scan(docs)
+    sh = doc_shingle_hashes(
+        docs, id_col, text_col, shingle_k, fan_out=False
+    ).repartition(F.col("sh"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    j = inter.join(sa, "id_a").join(sb, "id_b").withColumn(
+        "containment",
+        F.col("inter").cast("double") / F.least("sz_a", "sz_b").cast("double"),
+    )
+    return j.filter(F.col("containment") >= threshold).select(
+        "id_a", "id_b", "inter", "sz_a", "sz_b", "containment"
+    )
+
+
+def prefix_blocked_levenshtein_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_chars: int = 16,
+    probe_chars: int = 64,
+    max_dist: int = 8,
+) -> DataFrame:
+    """(id_a, id_b, dist) — edit-distance near-dup pairs under prefix
+    blocking: docs sharing their first ``block_chars`` lowercased characters
+    are candidates; a pair survives if the Levenshtein distance of their
+    first ``probe_chars`` characters is ≤ ``max_dist``.
+
+    The record-linkage classic for title/lead dedup (typos, version
+    suffixes, trailing boilerplate) that shingle Jaccard under-scores on
+    short strings. Blocking gives the standard recall tradeoff: a pair
+    differing inside its first ``block_chars`` characters is never
+    compared — by design, deterministic and documented, like every
+    LSH-band cut in this module.
+
+    Scale shape: one equi-join on the block key (both sides shuffle on the
+    same ≤``block_chars``-byte key, map-side combinable), then per-pair
+    Levenshtein INSIDE the join's codegen — Spark's built-in levenshtein
+    with a threshold argument banded-early-exits at max_dist+1. A corpus
+    with a degenerate hot prefix (one boilerplate header) makes a
+    quadratic block — mitigate upstream with boilerplate removal
+    (remove_dup_sentences) or widen block_chars; the operator itself stays
+    algebraic.
+    """
+    probe = F.lower(F.substring(F.col(text_col), 1, probe_chars))
+    keyed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.substring(probe, 1, block_chars).alias("blk"),
+        probe.alias("probe"),
+    ).repartition(F.col("blk"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("dist"),
+    )
+    return pairs.filter(F.col("dist") <= max_dist)

@@ -7391,6 +7391,83 @@ def ngram_novelty(spark, sf):
     return DD.ngram_novelty(new, ref, k=3)
 
 
+@_register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SHINGLE_HASH_CTE},
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS inter
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.sz, sb.sz) >= 0.9
+    """,
+    doc="Max-containment near-dup pairs |A∩B|/min(|A|,|B|) ≥ 0.9 — the "
+    "asymmetric companion to dedup_ngram_jaccard that catches subset "
+    "duplication (quotes, doc-inside-page) Jaccard under-scores. Same "
+    "inverted-shingle-index plan, unrounded int/int division",
+)
+def dedup_ngram_containment(spark, sf):
+    t = load_views(spark, sf)
+    return DD.ngram_containment_pairs(t["documents"], threshold=0.9)
+
+
+@_register(
+    "neardup_levenshtein_pairs",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             substring(lower(substring(text, 1, 64)), 1, 16) AS blk,
+             lower(substring(text, 1, 64)) AS probe
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.probe, b.probe) AS INTEGER) AS dist
+    FROM keyed a JOIN keyed b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.probe, b.probe) <= 8
+    """,
+    doc="Prefix-blocked edit-distance near-dup pairs (record-linkage "
+    "classic for short/leading text): block on the 16-char lowercased "
+    "prefix, keep pairs with Levenshtein ≤ 8 on the 64-char probe. One "
+    "block-key equi-join; distance runs inside join codegen via the "
+    "built-in levenshtein",
+)
+def neardup_levenshtein_pairs(spark, sf):
+    t = load_views(spark, sf)
+    return DD.prefix_blocked_levenshtein_pairs(t["documents"])
+
+
+@_register(
+    "doc_embedding_mean_pool",
+    """
+    SELECT CAST(vec_id // 4 AS BIGINT) AS group_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000)
+                         AS BIGINT)) AS BIGINT) AS s_q,
+           CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 10000000)
+                         AS BIGINT)) AS DOUBLE)
+             / (count(*) * 10000000) AS mean
+    FROM embeddings CROSS JOIN range(1, 65) AS r(i)
+    GROUP BY 1, 2
+    """,
+    doc="Chunk→document mean-pooling (late-chunking/passage-retrieval "
+    "aggregation, 4 chunks per doc): exact _Q-quantized int64 partial "
+    "sums per (doc, dim) in long form; attested value is the exact BIGINT "
+    "s_q, mean is the unrounded int→double reconstruction. One "
+    "(group, pos)-keyed shuffle with map-side combine",
+)
+def doc_embedding_mean_pool(spark, sf):
+    t = load_views(spark, sf)
+    return CL.mean_pool_exact_long(t["embeddings"], F.col("vec_id") / 4)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

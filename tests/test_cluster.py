@@ -230,3 +230,24 @@ def test_gram_matrix_matches_numpy_quantized_reference(spark):
     # upper triangle only, diagonal is a positive sum of squares
     assert len(got) == 6
     assert all(got[(d, d)] > 0 for d in (1, 2, 3))
+
+
+def test_mean_pool_exact_long_matches_python(spark, sf_dir):
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+    rows = emb.collect()
+    out = CL.mean_pool_exact_long(emb, F.col("vec_id") / 4).collect()
+    # python model: quantized-int sums per (group, pos)
+    import collections
+    model = collections.defaultdict(lambda: [0, 0])  # (g,p) -> [n, s_q]
+    for r in rows:
+        g = r["vec_id"] // 4
+        for p, v in enumerate(r["embedding"]):
+            m = model[(g, p)]
+            m[0] += 1
+            m[1] += round(float(v) * 10_000_000)
+    assert len(out) == len(model)
+    for r in out:
+        n, s_q = model[(r["group_id"], r["pos"])]
+        assert (r["n"], r["s_q"]) == (n, s_q)
+        assert r["mean"] == s_q / (n * 10_000_000)

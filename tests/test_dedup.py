@@ -489,3 +489,32 @@ def test_ngram_novelty_bounds_and_self_reference_is_zero(spark, sf_dir):
     )
     disj = DD.ngram_novelty(new.limit(20), fake_ref, k=3).collect()
     assert disj and all(r["novelty"] == 1.0 for r in disj)
+
+
+def test_ngram_containment_detects_subset_jaccard_misses(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    longer = base + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    docs = spark.createDataFrame([(1, base), (2, longer), (3, "unrelated words only here")],
+                                 ["doc_id", "text"])
+    out = DD.ngram_containment_pairs(docs, threshold=0.9).collect()
+    assert len(out) == 1 and (out[0]["id_a"], out[0]["id_b"]) == (1, 2)
+    assert out[0]["containment"] == 1.0  # base's shingles all inside longer
+    jac = DD.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # jaccard blind to the same subset pair
+
+
+def test_levenshtein_pairs_block_and_threshold(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the common prefix here with a tiny typo at the end zz"),
+            (2, "the common prefix here with a tiny typo at the end qq"),
+            (3, "the common prefix but then it diverges completely into other words"),
+            (4, "entirely different opening so never even a candidate pair"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in DD.prefix_blocked_levenshtein_pairs(docs).collect()}
+    assert (1, 2) in out and out[(1, 2)] == 2
+    assert (1, 3) not in out and (2, 3) not in out  # candidates, over max_dist
+    assert all(4 not in p for p in out)  # blocked out entirely
