@@ -317,3 +317,46 @@ def compact_index(spark, index_dir: str) -> dict[str, int]:
     counts["doc_lens_after"] = spark.read.parquet(f"{index_dir}/doc_lens").count()
     counts["postings_after"] = spark.read.parquet(f"{index_dir}/postings").count()
     return counts
+
+
+def prf_expansion(
+    index: BM25Index,
+    query_terms: DataFrame,
+    fb_docs: int = 10,
+    fb_terms: int = 5,
+) -> DataFrame:
+    """(query_id, term, fb_tf, fb_df) — pseudo-relevance-feedback expansion
+    terms (RM1 family, counts-only weighting): run BM25, take the top
+    ``fb_docs`` feedback docs per query, and surface the ``fb_terms``
+    most-frequent terms of those docs that are NOT already query terms.
+
+    The classic recall lever of a lexical search stack (Rocchio/RM); the
+    output feeds a second score_terms pass with the expanded term set.
+    Weighting is the exact integer feedback term frequency (fb_tf, ties
+    broken by term ASC) — deterministic cross-engine with no float in the
+    cut; fb_df (how many feedback docs contain the term) rides along for
+    interpolation downstream.
+
+    Scale shape: the feedback-doc cut is the windowed top-k on rounded
+    scores (rank BEFORE joining postings back, so the postings re-join is
+    pruned to q×fb_docs docs); original-term exclusion is a broadcast
+    left-anti on the tiny query set. The corpus postings table is touched
+    twice but shuffles only on its native keys.
+    """
+    from .relational import top_k_per_group
+
+    scored = score_terms(index, query_terms).withColumn("score", F.round("score", 6))
+    top = top_k_per_group(scored, ["query_id"], "score", fb_docs, tie_break="doc_id")
+    cand = (
+        top.select("query_id", "doc_id")
+        .join(index.postings, "doc_id")
+        .join(
+            F.broadcast(query_terms.select("query_id", "term").distinct()),
+            ["query_id", "term"],
+            "left_anti",
+        )
+    )
+    agg = cand.groupBy("query_id", "term").agg(
+        F.sum("tf").alias("fb_tf"), F.countDistinct("doc_id").alias("fb_df")
+    )
+    return top_k_per_group(agg, ["query_id"], F.col("fb_tf").cast("long"), fb_terms, tie_break="term")

@@ -22,7 +22,7 @@ All scoring math in double; ties broken (score DESC, id ASC).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import vector as V
@@ -822,3 +822,52 @@ def ivf_compact(spark, path: str, corpus_id: str = "vec_id") -> dict[str, int]:
     spark.catalog.refreshByPath(path)
     after = spark.read.parquet(path).count()
     return {"rows_before": before, "rows_after": after}
+
+
+def maxp_doc_scores(
+    queries: DataFrame,
+    corpus: DataFrame,
+    group_expr,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """(query_id, group_id, maxp, sum_q, n_chunks, best_chunk) — passage-to-
+    document retrieval aggregation: chunk-level similarities roll up to a
+    document score via MaxP (Dai & Callan 2019's BERT-MaxP aggregation —
+    a doc is as relevant as its best passage), with the exact cent-
+    quantized SumP basis riding along for interpolated scoring.
+
+    ``group_expr`` maps a corpus row to its document (e.g.
+    ``F.col("vec_id") / 4`` for fixed-size chunking). Ranking is on
+    (rounded maxp DESC, group_id ASC) — deterministic cross-engine; sum_q
+    is the exact int64 sum of 1e6-quantized chunk scores (parity rule 1),
+    never a reconstructed rounded double.
+
+    Scale shape: queries broadcast, corpus scanned in place (score_pairs),
+    then ONE (query, group) shuffle for both the window (best chunk) and
+    the aggregate — the two share the same key so AQE reuses the exchange.
+    """
+    scored = score_pairs(queries, corpus).select(
+        "query_id",
+        F.col(corpus_id).alias("chunk_id"),
+        group_expr.cast("long").alias("group_id"),
+        F.round("score", round_decimals).alias("score"),
+    )
+    w = Window.partitionBy("query_id", "group_id").orderBy(
+        F.col("score").desc(), F.col("chunk_id").asc()
+    )
+    best = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "group_id", F.col("score").alias("maxp"),
+                F.col("chunk_id").alias("best_chunk"))
+    )
+    agg = scored.groupBy("query_id", "group_id").agg(
+        F.sum(F.round(F.col("score") * 1_000_000, 0).cast("long")).alias("sum_q"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    joined = best.join(agg, ["query_id", "group_id"]).select(
+        "query_id", "group_id", "maxp", "sum_q", "n_chunks", "best_chunk"
+    )
+    return top_k_per_group(joined, ["query_id"], "maxp", k, tie_break="group_id")

@@ -7468,6 +7468,104 @@ def doc_embedding_mean_pool(spark, sf):
     return CL.mean_pool_exact_long(t["embeddings"], F.col("vec_id") / 4)
 
 
+@_register(
+    "prf_query_expansion",
+    f"""
+    WITH {_bm25_score_cte(BM25_QUERIES)},
+    topd AS (
+      SELECT query_id, doc_id FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM bm25
+      ) WHERE rn <= 10
+    ),
+    cand AS (
+      SELECT t.query_id, p.term, p.tf, p.doc_id
+      FROM topd t
+      JOIN postings p ON p.doc_id = t.doc_id
+      LEFT JOIN qt ON qt.query_id = t.query_id AND qt.term = p.term
+      WHERE qt.term IS NULL
+    ),
+    agg AS (
+      SELECT query_id, term, CAST(sum(tf) AS BIGINT) AS fb_tf,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS fb_df
+      FROM cand GROUP BY query_id, term
+    )
+    SELECT query_id, term, fb_tf, fb_df FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY fb_tf DESC, term ASC
+      ) AS rn FROM agg
+    ) WHERE rn <= 5
+    """,
+    doc="Pseudo-relevance-feedback query expansion (RM1 family): top-10 "
+    "BM25 feedback docs per query → top-5 non-query terms by exact "
+    "integer feedback tf (term-ASC ties). The recall lever of the V3 "
+    "lexical surface; postings re-join is pruned to the q×10 feedback "
+    "docs before any aggregation",
+)
+def prf_query_expansion(spark, sf):
+    t = load_views(spark, sf)
+    from ..functions.text import tokenize
+
+    index = BM25.build_index(t["documents"])
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    return BM25.prf_expansion(index, terms, fb_docs=10, fb_terms=5)
+
+
+@_register(
+    "knn_maxp_docs",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS chunk_id,
+             CAST(c.vec_id // 4 AS BIGINT) AS group_id,
+             round(({V.cosine_sql('qv', 'c.embedding')}), 6) AS score
+      FROM q CROSS JOIN embeddings c
+    ),
+    best AS (
+      SELECT query_id, group_id, score AS maxp, chunk_id AS best_chunk FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id, group_id ORDER BY score DESC, chunk_id ASC
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT query_id, group_id,
+             CAST(sum(CAST(round(score * 1000000) AS BIGINT)) AS BIGINT) AS sum_q,
+             CAST(count(*) AS BIGINT) AS n_chunks
+      FROM scored GROUP BY query_id, group_id
+    )
+    SELECT query_id, group_id, maxp, sum_q, n_chunks, best_chunk FROM (
+      SELECT b.query_id, b.group_id, b.maxp, a.sum_q, a.n_chunks, b.best_chunk,
+             row_number() OVER (
+               PARTITION BY b.query_id ORDER BY b.maxp DESC, b.group_id ASC
+             ) AS rn
+      FROM best b JOIN agg a ON a.query_id = b.query_id AND a.group_id = b.group_id
+    ) WHERE rn <= 10
+    """,
+    doc="Passage→document retrieval aggregation (BERT-MaxP, Dai & Callan "
+    "2019): chunk scores (4 chunks/doc) roll up to MaxP with the exact "
+    "cent-quantized SumP basis alongside; rank on (rounded maxp, group "
+    "ASC). Queries broadcast, corpus scanned in place, one shared "
+    "(query, group) exchange for window + aggregate",
+)
+def knn_maxp_docs(spark, sf):
+    t = load_views(spark, sf)
+    queries = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return KNN.maxp_doc_scores(queries, t["embeddings"], F.col("vec_id") / 4, k=10)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

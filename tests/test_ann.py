@@ -436,3 +436,24 @@ def test_recall_at_k_operator_counts_overlap(spark):
     assert rows[2]["recall"] == 1.0
     # a query the approx tier missed entirely still reports (0, n, 0.0)
     assert (rows[3]["n_overlap"], rows[3]["recall"]) == (0, 0.0)
+
+
+def test_maxp_doc_scores_rolls_up_chunks(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = KNN.maxp_doc_scores(queries, emb, F.col("vec_id") / 4, k=5).collect()
+    assert len(out) == 10  # 2 queries x top-5 docs
+    chunk_topk = KNN.knn_exact(queries, emb, k=1, round_decimals=6).collect()
+    best_chunk = {r["query_id"]: (r["vec_id"], r["score"]) for r in chunk_topk}
+    for r in out:
+        assert r["n_chunks"] == 4
+        assert r["group_id"] * 4 <= r["best_chunk"] < (r["group_id"] + 1) * 4
+        assert r["sum_q"] <= 4 * round(r["maxp"] * 1_000_000)
+    # the #1 doc per query contains that query's best chunk (maxp property)
+    for qid, (cid, s) in best_chunk.items():
+        top_doc = min((r for r in out if r["query_id"] == qid),
+                      key=lambda r: (-r["maxp"], r["group_id"]))
+        assert top_doc["group_id"] == cid // 4
+        assert top_doc["maxp"] == s

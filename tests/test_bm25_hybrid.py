@@ -217,3 +217,26 @@ def test_maxsim_token_embeddings_normalized_and_sparse(spark):
         assert math.isclose(sum(w * w for w in ws), 1.0, rel_tol=1e-4), t
     # 'a' has exactly one trigram '^a$' -> a single ±1 dimension
     assert len(by_term["a"]) == 1 and abs(by_term["a"][0]) == 1.0
+
+
+def test_prf_expansion_excludes_query_terms_and_ranks_by_tf(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana cherry"),
+            (2, "apple banana durian durian durian"),
+            (3, "apple cherry cherry fig"),
+            (4, "unrelated words here entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = BM25.build_index(docs)
+    terms = spark.createDataFrame([(0, "apple")], ["query_id", "term"])
+    out = BM25.prf_expansion(index, terms, fb_docs=3, fb_terms=2).collect()
+    got = [(r["term"], r["fb_tf"], r["fb_df"]) for r in out]
+    # feedback docs = 1,2,3 (all contain apple); candidate tfs:
+    # banana 3 (docs 1,2), cherry 3 (docs 1,3), durian 3 (doc 2), fig 1
+    # fb_tf ties broken term-ASC -> banana, cherry
+    assert got == [("banana", 3, 2), ("cherry", 3, 2)]
+    assert all(r["term"] != "apple" for r in out)

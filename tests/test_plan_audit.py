@@ -47,6 +47,8 @@ SINGLE_PARTITION_OK = frozenset(
         "q19_disjunctive_filter",
         "q22_idle_balance",
         "q6_revenue_filter",
+        # same 1-row BM25 corpus-stats aggregate as bm25_topk
+        "prf_query_expansion",
         "rerank_hybrid",
         # 1-row grand-total aggregate over the ≤16-row per-shard table
         "shard_skew_report",
