@@ -223,3 +223,58 @@ def source_embedding_drift(
         F.col("b.n").alias("n_b"),
         F.round(V.cosine(F.col("a.m"), F.col("b.m")), 6).alias("cos"),
     )
+
+
+def recency_weighted_volume(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    half_life_us: int = 604_800_000_000,  # 7 days
+    max_halflives: int = 20,
+) -> DataFrame:
+    """(event_type, n_events, weighted_q, weighted) — exponentially
+    decayed event volume with a dyadic-exact half-life weighting.
+
+    Freshness-weighted counts are the monitoring/sampling primitive for
+    "how active is this event type NOW" — but ``exp(-λ·age)`` is a libm
+    call whose low bits differ across engines. This operator makes decay
+    EXACT: age is bucketed to whole half-lives by integer division
+    (``h = age_us DIV half_life_us``, capped at ``max_halflives``) and the
+    weight is the integer ``2^(max_halflives − h)`` — a bit shift, no
+    float anywhere until the final dyadic division ``weighted =
+    weighted_q / 2^max_halflives`` (exact in IEEE, bit-identical
+    everywhere). Null timestamps are EXCLUDED (documented, not a bucket:
+    a null age has no decay semantics).
+
+    Scale shape: one 1-row max-timestamp aggregate broadcast to the scan,
+    then one short-key groupBy with map-side combine.
+    """
+    um = F.unix_micros(F.col(ts_col))
+    mx = events.agg(F.max(um).alias("__mx"))
+    e = (
+        events.filter(F.col(ts_col).isNotNull())
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col(type_col).alias("event_type"),
+            (F.col("__mx") - um).alias("__age_us"),
+        )
+        .select(
+            "event_type",
+            # exact int64 floor division — a double divide + cast can land
+            # on the wrong side of a whole-half-life boundary
+            F.least(
+                F.expr(f"__age_us DIV {half_life_us}"), F.lit(max_halflives).cast("long")
+            ).alias("__h"),
+        )
+        .withColumn(
+            "__w_q",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({max_halflives} - __h AS INT))"),
+        )
+    )
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("__w_q").alias("weighted_q"),
+        (F.sum("__w_q").cast("double") / F.lit(float(2**max_halflives))).alias(
+            "weighted"
+        ),
+    )

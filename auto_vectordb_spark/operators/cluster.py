@@ -261,3 +261,61 @@ def mean_pool_exact_long(
             (F.col("s_q").cast("double") / (F.col("n") * F.lit(float(_Q)))).alias("mean"),
         )
     )
+
+
+def silhouette_centroid(
+    vectors: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_decimals: int = 6,
+) -> DataFrame:
+    """(cluster_id, n, sum_s_q, mean_s) — simplified (centroid-based)
+    silhouette per cluster: for each vector, a = squared distance to its
+    own (nearest) centroid, b = squared distance to the second-nearest,
+    s = (b − a) / b ∈ [0, 1) (s = 0 when b = 0, i.e. duplicate centroids).
+
+    The O(n·k) clustering-quality score (sklearn calls this the simplified
+    silhouette) — full silhouette is O(n²) pairwise and cannot ship at
+    corpus scale. Distances are rounded like :func:`assign_centroids` so
+    the (d, cid) order — and hence every a/b assignment — is deterministic
+    cross-engine; the attested value is the exact int64 sum of
+    1e6-quantized s (parity rule 1), ``mean_s`` the unrounded int→double
+    reconstruction.
+
+    Map-only until one k-row groupBy: centroids are literal arrays inside
+    a single codegen'd projection (array_sort of (d, cid) structs), the
+    same zero-join shape as assign_centroids.
+    """
+    v = V.as_double_array(F.col(vec_col))
+    cands = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.round(
+                        sqdist(v, F.array(*[F.lit(float(x)) for x in c])), round_decimals
+                    ).alias("d"),
+                    F.lit(i).alias("cid"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+    a, b = cands[0]["d"], cands[1]["d"]
+    s = F.when(b > 0, (b - a) / b).otherwise(F.lit(0.0))
+    per_vec = vectors.select(
+        cands[0]["cid"].alias("cluster_id"),
+        F.round(s * 1_000_000, 0).cast("long").alias("s_q"),
+    )
+    return (
+        per_vec.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("s_q").alias("sum_s_q"))
+        .select(
+            "cluster_id",
+            "n",
+            "sum_s_q",
+            (F.col("sum_s_q").cast("double") / (F.col("n") * F.lit(1_000_000.0))).alias(
+                "mean_s"
+            ),
+        )
+    )

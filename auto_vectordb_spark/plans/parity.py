@@ -7566,6 +7566,85 @@ def knn_maxp_docs(spark, sf):
     return KNN.maxp_doc_scores(queries, t["embeddings"], F.col("vec_id") / 4, k=10)
 
 
+@_register(
+    "cluster_silhouette",
+    f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+      FROM embeddings WHERE vec_id < {_CL_K}
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT vec_id, cid,
+             round(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - c[i]) * (v[i] - c[i]))), 6) AS d
+      FROM v CROSS JOIN cents
+    ),
+    r AS (
+      SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rk
+      FROM pairs
+    ),
+    ab AS (
+      SELECT a.vec_id, a.cid AS cluster_id, a.d AS da, b.d AS db
+      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rk = 1 AND b.rk = 2
+    ),
+    s AS (
+      SELECT cluster_id,
+             CAST(round((CASE WHEN db > 0 THEN (db - da) / db ELSE 0.0 END)
+                        * 1000000) AS BIGINT) AS s_q
+      FROM ab
+    )
+    SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(s_q) AS BIGINT) AS sum_s_q,
+           CAST(sum(s_q) AS DOUBLE) / (count(*) * 1000000) AS mean_s
+    FROM s GROUP BY cluster_id
+    """,
+    doc="Simplified (centroid-based) silhouette per cluster — the O(n·k) "
+    "clustering-quality score that replaces O(n²) full silhouette at "
+    "corpus scale: s = (b−a)/b over rounded squared distances to the "
+    "nearest/second-nearest seed centroid (vec_id < 8, same fixed seeds "
+    "as cluster_assign). Exact int64 quantized-s sum attested; mean is "
+    "the unrounded reconstruction. Map-only + one k-row groupBy",
+)
+def cluster_silhouette(spark, sf):
+    t = load_views(spark, sf)
+    return CL.silhouette_centroid(t["embeddings"], _collect_seed_centroids(t))
+
+
+@_register(
+    "events_recency_volume",
+    """
+    WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+    e AS (
+      SELECT event_type,
+             least((m - epoch_us(ts)) // 604800000000, 20) AS h
+      FROM events CROSS JOIN mx WHERE ts IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type,
+             (CAST(1 AS BIGINT) << CAST(20 - h AS INTEGER)) AS w_q
+      FROM e
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(w_q) AS BIGINT) AS weighted_q,
+           CAST(sum(w_q) AS DOUBLE) / 1048576 AS weighted
+    FROM w GROUP BY event_type
+    """,
+    doc="Recency-weighted event volume with DYADIC-EXACT exponential "
+    "decay: age bucketed to whole 7-day half-lives by int64 floor "
+    "division, weight = bit-shifted 2^(20−h) — no libm exp anywhere, the "
+    "final weighted value is an exact dyadic division. One broadcast "
+    "1-row max-ts + one short-key groupBy",
+)
+def events_recency_volume(spark, sf):
+    t = load_views(spark, sf)
+    return AN.recency_weighted_volume(t["events"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

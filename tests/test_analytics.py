@@ -10,6 +10,7 @@ from datetime import datetime
 
 import pytest
 
+from auto_vectordb_spark.operators import analytics as AN
 from auto_vectordb_spark.operators.analytics import (
     hourly_counts,
     seasonal_deviation,
@@ -104,3 +105,26 @@ def test_source_embedding_drift_pairwise_centroid_cosine(spark):
     assert (ab["n_a"], ab["n_b"]) == (2, 1)
     assert ab["cos"] == 0.0  # orthogonal centroids
     assert math.isclose(rows[("sA", "sC")]["cos"], 1 / math.sqrt(2), abs_tol=1e-6)
+
+
+def test_recency_weighted_volume_exact_dyadic_weights(spark):
+    import datetime as dt
+    from pyspark.sql import functions as F
+
+    base = dt.datetime(2026, 1, 1)
+    week = dt.timedelta(days=7)
+    rows = [
+        (1, base, "a"),              # newest -> age 0 -> h=0 -> w=2^20
+        (2, base - week, "a"),       # exactly 1 half-life -> h=1 -> 2^19
+        (3, base - 3 * week, "b"),   # h=3 -> 2^17
+        (4, base - dt.timedelta(days=500), "b"),  # h capped at 20 -> w=1
+        (5, None, "b"),              # null ts excluded
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type"])
+    out = {r["event_type"]: r for r in AN.recency_weighted_volume(ev).collect()}
+    assert out["a"]["n_events"] == 2
+    assert out["a"]["weighted_q"] == 2**20 + 2**19
+    assert out["a"]["weighted"] == 1.5
+    assert out["b"]["n_events"] == 2  # null-ts row excluded
+    assert out["b"]["weighted_q"] == 2**17 + 1
+    assert out["b"]["weighted"] == (2**17 + 1) / 2**20

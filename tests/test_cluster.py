@@ -251,3 +251,21 @@ def test_mean_pool_exact_long_matches_python(spark, sf_dir):
         n, s_q = model[(r["group_id"], r["pos"])]
         assert (r["n"], r["s_q"]) == (n, s_q)
         assert r["mean"] == s_q / (n * 10_000_000)
+
+
+def test_silhouette_centroid_bounds_and_degenerate_cases(spark):
+    # two tight groups near distinct centroids -> high mean_s;
+    # duplicate centroids -> b == a -> s == 0
+    vecs = spark.createDataFrame(
+        [(i, [0.0, float(i % 2) * 10 + (i % 3) * 0.01]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    cents = [[0.0, 0.0], [0.0, 10.0]]
+    out = {r["cluster_id"]: r for r in CL.silhouette_centroid(vecs, cents).collect()}
+    assert set(out) == {0, 1} and out[0]["n"] + out[1]["n"] == 12
+    for r in out.values():
+        assert 0 <= r["sum_s_q"] <= r["n"] * 1_000_000
+        assert r["mean_s"] == r["sum_s_q"] / (r["n"] * 1_000_000)
+        assert r["mean_s"] > 0.99  # tight, well-separated clusters
+    dup = CL.silhouette_centroid(vecs, [[0.0, 0.0], [0.0, 0.0]]).collect()
+    assert all(r["sum_s_q"] == 0 for r in dup)  # b == a everywhere

@@ -37,6 +37,8 @@ SINGLE_PARTITION_OK = frozenset(
         "domain_rebalance_uniform",
         "dsir_importance_weights",
         "events_ntile",
+        # 1-row max-timestamp aggregate broadcast into the decay scan
+        "events_recency_volume",
         "hybrid_rrf",
         "hybrid_search",
         "more_like_this",
