@@ -1377,3 +1377,53 @@ def prefix_blocked_levenshtein_pairs(
         F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("dist"),
     )
     return pairs.filter(F.col("dist") <= max_dist)
+
+
+def semantic_decontaminate_flags(
+    corpus_vecs: DataFrame,
+    eval_vecs: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, n_hits, max_cos) — corpus vectors whose embedding is within
+    ``threshold`` cosine of ANY eval-set vector: the semantic companion to
+    :func:`decontaminate_flags` (shingle overlap misses paraphrased eval
+    leakage; embedding similarity catches it — the standard second gate in
+    modern pretraining decontamination).
+
+    Threshold comparison runs on the RAW double cosine (bit-exact
+    cross-engine: identical float32-origin inputs through identical IEEE
+    ops); only the reported max is display-rounded (continuous value —
+    safe, see margin doctrine). ``n_hits`` = how many eval vectors matched
+    (exact int).
+
+    Scale shape: the eval side is tiny by construction → broadcast; the
+    corpus is scanned in place with zero shuffle, then one corpus-id
+    groupBy. At very large eval sets, swap the broadcast for the sign-LSH
+    bucketed kernel (embedding_neardup_lsh) — same flag semantics.
+    """
+    from ..functions import vector as V
+
+    e = F.broadcast(
+        eval_vecs.select(
+            V.as_double_array(F.col(vec_col)).alias("__ev"),
+            V.norm(F.col(vec_col)).alias("__en"),
+        )
+    )
+    c = corpus_vecs.select(
+        F.col(id_col),
+        V.as_double_array(F.col(vec_col)).alias("__cv"),
+        V.norm(F.col(vec_col)).alias("__cn"),
+    )
+    cos = V.cosine_with_norms(F.col("__cv"), F.col("__ev"), F.col("__cn"), F.col("__en"))
+    return (
+        c.crossJoin(e)
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.max("__cos"), 6).alias("max_cos"),
+        )
+    )

@@ -140,3 +140,47 @@ def shard_skew_sql(
            CAST(sum_weight AS DOUBLE) / t_weight AS weight_share
     FROM per CROSS JOIN tot
     """
+
+
+def length_percentiles(
+    df: DataFrame,
+    group_col: str = "source",
+    value_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(group, n, p25, p50, p75, p95, max_v) — exact discrete percentiles
+    of a value column per group (the pXX = value at rank ⌈p·n⌉ under
+    (value, id) order — the deterministic type-1 quantile, integer
+    arithmetic only, no interpolation).
+
+    The length-distribution profile a chunking/packing planner reads per
+    source (and the skew signal for maxPartitionBytes tuning). Exact
+    discrete ranks — unlike approx_percentile sketches — hash identically
+    in any engine; the rank cut ⌈p·n⌉ is computed as integer
+    ``(p·n + 99) DIV 100``, never a float multiply.
+
+    Scale shape: one window rank per group partition (partitioned sort,
+    never global) + one groupBy. At 100 TB with million-row groups this is
+    the standard per-group sort; swap to approx_percentile when sketch
+    error is acceptable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    cnt = Window.partitionBy(group_col)
+    r = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cnt).alias("n"),
+    )
+
+    def at(p: int):
+        return F.max(
+            F.when(F.col("rn") <= F.expr(f"CAST(({p} * n + 99) DIV 100 AS INT)"), F.col("v"))
+        ).alias(f"p{p}")
+
+    return r.groupBy(F.col("grp").alias(group_col)).agg(
+        F.max("n").alias("n"), at(25), at(50), at(75), at(95),
+        F.max("v").alias("max_v"),
+    )

@@ -300,3 +300,66 @@ def quality_calibration(
             "keep_rate"
         ),
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_mod: int = 20,
+) -> DataFrame:
+    """(bucket, n_docs, n_bigrams, nll_q, mean_nll) — CCNet-style
+    head/middle/tail partition of the corpus by LM fluency (Wenzek et al.
+    2020: rank by perplexity, cut into terciles; head feeds training first).
+
+    CCNet derives its cutoffs from a SAMPLE and applies them map-only —
+    exactly what survives 100 TB (a global rank over the corpus would be a
+    single-partition sort). Here the sample is the deterministic 1-in-
+    ``sample_mod`` id slice; its tercile cutoffs (value at rank ⌈m/3⌉ and
+    ⌈2m/3⌉ by (avg_nll, doc_id)) become two broadcast literals, and every
+    doc buckets by comparison. ``avg_nll = nll_q_micro/(n_bigrams·1e6)`` is
+    the UNROUNDED int→double reconstruction — identical doubles in both
+    engines, so the cutoff comparisons and the bucket assignment are
+    bit-deterministic. Attested values are the exact integer sums.
+    """
+    from pyspark.sql import Window
+
+    scored = bigram_lm_score(docs, id_col, text_col).select(
+        F.col(id_col).alias("doc_id"),
+        "n_bigrams",
+        "nll_q_micro",
+        (F.col("nll_q_micro").cast("double") / (F.col("n_bigrams") * _Q)).alias(
+            "avg_nll"
+        ),
+    )
+    sample = scored.filter(F.col("doc_id") % sample_mod == 0)
+    w = Window.orderBy("avg_nll", "doc_id")
+    ranked = sample.select("avg_nll", F.row_number().over(w).alias("rn")).crossJoin(
+        F.broadcast(sample.agg(F.count(F.lit(1)).alias("m")))
+    )
+    cuts = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("CAST((m + 2) DIV 3 AS INT)"), F.col("avg_nll"))
+        ).alias("c1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("CAST((2 * m + 2) DIV 3 AS INT)"), F.col("avg_nll")
+            )
+        ).alias("c2"),
+    )
+    bucketed = scored.crossJoin(F.broadcast(cuts)).select(
+        F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+        .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "n_bigrams",
+        "nll_q_micro",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("n_bigrams"),
+        F.sum("nll_q_micro").alias("nll_q"),
+        (
+            F.sum("nll_q_micro").cast("double") / (F.sum("n_bigrams") * F.lit(float(_Q)))
+        ).alias("mean_nll"),
+    )

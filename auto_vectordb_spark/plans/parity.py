@@ -7645,6 +7645,120 @@ def events_recency_volume(spark, sf):
     return AN.recency_weighted_volume(t["events"])
 
 
+@_register(
+    "ccnet_perplexity_buckets",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    bg AS (SELECT doc_id, unnest({SHINGLES2_SQL.format(t="toks")}) AS bigram FROM tok),
+    bgw AS (SELECT doc_id, bigram, string_split(bigram, ' ')[1] AS w1 FROM bg),
+    c2 AS (SELECT bigram, count(*) AS c2 FROM bgw GROUP BY bigram),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bgw GROUP BY w1),
+    vv AS (SELECT count(DISTINCT w1) AS v FROM bgw),
+    model AS (
+      SELECT bigram,
+             CAST(round((ln(CAST(c1 + v AS DOUBLE)) - ln(CAST(c2 + 1 AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS qnll
+      FROM c2 JOIN c1 ON string_split(c2.bigram, ' ')[1] = c1.w1 CROSS JOIN vv
+    ),
+    pd AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, sum(qnll) AS q
+      FROM bgw JOIN model USING (bigram) GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_id, n_bigrams, q,
+             CAST(q AS DOUBLE) / (n_bigrams * 1000000) AS avg_nll
+      FROM pd
+    ),
+    samp AS (
+      SELECT avg_nll, row_number() OVER (ORDER BY avg_nll, doc_id) AS rn
+      FROM scored WHERE doc_id % 20 = 0
+    ),
+    m AS (SELECT count(*) AS m FROM samp),
+    cuts AS (
+      SELECT max(CASE WHEN rn = (m + 2) // 3 THEN avg_nll END) AS c1,
+             max(CASE WHEN rn = (2 * m + 2) // 3 THEN avg_nll END) AS c2
+      FROM samp CROSS JOIN m
+    ),
+    b AS (
+      SELECT CASE WHEN avg_nll <= c1 THEN 'head'
+                  WHEN avg_nll <= c2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             n_bigrams, q
+      FROM scored CROSS JOIN cuts
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) AS BIGINT) AS nll_q,
+           CAST(sum(q) AS DOUBLE)
+             / (CAST(sum(n_bigrams) AS DOUBLE) * 1000000) AS mean_nll
+    FROM b GROUP BY bucket
+    """,
+    doc="CCNet head/middle/tail corpus partition (Wenzek et al. 2020) by "
+    "bigram-LM fluency: tercile cutoffs come from a deterministic 1-in-20 "
+    "id sample (CCNet's own sample-then-map-only shape — never a global "
+    "corpus rank), applied as two broadcast literals. Bucket compare runs "
+    "on the unrounded int→double avg_nll; attested values are exact "
+    "integer sums",
+)
+def ccnet_perplexity_buckets(spark, sf):
+    t = load_views(spark, sf)
+    return QL.ccnet_perplexity_buckets(t["documents"])
+
+
+@_register(
+    "semantic_decontaminate",
+    f"""
+    WITH e AS (SELECT embedding FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    s AS (
+      SELECT c.vec_id, ({V.cosine_sql('c.embedding', 'e.embedding')}) AS cos
+      FROM c CROSS JOIN e
+    )
+    SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits,
+           round(max(cos), 6) AS max_cos
+    FROM s WHERE cos >= 0.3 GROUP BY vec_id
+    """,
+    doc="Semantic eval-set decontamination: corpus vectors within 0.3 "
+    "cosine of any eval vector (vec_id < 5), with hit count and rounded "
+    "max similarity — the embedding companion to shingle "
+    "decontaminate_docs that catches paraphrased leakage. Eval side "
+    "broadcast, corpus scanned in place, threshold on the raw double",
+)
+def semantic_decontaminate(spark, sf):
+    t = load_views(spark, sf)
+    corpus = t["embeddings"].filter(F.col("vec_id") >= 5)
+    eval_set = t["embeddings"].filter(F.col("vec_id") < 5)
+    return DD.semantic_decontaminate_flags(corpus, eval_set, threshold=0.3)
+
+
+@_register(
+    "source_length_percentiles",
+    """
+    WITH r AS (
+      SELECT source AS grp, n_chars AS v,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM documents
+    )
+    SELECT grp AS source, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn <= (25 * n + 99) // 100 THEN v END) AS p25,
+           max(CASE WHEN rn <= (50 * n + 99) // 100 THEN v END) AS p50,
+           max(CASE WHEN rn <= (75 * n + 99) // 100 THEN v END) AS p75,
+           max(CASE WHEN rn <= (95 * n + 99) // 100 THEN v END) AS p95,
+           max(v) AS max_v
+    FROM r GROUP BY grp
+    """,
+    doc="Exact discrete length percentiles per source (type-1 quantile at "
+    "rank ⌈p·n⌉, pure integer rank arithmetic — hash-stable where "
+    "approx_percentile sketches are engine-specific): the distribution "
+    "profile a chunking/packing planner and maxPartitionBytes tuning "
+    "read. One per-group window rank, never a global sort",
+)
+def source_length_percentiles(spark, sf):
+    t = load_views(spark, sf)
+    return PF.length_percentiles(t["documents"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

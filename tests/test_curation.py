@@ -240,3 +240,18 @@ def test_pack_sequences_fill_is_tokens_over_ctx(spark, tables):
     packs = CU.pack_sequences(tables["documents"], ctx_len=512).collect()
     for r in packs:
         assert r["fill"] == r["n_tokens"] / 512
+
+
+def test_ccnet_buckets_partition_whole_corpus_and_order(spark, tables):
+    from auto_vectordb_spark.operators import quality as QLQ
+
+    docs = tables["documents"]
+    out = {r["bucket"]: r for r in QLQ.ccnet_perplexity_buckets(docs).collect()}
+    assert set(out) == {"head", "middle", "tail"}
+    scored = QLQ.bigram_lm_score(docs)
+    assert sum(r["n_docs"] for r in out.values()) == scored.count()
+    # fluency ordering: head (low nll) < middle < tail on token-weighted mean
+    m = {b: out[b]["nll_q"] / (out[b]["n_bigrams"] * 1_000_000) for b in out}
+    assert m["head"] < m["middle"] < m["tail"]
+    for r in out.values():
+        assert r["mean_nll"] == r["nll_q"] / (r["n_bigrams"] * 1_000_000)

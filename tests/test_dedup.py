@@ -518,3 +518,18 @@ def test_levenshtein_pairs_block_and_threshold(spark):
     assert (1, 2) in out and out[(1, 2)] == 2
     assert (1, 3) not in out and (2, 3) not in out  # candidates, over max_dist
     assert all(4 not in p for p in out)  # blocked out entirely
+
+
+def test_semantic_decontaminate_flags_eval_members_hit_themselves(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    eval_set = emb.filter(F.col("vec_id") < 5)
+    # corpus INCLUDING the eval rows: each eval vector matches itself at cos=1
+    out = {r["vec_id"]: r for r in
+           DD.semantic_decontaminate_flags(emb, eval_set, threshold=0.3).collect()}
+    for vid in range(5):
+        assert vid in out and out[vid]["max_cos"] == 1.0
+    held_out = DD.semantic_decontaminate_flags(
+        emb.filter(F.col("vec_id") >= 5), eval_set, threshold=0.3
+    ).collect()
+    assert held_out  # planted near-dups exist in the fixture
+    assert all(r["max_cos"] < 1.0 and 1 <= r["n_hits"] <= 5 for r in held_out)

@@ -31,6 +31,9 @@ SINGLE_PARTITION_OK = frozenset(
         "basket_pair_lift",
         "bigram_lm_nll",
         "bm25_topk",
+        # bigram-LM 1-row vocab aggregate + global rank over the 1-in-20
+        # sample (tiny by construction) + 1-row cutoff aggregate
+        "ccnet_perplexity_buckets",
         # two 1-row totals (n_tok, n_pairs) broadcast into the top-50 join
         "cooccurrence_pmi",
         "domain_rebalance_temp",

@@ -68,3 +68,22 @@ def test_shard_skew_shares_sum_to_one_and_partition_all_docs(spark, tables):
     assert abs(sum(r["weight_share"] for r in rows) - 1.0) < 1e-9
     # MD5-based assignment should actually spread a uniform id space
     assert len(rows) == 16
+
+
+def test_length_percentiles_match_python_type1_quantiles(spark, tables):
+    import math
+
+    docs = tables["documents"]
+    out = {r["source"]: r for r in PF.length_percentiles(docs).collect()}
+    rows = docs.select("source", "n_chars", "doc_id").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append((r["n_chars"], r["doc_id"]))
+    assert set(out) == set(by_src)
+    for src, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        got = out[src]
+        assert got["n"] == n and got["max_v"] == vals[-1][0]
+        for p in (25, 50, 75, 95):
+            assert got[f"p{p}"] == vals[math.ceil(p * n / 100) - 1][0], (src, p)
