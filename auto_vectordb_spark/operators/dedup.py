@@ -1353,6 +1353,12 @@ def prefix_blocked_levenshtein_pairs(
     compared — by design, deterministic and documented, like every
     LSH-band cut in this module.
 
+    Engine boundary (pinned in tests/test_properties.py): Spark's
+    levenshtein edits CODE POINTS while DuckDB's edits UTF-8 bytes — the
+    definitions coincide exactly on single-byte text (the oracle fixtures
+    are pure ASCII); on multibyte text this operator's Spark semantics
+    (code points) are the intended ones.
+
     Scale shape: one equi-join on the block key (both sides shuffle on the
     same ≤``block_chars``-byte key, map-side combinable), then per-pair
     Levenshtein INSIDE the join's codegen — Spark's built-in levenshtein

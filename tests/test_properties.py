@@ -370,3 +370,48 @@ def test_shingles_match_duckdb(sql_one, text, k):
         [text],
     ).fetchone()[0]
     assert got == want
+
+
+ASCII_TEXTS = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=48
+)
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(a=ASCII_TEXTS, b=ASCII_TEXTS)
+def test_levenshtein_matches_duckdb_and_python_ascii(sql_one, a, b):
+    """neardup_levenshtein_pairs rests on Spark's levenshtein == DuckDB's
+    levenshtein over the oracle domain — pin both against each other AND a
+    pure-Python Wagner-Fischer model (unit costs, no transposition).
+
+    ASCII only BY DESIGN: DuckDB's levenshtein counts UTF-8 BYTES while
+    Spark counts code points (found by this test's unicode predecessor:
+    levenshtein('', '\\xa0') = 1 in Spark, 2 in DuckDB), so the engines
+    agree exactly on single-byte text and the divergence is pinned in
+    test_levenshtein_unicode_divergence_is_known below.
+    """
+    import duckdb
+
+    got = sql_one(F.levenshtein(F.col("a"), F.col("b")), a=a, b=b)
+    want = duckdb.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    assert got == want == prev[len(b)]
+
+
+def test_levenshtein_unicode_divergence_is_known(sql_one):
+    """Document (don't hide) the engine boundary: Spark edits CODE POINTS,
+    DuckDB edits UTF-8 BYTES. If either engine ever changes, this test
+    fails and the neardup_levenshtein_pairs oracle domain must be
+    re-reviewed (the fixture corpus is pure ASCII — verified in
+    parity doctrine — where both definitions coincide)."""
+    import duckdb
+
+    got = sql_one(F.levenshtein(F.col("a"), F.col("b")), a="", b="\xa0")
+    want = duckdb.execute("SELECT levenshtein(?, ?)", ["", "\xa0"]).fetchone()[0]
+    assert got == 1  # one code point
+    assert want == 2  # two UTF-8 bytes

@@ -280,3 +280,53 @@ def test_volume_monitors_5m_events(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "Exchange SinglePartition" not in plan
+
+
+def test_pack_sequences_500k_docs(spark):
+    """Prefix-sum packing stays a source-partitioned window: 500k docs /
+    20 sources reduce to per-pack rows with every token accounted for and
+    NO global (empty-frame) window exchange."""
+    from auto_vectordb_spark.operators.curation import pack_sequences
+
+    docs = _synth_docs(spark, 500_000)
+    packs = pack_sequences(docs, ctx_len=512)
+    total = packs.agg(F.sum("n_tokens").alias("t"), F.sum("n_docs").alias("d")).collect()[0]
+    assert total["d"] == 500_000
+    assert total["t"] == 500_000 * 20  # _synth_docs emits exactly 20 tokens/doc
+    plan = packs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_ngram_novelty_300k_docs(spark):
+    """Both sides shuffle on the shingle hash (no broadcast assumption);
+    the probe stays linear in the held-out split."""
+    from auto_vectordb_spark.operators.dedup import ngram_novelty
+
+    docs = _synth_docs(spark, 300_000)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    ref = docs.filter(F.col("doc_id") % 10 != 0)
+    out = ngram_novelty(new, ref, k=3)
+    n = out.count()
+    assert n == 30_000
+    # tiny vocab (500) -> nearly every shingle is shared -> novelty ~ 0,
+    # but bounds must hold for every row
+    assert out.filter((F.col("novelty") < 0) | (F.col("novelty") > 1)).count() == 0
+
+
+def test_maxp_rollup_100k_chunks(spark):
+    """Chunk->doc rollup shares ONE (query, group) exchange between the
+    best-chunk window and the SumP aggregate (AQE exchange reuse)."""
+    from auto_vectordb_spark.operators.knn import maxp_doc_scores
+
+    corpus = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: ((F.abs(F.xxhash64(F.col("id"), i)) % 1000) / 500.0 - 1.0),
+        ).alias("embedding"),
+    )
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = maxp_doc_scores(queries, corpus, F.col("vec_id") / 4, k=10)
+    assert out.count() == 30
