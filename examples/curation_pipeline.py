@@ -53,6 +53,30 @@ def main(sf_dir: str) -> None:
     toks = sample.agg({"n_tokens": "sum"}).collect()[0][0]
     print(f"training sample: {n} docs, {toks} tokens (budget 50k)")
 
+    # 3b. Wave-2 curation: CCNet fluency terciles, incremental-crawl
+    #     novelty, subset-containment dedup, and sequence-packing accounting
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.operators import curation as CU
+    from auto_vectordb_spark.operators import quality as QL
+
+    for r in sorted(
+        QL.ccnet_perplexity_buckets(docs).collect(), key=lambda r: r["bucket"]
+    ):
+        print(
+            f"ccnet {r['bucket']:6s}: {r['n_docs']} docs, "
+            f"mean_nll={r['mean_nll']:.3f}"
+        )
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    ref = docs.filter(F.col("doc_id") % 5 != 0)
+    fresh = DD.ngram_novelty(new, ref).filter("novelty >= 0.5").count()
+    print(f"high-novelty docs in the incoming batch: {fresh}")
+    subset_dups = DD.ngram_containment_pairs(docs, threshold=0.9).count()
+    print(f"subset-duplication pairs (containment >= 0.9): {subset_dups}")
+    packs = CU.pack_sequences(docs, ctx_len=512)
+    waste = packs.filter("fill < 0.5").count()
+    print(f"packs: {packs.count()} at ctx=512, under-half-full tails: {waste}")
+
     # 4. Ingest-health monitors on the event firehose (operators/analytics.py)
     for name, df in (
         ("z-score", AN.volume_anomaly_zscore(events)),
