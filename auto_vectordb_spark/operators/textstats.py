@@ -636,3 +636,55 @@ def cooccurrence_pmi(
             "pmi_q_micro"
         ),
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_types, slnc_q, ln_n_q, entropy) — Shannon
+    entropy of each document's token distribution:
+
+        H = ln(n) − (Σ_i c_i·ln(c_i)) / n        (nats)
+
+    The spam/boilerplate signal the ratio features of quality_score miss:
+    keyword-stuffed or template text has low entropy at normal length;
+    H = 0 means one token repeated. Docs with zero tokens are absent.
+
+    Cross-engine discipline: both ln terms are 1e6-quantized int64 columns
+    (``slnc_q`` summed per row BEFORE reduction — parity rule 1 — and
+    ``ln_n_q`` a single per-row quantization), so the hashed values are
+    exact integers; ``entropy`` is rebuilt UNROUNDED from those integers
+    ((ln_n_q − slnc_q/n)/1e6 — identical IEEE ops on identical inputs),
+    never a display-rounded reconstruction (the term_drift hazard class).
+
+    Scale shape: one (doc, term) shuffle with map-side combine, then one
+    doc-keyed reduce — the same two-stage profile as TF-IDF.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    c = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    per = c.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c").cast("double")) * 1_000_000, 0).cast(
+                "long"
+            )
+        ).alias("slnc_q"),
+    )
+    ln_n_q = F.round(F.log(F.col("n_tokens").cast("double")) * 1_000_000, 0).cast("long")
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "slnc_q",
+        ln_n_q.alias("ln_n_q"),
+        (
+            (
+                ln_n_q.cast("double")
+                - F.col("slnc_q").cast("double") / F.col("n_tokens").cast("double")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("entropy"),
+    )

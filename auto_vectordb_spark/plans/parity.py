@@ -7759,6 +7759,125 @@ def source_length_percentiles(spark, sf):
     return PF.length_percentiles(t["documents"])
 
 
+@_register(
+    "token_entropy",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_DOC}) AS term FROM documents
+    ),
+    c AS (SELECT doc_id, term, count(*) AS c FROM tok GROUP BY doc_id, term),
+    p AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_types,
+             CAST(sum(CAST(round(c * ln(CAST(c AS DOUBLE)) * 1000000)
+                           AS BIGINT)) AS BIGINT) AS slnc_q
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_types, slnc_q,
+           CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS ln_n_q,
+           (CAST(CAST(round(ln(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                 AS DOUBLE)
+            - CAST(slnc_q AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 1000000.0
+             AS entropy
+    FROM p
+    """,
+    doc="Per-doc Shannon token entropy H = ln(n) − Σc·ln(c)/n — the "
+    "keyword-stuffing/template-spam signal quality_score's ratios miss. "
+    "Both ln terms are 1e6-quantized int64 (attested exact); entropy is "
+    "the UNROUNDED integer reconstruction. One (doc, term) shuffle + one "
+    "doc-keyed reduce (the TF-IDF profile)",
+)
+def token_entropy(spark, sf):
+    t = load_views(spark, sf)
+    return TS.token_entropy(t["documents"])
+
+
+@_register(
+    "curation_funnel",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, text, {_TOKS_DOC} AS toks FROM documents
+    ),
+    dup AS (
+      SELECT doc_id,
+             doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+      FROM t
+    ),
+    gf AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             COALESCE(list_sum(list_transform(toks, x -> len(x))), 0) AS tot_chars,
+             len(text) - len(regexp_replace(text, '[#…]', '', 'g')) AS n_sym,
+             len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+             len(list_filter(list_distinct(toks),
+                 x -> list_contains({_GOPHER_STOP_SQL}, x))) AS stop_hits
+      FROM t
+    ),
+    gk AS (
+      SELECT doc_id,
+             ((n_words BETWEEN 50 AND 100000)
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(tot_chars AS DOUBLE) / n_words ELSE 0.0 END
+                   BETWEEN 3.0 AND 10.0)
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(n_sym AS DOUBLE) / n_words ELSE 0.0 END <= 0.1)
+              AND (CASE WHEN n_words > 0
+                        THEN CAST(n_alpha AS DOUBLE) / n_words ELSE 0.0 END >= 0.8)
+              AND (stop_hits >= 2)) AS keep
+      FROM gf
+    ),
+    qf AS (
+      SELECT doc_id,
+             CAST(len(toks) AS INT) AS n_tokens,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             CAST(len(list_filter(toks,
+                 x -> x IN ('the','and','of','to','in','is','that','with'))) AS INT) AS n_stop,
+             CASE WHEN len(toks) > 0
+                  THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END AS mean_wl
+      FROM t
+    ),
+    ql AS (
+      SELECT doc_id,
+             round(0.25 * (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                   + 0.25 * (CASE WHEN mean_wl BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+                   + 0.3 * least((CASE WHEN n_tokens > 0
+                                       THEN CAST(n_stop AS DOUBLE) / n_tokens
+                                       ELSE 0.0 END) * 5.0, 1.0)
+                   + 0.2 * (1.0 - least((CASE WHEN n_chars > 0
+                                              THEN CAST(n_punct AS DOUBLE) / n_chars
+                                              ELSE 0.0 END) * 5.0, 1.0)), 6) AS quality
+      FROM qf
+    ),
+    staged AS (
+      SELECT t.source,
+             CASE WHEN d.is_dup THEN '1_dup'
+                  WHEN NOT g.keep THEN '2_gopher'
+                  WHEN q.quality < 0.5 THEN '3_quality'
+                  ELSE '4_keep' END AS stage
+      FROM t
+      JOIN dup d ON d.doc_id = t.doc_id
+      JOIN gk g ON g.doc_id = t.doc_id
+      JOIN ql q ON q.doc_id = t.doc_id
+    )
+    SELECT source, stage, CAST(count(*) AS BIGINT) AS n_docs
+    FROM staged GROUP BY source, stage
+    """,
+    doc="First-fail curation funnel (exact-dup loser → Gopher fail → "
+    "quality < 0.5 → keep) counted per source — the 'why did this source "
+    "shrink' observability report; stage counts sum exactly to the "
+    "corpus. Dup flag is one content-hash window; rule flags are map-only "
+    "rescans joined on doc_id. Composes the verified gopher_rules and "
+    "text_quality expressions",
+)
+def curation_funnel(spark, sf):
+    t = load_views(spark, sf)
+    return CU.curation_funnel(t["documents"], quality_min=0.5)
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

@@ -255,3 +255,19 @@ def test_ccnet_buckets_partition_whole_corpus_and_order(spark, tables):
     assert m["head"] < m["middle"] < m["tail"]
     for r in out.values():
         assert r["mean_nll"] == r["nll_q"] / (r["n_bigrams"] * 1_000_000)
+
+
+def test_curation_funnel_partitions_corpus_first_fail(spark, tables):
+    from pyspark.sql import functions as F
+
+    docs = tables["documents"]
+    rows = CU.curation_funnel(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    stages = {r["stage"] for r in rows}
+    assert "4_keep" in stages and len(stages) >= 2  # non-vacuous funnel
+    # dup stage equals the exact-dedup loser count (first-fail = dup first)
+    from auto_vectordb_spark.operators.dedup import exact_dedup
+
+    losers = docs.count() - exact_dedup(docs).count()
+    got_dup = sum(r["n_docs"] for r in rows if r["stage"] == "1_dup")
+    assert got_dup == losers

@@ -225,3 +225,28 @@ def test_cooccurrence_pmi_counts_and_window(spark):
     # a one-token doc contributes no pairs and does not crash
     one = spark.createDataFrame([(0, "solo")], ["doc_id", "text"])
     assert TS.cooccurrence_pmi(one).count() == 0
+
+
+def test_token_entropy_extremes_and_python_model(spark):
+    import math
+
+    from auto_vectordb_spark.operators.textstats import token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),       # one type -> H = 0
+            (2, "a b c d e f"),                          # uniform -> H = ln(6)
+            (3, "x x y"),                                # mixed
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    # single-type doc: H = 0 up to the 1e-6 quantization grid (the two ln
+    # terms quantize independently, so they cancel only to grid precision)
+    assert out[1]["n_types"] == 1 and abs(out[1]["entropy"]) <= 1e-6
+    assert abs(out[2]["entropy"] - math.log(6)) < 2e-6  # 1e6 quantization grid
+    h3 = math.log(3) - (2 * math.log(2)) / 3
+    assert abs(out[3]["entropy"] - h3) < 2e-6
+    assert out[1]["entropy"] <= out[3]["entropy"] <= out[2]["entropy"]
+    for r in out.values():
+        assert r["entropy"] == (r["ln_n_q"] - r["slnc_q"] / r["n_tokens"]) / 1e6
