@@ -126,3 +126,61 @@ def test_volume_monitors_null_safe(spark):
         null_ts_cells = [r for r in rows if r["hour"] == "__null__"]
         assert len(null_ts_cells) == 1, fn.__name__
         assert null_ts_cells[0]["event_type"] == "a"
+
+
+@pytest.fixture(scope="module")
+def dirty_sourced_docs(spark):
+    """dirty_docs plus the source/n_chars columns the wave-2 ops read."""
+    return spark.createDataFrame(
+        [
+            (1, "a normal document with several tokens", "s1", 38),
+            (2, "", "s1", 0),
+            (3, None, "s2", None),
+            (4, "   ", None, 3),
+            (5, "!!! ??? ...", "s2", 11),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+
+
+def test_wave2_curation_ops_null_safe(dirty_sourced_docs):
+    from auto_vectordb_spark.operators.curation import curation_funnel, pack_sequences
+
+    packs = pack_sequences(dirty_sourced_docs).collect()
+    assert sum(r["n_docs"] for r in packs) == 5  # null text/source still packed
+    funnel = curation_funnel(dirty_sourced_docs).collect()
+    assert sum(r["n_docs"] for r in funnel) == 5
+    # null/empty text must FAIL a gate (zero words), never slip into keep
+    assert all(r["stage"] != "4_keep" for r in funnel)
+
+
+def test_wave2_dedup_and_stats_null_safe(dirty_sourced_docs):
+    from auto_vectordb_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_novelty,
+        prefix_blocked_levenshtein_pairs,
+    )
+    from auto_vectordb_spark.operators.textstats import token_entropy
+
+    # pair generators: no crash, no pairs from empty/null probes
+    assert ngram_containment_pairs(dirty_sourced_docs, threshold=0.5).count() == 0
+    assert prefix_blocked_levenshtein_pairs(dirty_sourced_docs).count() == 0
+    nov = ngram_novelty(dirty_sourced_docs, dirty_sourced_docs).collect()
+    assert all(r["novelty"] == 0.0 for r in nov)  # self-reference
+    ent = token_entropy(dirty_sourced_docs).collect()
+    assert len(ent) == 1  # only the one tokenizable doc has an entropy
+
+
+def test_wave2_profiling_ops_null_safe(dirty_sourced_docs):
+    from auto_vectordb_spark.operators.profiling import (
+        length_percentiles,
+        shard_skew,
+        table_profile,
+    )
+
+    prof = {r["col_name"]: r for r in table_profile(dirty_sourced_docs).collect()}
+    assert prof["text"]["n_null"] == 1 and prof["source"]["n_null"] == 1
+    sk = shard_skew(dirty_sourced_docs).collect()
+    assert sum(r["n_docs"] for r in sk) == 5  # null weight doesn't drop the doc
+    pct = length_percentiles(dirty_sourced_docs).collect()
+    assert sum(r["n"] for r in pct) == 5
