@@ -227,7 +227,6 @@ def mean_pool_exact_long(
     vectors: DataFrame,
     group_col,
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
 ) -> DataFrame:
     """(group_id, pos, n, s_q, mean) — exact mean-pooling of member vectors
     per group, in long (one-row-per-dimension) form.
@@ -267,7 +266,6 @@ def silhouette_centroid(
     vectors: DataFrame,
     centroids: list[list[float]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     round_decimals: int = 6,
 ) -> DataFrame:
     """(cluster_id, n, sum_s_q, mean_s) — simplified (centroid-based)

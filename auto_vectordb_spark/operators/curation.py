@@ -285,9 +285,10 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pos = toks.withColumn("cum_before", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
-    packed = pos.withColumn(
-        "pack_id", F.floor(F.col("cum_before") / F.lit(float(ctx_len))).cast("long")
-    )
+    # exact int64 floor division (parity doctrine): a double divide + cast
+    # can land on the wrong side of a pack boundary once cum_before
+    # approaches 2^53 or ctx_len is not a power of two
+    packed = pos.withColumn("pack_id", F.expr(f"cum_before DIV {int(ctx_len)}"))
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
@@ -331,7 +332,8 @@ def curation_funnel(
         F.col(source_col).alias("source"),
         (F.col(id_col) != F.min(id_col).over(w)).alias("is_dup"),
     )
-    g = gopher_rules(docs).select(F.col(id_col).alias("doc_id"), "keep")
+    # both rule operators normalize their id column to 'doc_id'
+    g = gopher_rules(docs, id_col, text_col).select("doc_id", "keep")
     q = quality_score(docs, id_col, text_col).select("doc_id", "quality")
     staged = (
         base.join(g, "doc_id")

@@ -1380,9 +1380,10 @@ def prefix_blocked_levenshtein_pairs(
     ).select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
-        F.levenshtein(F.col("a.probe"), F.col("b.probe")).alias("dist"),
+        # threshold arg: banded DP early-exits past max_dist (returns -1)
+        F.levenshtein(F.col("a.probe"), F.col("b.probe"), max_dist).alias("dist"),
     )
-    return pairs.filter(F.col("dist") <= max_dist)
+    return pairs.filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
 
 
 def semantic_decontaminate_flags(
@@ -1409,8 +1410,6 @@ def semantic_decontaminate_flags(
     groupBy. At very large eval sets, swap the broadcast for the sign-LSH
     bucketed kernel (embedding_neardup_lsh) — same flag semantics.
     """
-    from ..functions import vector as V
-
     e = F.broadcast(
         eval_vecs.select(
             V.as_double_array(F.col(vec_col)).alias("__ev"),

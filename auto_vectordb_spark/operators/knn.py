@@ -835,8 +835,9 @@ def maxp_doc_scores(
     """(query_id, group_id, maxp, sum_q, n_chunks, best_chunk) — passage-to-
     document retrieval aggregation: chunk-level similarities roll up to a
     document score via MaxP (Dai & Callan 2019's BERT-MaxP aggregation —
-    a doc is as relevant as its best passage), with the exact cent-
-    quantized SumP basis riding along for interpolated scoring.
+    a doc is as relevant as its best passage), with the exact
+    1e6-quantized SumP basis (micro units) riding along for interpolated
+    scoring.
 
     ``group_expr`` maps a corpus row to its document (e.g.
     ``F.col("vec_id") / 4`` for fixed-size chunking). Ranking is on

@@ -166,7 +166,12 @@ def length_percentiles(
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    # NULLS LAST explicitly: Spark's ASC default is NULLS FIRST while
+    # DuckDB's (the oracle twin's) is NULLS LAST — left implicit, NULL
+    # values would poison the LOW percentiles in Spark only
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(value_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
     cnt = Window.partitionBy(group_col)
     r = df.select(
         F.col(group_col).alias("grp"),

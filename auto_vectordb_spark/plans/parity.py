@@ -7334,7 +7334,7 @@ def shard_skew_report(spark, sf):
       FROM toks
     )
     SELECT source,
-           CAST(floor(cum_before / 512.0) AS BIGINT) AS pack_id,
+           CAST(cum_before // 512 AS BIGINT) AS pack_id,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            min(doc_id) AS first_doc,

@@ -87,3 +87,29 @@ def test_length_percentiles_match_python_type1_quantiles(spark, tables):
         assert got["n"] == n and got["max_v"] == vals[-1][0]
         for p in (25, 50, 75, 95):
             assert got[f"p{p}"] == vals[math.ceil(p * n / 100) - 1][0], (src, p)
+
+
+def test_length_percentiles_nulls_rank_last_matching_duckdb(spark):
+    import duckdb
+
+    rows = [(1, "g", None), (2, "g", 5), (3, "g", 9), (4, "g", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = PF.length_percentiles(df).collect()[0]
+    # DuckDB (the oracle dialect) puts NULLs LAST under ASC; the operator
+    # must match — a NULL value must never poison a low percentile
+    con = duckdb.connect()
+    con.execute("CREATE TABLE d AS SELECT * FROM (VALUES " +
+                ", ".join(f"({i}, 'g', {'NULL' if c is None else c})" for i, _, c in rows) +
+                ") t(doc_id, source, n_chars)")
+    want = con.execute("""
+      WITH r AS (SELECT n_chars AS v,
+                        row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+                        count(*) OVER () AS n
+                 FROM d)
+      SELECT max(CASE WHEN rn <= (25*n+99)//100 THEN v END),
+             max(CASE WHEN rn <= (50*n+99)//100 THEN v END),
+             max(CASE WHEN rn <= (95*n+99)//100 THEN v END)
+      FROM r""").fetchone()
+    assert (got["p25"], got["p50"], got["p95"]) == want
+    assert got["p25"] == 1 and got["p50"] == 5  # NULL did not rank first
+    assert got["n"] == 4
