@@ -5605,7 +5605,7 @@ def embedding_dim_stats(spark, sf):
                              / (CAST(c_t AS DOUBLE) / t_all)) * 1e6) AS BIGINT) AS q
       FROM st JOIN ct USING (term) JOIN ts USING (source) CROSS JOIN grand
     )
-    SELECT c.source, count(*) AS n_terms, ts.t_s AS n_tokens,
+    SELECT c.source, count(*) AS n_terms, CAST(ts.t_s AS BIGINT) AS n_tokens,
            CAST(sum(q) AS BIGINT) AS kl_q
     FROM contrib c JOIN ts ON c.source = ts.source
     GROUP BY c.source, ts.t_s
@@ -6802,10 +6802,12 @@ def hard_negative_mining(spark, sf):
       FROM per_bucket p LEFT JOIN new_terms n ON p.bkt = n.bkt
     )
     SELECT bkt,
-           sum(toks_b) OVER (ORDER BY bkt
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
-           sum(new_b) OVER (ORDER BY bkt
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+           CAST(sum(toks_b) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_tokens,
+           CAST(sum(new_b) OVER (ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_vocab
     FROM j
     """,
     doc="Heaps-law vocabulary growth V(n) at 256-md5-bucket granularity: "
@@ -6835,7 +6837,7 @@ def vocab_growth_curve(spark, sf):
       FROM toks t LEFT JOIN vocab v ON t.term = v.term
     )
     SELECT lang, count(*) AS n_tokens,
-           sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            count(DISTINCT CASE WHEN NOT iv THEN term END) AS n_oov_terms,
            CAST(sum(CASE WHEN NOT iv THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST(count(*) AS DOUBLE) AS oov_rate
@@ -6884,7 +6886,8 @@ def oov_rate_by_lang(spark, sf):
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       FROM hits h JOIN ntok n ON h.doc_id = n.doc_id
     )
-    SELECT query_id, doc_id, rank, n_tokens, cum_tokens, score
+    SELECT query_id, doc_id, rank, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens, score
     FROM packed WHERE cum_tokens <= 150
     """,
     doc="RAG context assembly: retrieve top-20 per query (exact cosine, "
@@ -6956,7 +6959,7 @@ _TRI_SQL = (
       GROUP BY m.query_id, d.doc_id, p.qterm
     ),
     scored AS (
-      SELECT query_id, doc_id, sum(best_q) AS maxsim_q
+      SELECT query_id, doc_id, CAST(sum(best_q) AS BIGINT) AS maxsim_q
       FROM contrib WHERE query_id <> doc_id
       GROUP BY query_id, doc_id
     )

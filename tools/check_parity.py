@@ -2,7 +2,10 @@
 
 Runs every ``queries()`` entry via Spark AND its ``oracle_sql()`` via DuckDB
 on the same sf dir, then compares row count, column names/order-insensitive
-sorted values. Exit code 1 on any mismatch.
+sorted values, AND exact result-schema type parity (tools/typegate.py — the
+stringified value compare alone is blind to DuckDB HUGEINT/decimal128
+finals, the r4/r5 term_drift_by_source driver-red class). Exit code 1 on
+any mismatch.
 
 Usage: python tools/check_parity.py [sf_dir] [query ...]
        python tools/check_parity.py --json OUT.json [sf_dir] [query ...]
@@ -24,6 +27,9 @@ import time
 import duckdb
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import typegate  # noqa: E402
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -115,6 +121,23 @@ def main() -> int:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures.append(name)
             records[name] = {"status": "duckdb_error", "rows": len(s_rows),
+                             "seconds": round(time.time() - t0, 2), "oracle": True}
+            continue
+        # Exact-type gate (round-5 verdict #3): the stringified value
+        # compare below is blind to DuckDB HUGEINT/decimal128 finals, which
+        # the driver's type-sensitive hash rejects even on bit-equal values
+        # (the r4/r5 term_drift_by_source red rows). DESCRIBE binds without
+        # re-executing the oracle.
+        try:
+            terrs = typegate.type_mismatches(
+                sdf.schema, typegate.duck_result_types(con, q.sql))
+        except Exception as e:  # noqa: BLE001
+            terrs = [f"type gate error: {e}"]
+        if terrs:
+            for msg in terrs:
+                print(f"FAIL  {name}: type parity: {msg}")
+            failures.append(name)
+            records[name] = {"status": "types", "rows": len(s_rows),
                              "seconds": round(time.time() - t0, 2), "oracle": True}
             continue
         shape_err = driver_shape_error(s_cols, [tuple(r) for r in s_rows])
