@@ -160,7 +160,6 @@ def source_embedding_drift(
     id_col: str = "vec_id",
     doc_id_col: str = "doc_id",
     source_col: str = "source",
-    dim: int = 64,
     quant_scale: int = 6,
 ) -> DataFrame:
     """Embedding-space drift monitor across corpus sources: pairwise cosine
@@ -198,10 +197,15 @@ def source_embedding_drift(
         F.sum(F.round(F.col("x") * F.lit(scale), 0).cast("long")).alias("sq"),
         F.count("*").alias("n"),
     )
+    # Each centroid element divides by ITS OWN (source, dim) count — the
+    # oracle's bare `n` inside list() binds per-row to sums.n, so on
+    # ragged/short vectors (posexplode emitting fewer rows for missing
+    # dims) a per-source max(n) denominator would diverge cross-engine
+    # and understate under-populated dims.
     vecs = (
         sums.groupBy("source")
         .agg(
-            F.array_sort(F.collect_list(F.struct("dim", "sq"))).alias("__a"),
+            F.array_sort(F.collect_list(F.struct("dim", "sq", "n"))).alias("__a"),
             F.max("n").alias("n"),
         )
         .select(
@@ -210,7 +214,7 @@ def source_embedding_drift(
             F.transform(
                 "__a",
                 lambda s: s["sq"].cast("double")
-                / (F.lit(float(scale)) * F.col("n")),
+                / (F.lit(float(scale)) * s["n"]),
             ).alias("m"),
         )
     )

@@ -238,6 +238,10 @@ def pack_context_budget(
 
     Output: (query_id, doc_id, rank, n_tokens, cum_tokens, score).
 
+    Every retrieved ``doc_id`` must exist in ``docs``: an absent id
+    raises (``raise_error``) instead of being silently dropped and the
+    pack renumbered around it.
+
     Scale: the retrieval result is already reduced (k rows/query); the doc
     join is an equi-join on doc id against a projected (id, n_tokens)
     corpus scan, and both window functions partition by query_id — small
@@ -249,7 +253,26 @@ def pack_context_budget(
         F.col(id_col).alias("doc_id"),
         F.size(tokenize(F.col(text_col))).alias("n_tokens"),
     )
-    j = results.join(n_tok, "doc_id")
+    # LEFT join + loud failure on unmatched ids: an inner join would
+    # silently drop a retrieved doc_id absent from the docs table and
+    # renumber rank/cum_tokens around it — the packed context would no
+    # longer reflect the retrieval ranking with no surfaced signal. A
+    # missing id is referential corruption upstream; fail the job.
+    j = results.join(n_tok, "doc_id", "left").withColumn(
+        "n_tokens",
+        F.when(
+            F.col("n_tokens").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "pack_context_budget: retrieved doc_id absent "
+                        "from docs table: "
+                    ),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        ).otherwise(F.col("n_tokens")),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cum = F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (

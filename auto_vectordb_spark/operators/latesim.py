@@ -110,7 +110,15 @@ def maxsim_topk(
     A query token that shares no active dimension with any token of a doc
     contributes 0 to that doc (its pair rows don't exist) — by construction
     identical in the DuckDB oracle, and the natural sparse semantics: "no
-    overlap anywhere" is a zero match, not a negative one.
+    overlap anywhere" is a zero match, not a negative one. The converse
+    case is deliberate too: a query token whose every SHARED-dimension dot
+    with a doc is negative contributes ``max(dot_q) < 0`` even when the
+    doc also has non-overlapping tokens (whose true dot is exactly 0) —
+    i.e. the max runs over existing pair rows only, not over an implicit
+    0 per token. Textbook maxsim over dense vectors would clamp that at
+    0; the sparse variant keeps the negative evidence (both engines, by
+    the same pair-row construction), which preserves ranking monotonicity
+    in the quantized integers.
     """
     dmem = (
         docs.select(

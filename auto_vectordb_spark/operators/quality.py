@@ -321,6 +321,13 @@ def ccnet_perplexity_buckets(
     the UNROUNDED int→double reconstruction — identical doubles in both
     engines, so the cutoff comparisons and the bucket assignment are
     bit-deterministic. Attested values are the exact integer sums.
+
+    Requires NUMERIC ids: the 1-in-``sample_mod`` slice is ``id %
+    sample_mod``, which is NULL (row dropped) for non-castable ids. An
+    EMPTY sample — non-numeric ids or a corpus with no id ≡ 0 (mod
+    ``sample_mod``) — yields NULL cutoffs; rather than silently
+    classifying everything 'tail', such rows land in an explicit
+    ``unsampled`` bucket.
     """
     from pyspark.sql import Window
 
@@ -347,8 +354,14 @@ def ccnet_perplexity_buckets(
             )
         ).alias("c2"),
     )
+    # Empty sample (tiny corpus, or ids the numeric `% sample_mod` can't
+    # see) => NULL cutoffs. Don't let every doc silently land in 'tail':
+    # surface it as an explicit bucket so monitors fail loudly. The branch
+    # never fires on a non-empty numeric-id sample (rank ceil(m/3) exists
+    # for every m >= 1), so the oracle needs no twin.
     bucketed = scored.crossJoin(F.broadcast(cuts)).select(
-        F.when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
+        F.when(F.col("c1").isNull(), F.lit("unsampled"))
+        .when(F.col("avg_nll") <= F.col("c1"), F.lit("head"))
         .when(F.col("avg_nll") <= F.col("c2"), F.lit("middle"))
         .otherwise(F.lit("tail"))
         .alias("bucket"),

@@ -99,12 +99,35 @@ def test_source_embedding_drift_pairwise_centroid_cosine(spark):
         [(0, "sA"), (1, "sA"), (2, "sB"), (3, "sC")], ["doc_id", "source"]
     )
     rows = {(r["src_a"], r["src_b"]): r for r in AN.source_embedding_drift(
-        emb, docs, dim=2).collect()}
+        emb, docs).collect()}
     assert set(rows) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
     ab = rows[("sA", "sB")]
     assert (ab["n_a"], ab["n_b"]) == (2, 1)
     assert ab["cos"] == 0.0  # orthogonal centroids
     assert math.isclose(rows[("sA", "sC")]["cos"], 1 / math.sqrt(2), abs_tol=1e-6)
+
+
+def test_source_embedding_drift_ragged_vectors_divide_per_dim(spark):
+    """Each centroid element divides by ITS OWN (source, dim) count, not the
+    per-source max — on ragged vectors a max-n denominator understates the
+    under-populated dims (the round-5 advice finding)."""
+    import math
+
+    from auto_vectordb_spark.operators import analytics as AN
+
+    # source sA: one 2-dim vector and one 1-dim vector. dim0 mean =
+    # (1+1)/2 = 1.0; dim1 mean = 2.0/1 = 2.0 (NOT 2.0/2 = 1.0).
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0]), (2, [1.0, 2.0])],
+        ["vec_id", "embedding"],
+    )
+    docs = spark.createDataFrame(
+        [(0, "sA"), (1, "sA"), (2, "sB")], ["doc_id", "source"]
+    )
+    row = AN.source_embedding_drift(emb, docs).collect()[0]
+    # centroid sA = [1, 2] element-wise == centroid sB exactly -> cos 1
+    assert (row["src_a"], row["src_b"]) == ("sA", "sB")
+    assert math.isclose(row["cos"], 1.0, abs_tol=1e-6)
 
 
 def test_recency_weighted_volume_exact_dyadic_weights(spark):

@@ -182,6 +182,22 @@ def test_pack_context_budget_prefix_cut(spark):
     assert [(r["doc_id"], r["cum_tokens"]) for r in by_q[2]] == [(10, 3)]
 
 
+def test_pack_context_budget_missing_doc_id_fails_loudly(spark):
+    """A retrieved doc_id absent from the docs table raises instead of
+    being silently dropped and the pack renumbered around it (round-5
+    advice: referential corruption must surface)."""
+    import pytest
+
+    from auto_vectordb_spark.operators import hybrid as HY
+
+    results = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 99, 0.8)], ["query_id", "doc_id", "score"]
+    )
+    docs = spark.createDataFrame([(10, "a b c")], ["doc_id", "text"])
+    with pytest.raises(Exception, match="absent from docs table"):
+        HY.pack_context_budget(results, docs, token_budget=100).collect()
+
+
 def test_maxsim_soft_lexical_match_ranks_related_doc_first(spark):
     """Shared-morphology tokens (shared char trigrams) must outscore a
     disjoint-alphabet doc; self-match is excluded when asked."""

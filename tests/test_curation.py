@@ -257,6 +257,21 @@ def test_ccnet_buckets_partition_whole_corpus_and_order(spark, tables):
         assert r["mean_nll"] == r["nll_q"] / (r["n_bigrams"] * 1_000_000)
 
 
+def test_ccnet_buckets_empty_sample_lands_unsampled(spark):
+    """No id ≡ 0 (mod sample_mod) => NULL cutoffs; rather than silently
+    classifying the whole corpus 'tail', every doc lands in an explicit
+    'unsampled' bucket (round-5 advice: fail loudly)."""
+    from auto_vectordb_spark.operators import quality as QLQ
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (3, "beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    out = QLQ.ccnet_perplexity_buckets(docs, sample_mod=20).collect()
+    assert {r["bucket"] for r in out} == {"unsampled"}
+    assert sum(r["n_docs"] for r in out) == 2
+
+
 def test_curation_funnel_partitions_corpus_first_fail(spark, tables):
     from pyspark.sql import functions as F
 

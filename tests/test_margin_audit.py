@@ -128,3 +128,67 @@ def test_round_tie_mode_agreement(spark):
         assert abs(got_spark) == pytest.approx(
             (math.floor(abs(v) * 10**d) + 1) / 10**d, abs=1e-12
         ), (v, got_spark)
+
+
+def test_presum_contribution_margins():
+    """Round-5 verdict #6: every transcendental-quantized per-item
+    contribution (the sum(CAST(round(<ln chain> * 10^s) AS BIGINT)) shape)
+    must sit >= 1e-6 quantization units from its .5 rounding boundary —
+    one under-margin item is one libm build away from flipping the exact
+    integer sum and the driver hash. Probes are rebuilt mechanically from
+    each oracle's own SQL (same CTEs, same row source); a probe that fails
+    to parse is itself a failure. The final-column audit alone gives false
+    confidence here: term_drift-class entries emit exact integers, so they
+    are invisible to strip_display_rounds."""
+    GATE = 1e-6
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    offenders: dict[str, list[str]] = {}
+    n_probes = 0
+    for name, q in REGISTRY.items():
+        if q.sql is None:
+            continue
+        for snippet, probe_sql in MA.presum_probes(q.sql, GATE):
+            n_probes += 1
+            try:
+                n_items, mn, n_under = con.execute(probe_sql).fetchone()
+            except Exception as e:  # noqa: BLE001
+                offenders.setdefault(name, []).append(
+                    f"probe failed to parse/run ({snippet}): {e}"
+                )
+                continue
+            if n_items and n_under:
+                offenders.setdefault(name, []).append(
+                    f"{n_under}/{n_items} contributions under {GATE} units "
+                    f"(min {mn:.3e}) for {snippet}"
+                )
+    # the known transcendental-quantized entries must all be probed
+    assert n_probes >= 8, f"presum extractor found only {n_probes} probes"
+    assert not offenders, (
+        "pre-sum contribution margins within libm skew of a rounding "
+        f"boundary — requantize coarser or reshape: {offenders}"
+    )
+
+
+def test_presum_probe_extractor_unit():
+    """The probe builder finds a transcendental one-arg round inside a CTE
+    and rebuilds a query over that CTE's own row source."""
+    sql = """
+    WITH base AS (SELECT doc_id, n_chars FROM documents WHERE n_chars > 0),
+    contrib AS (
+      SELECT doc_id,
+             CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1e6) AS BIGINT) AS q
+      FROM base WHERE doc_id >= 0
+    )
+    SELECT doc_id, CAST(sum(q) AS BIGINT) AS s FROM contrib GROUP BY doc_id
+    """
+    probes = MA.presum_probes(sql, 1e-6)
+    assert len(probes) == 1
+    _, probe_sql = probes[0]
+    assert "FROM base WHERE doc_id >= 0" in probe_sql
+    assert "GROUP BY" not in probe_sql.split("WITH", 1)[1].rsplit("SELECT", 1)[1]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    n_items, mn, n_under = con.execute(probe_sql).fetchone()
+    assert n_items > 0 and 0.0 <= mn <= 0.5 and n_under == 0
