@@ -214,3 +214,28 @@ def test_next_window_fingerprints_cover_registry():
     assert defs["load_views"] in aug and defs["TOKS_SQL"] in aug
     defs2 = dict(defs, load_views=defs["load_views"] + " # changed")
     assert NW.augment_block(blk, defs2) != aug
+
+
+def test_attest_window_matches_generator_artifact():
+    """The committed window must be the VERBATIM output of
+    tools/next_window.py (round-5 verdict #5: the r5 window was hand-
+    curated around the tool's output, which could silently hide a failing
+    entry). The tool's raw stdout for this round is committed as
+    tools/window_r<N>.out in the same change that sets _ATTEST_WINDOW;
+    this test parses the newest artifact and requires exact equality —
+    editing the window by hand without regenerating the artifact fails."""
+    import glob
+    import re
+
+    from auto_vectordb_spark.plans.parity import _ATTEST_WINDOW
+
+    arts = sorted(glob.glob("/root/repo/tools/window_r*.out"))
+    assert arts, "no committed window artifact (tools/window_r*.out)"
+    out = open(arts[-1]).read()
+    m = re.search(r"_ATTEST_WINDOW = \[\n(.*?)\n\]", out, re.DOTALL)
+    assert m, "artifact does not contain a window block"
+    names = re.findall(r'"([^"]+)"', m.group(1))
+    assert _ATTEST_WINDOW == names, (
+        "parity._ATTEST_WINDOW differs from the generator artifact "
+        f"{arts[-1]} — rerun tools/next_window.py and paste verbatim"
+    )
