@@ -92,3 +92,51 @@ def test_gate_allows_integral_width_skew():
 
     schema = StructType([StructField("rank", IntegerType())])
     assert typegate.type_mismatches(schema, {"rank": "BIGINT"}) == []
+
+
+def test_describe_predicts_arrow_surface(duck):
+    """The gate trusts DESCRIBE (bind-only) as a proxy for the Arrow
+    schema the driver actually hashes. Validate that proxy on executed
+    oracles: every DESCRIBE type must map to the fetched Arrow type's
+    class, and no executed final column may surface as decimal128 — the
+    r4/r5 driver-red type. Runs a representative slice (the five
+    cast-fixed entries + every distinct DESCRIBE type seen)."""
+    must_check = {
+        "term_drift_by_source", "vocab_growth_curve", "oov_rate_by_lang",
+        "rag_context_pack", "maxsim_late_interaction",
+    }
+    arrow_class = {
+        "int8": "integral", "int16": "integral", "int32": "integral",
+        "int64": "integral", "float": "floating", "double": "floating",
+        "string": "string", "large_string": "string", "bool": "boolean",
+        "date32[day]": "date",
+    }
+    seen_types: set = set()
+    checked = 0
+    for name in _ORACLE_PAIRED:
+        q = REGISTRY[name]
+        duck_types = typegate.duck_result_types(duck, q.sql)
+        new_types = set(duck_types.values()) - seen_types
+        if name not in must_check and not new_types:
+            continue
+        seen_types |= new_types
+        checked += 1
+        tbl = duck.execute(q.sql).fetch_arrow_table()
+        for field in tbl.schema:
+            at = str(field.type)
+            assert not at.startswith("decimal"), (
+                f"{name}.{field.name}: executed oracle surfaces {at} — "
+                "the driver-red type; DESCRIBE-based gate must have missed it"
+            )
+            dt = duck_types[field.name]
+            base = dt.split("(")[0].strip()
+            expect = typegate._DUCK_CLASS.get(base)
+            got = arrow_class.get(
+                "timestamp" if at.startswith("timestamp") else at,
+                "timestamp" if at.startswith("timestamp") else None,
+            )
+            assert got == expect, (
+                f"{name}.{field.name}: DESCRIBE said {dt} ({expect}) but "
+                f"Arrow surfaced {at} ({got}) — the DESCRIBE proxy lies"
+            )
+    assert checked >= 5 and must_check <= set(_ORACLE_PAIRED)
