@@ -36,15 +36,25 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    ``try_divide`` (identical doubles to ``/`` on non-zero denominators)
+    instead of bare division: under Spark's default ANSI mode a single
+    zero-norm (dead) embedding in a 100 TB corpus would otherwise throw
+    DIVIDE_BY_ZERO and kill the whole job — the row must fail, not the
+    job. NULL scores sort last under every desc top-k in this package
+    (Spark desc = NULLS LAST), so dead vectors are naturally excluded.
+    DuckDB twin uses ``nullif(denom, 0)`` for the same semantics."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
     """Cosine with precomputed norms — same expression tree as :func:`cosine`
-    (dot / (na * nb)), so results are bit-identical, but the O(n²) pair stage
-    only evaluates ONE array reduction instead of three. Precompute norms
-    (and the array<double> cast) per vector BEFORE the pair join."""
-    return dot(a, b) / (norm_a * norm_b)
+    (try_divide(dot, na·nb), so results are bit-identical, zero-norm → NULL),
+    but the O(n²) pair stage only evaluates ONE array reduction instead of
+    three. Precompute norms (and the array<double> cast) per vector BEFORE
+    the pair join."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def dim_guard(df: DataFrame, col: str, dim: int = EMBEDDING_DIM) -> DataFrame:
@@ -65,7 +75,25 @@ def dot_sql(a: str, b: str) -> str:
 
 
 def cosine_sql(a: str, b: str) -> str:
-    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+    # nullif mirrors the engine's try_divide: zero-norm vector -> NULL
+    return (
+        f"({dot_sql(a, b)} / "
+        f"nullif(sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)}), 0))"
+    )
+
+
+def safe_row_norms(m):
+    """Row L2 norms of a 2-D numpy matrix with zeros mapped to inf — the
+    BLAS-kernel twin of :func:`cosine`'s try_divide: dividing by the
+    result turns a zero-norm (dead) row into an all-zero unit row whose
+    cosine with everything is exactly 0.0, so it never wins a top-k and
+    never emits NaN into scores (numpy would otherwise warn and
+    propagate NaN, which ranks FIRST under argpartition)."""
+    import numpy as np
+
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = np.inf
+    return n
 
 
 def max_abs(a: Column) -> Column:

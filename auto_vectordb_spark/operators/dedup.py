@@ -796,7 +796,7 @@ def embedding_neardup_pairs_blas(
         )
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    Mn = M / V.safe_row_norms(M)
     sc = vectors.sparkSession.sparkContext
     bm = sc.broadcast((ids, Mn))
 
@@ -806,7 +806,7 @@ def embedding_neardup_pairs_blas(
             if not len(pdf):
                 continue
             C = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / V.safe_row_norms(C)
             S = Cn @ Mn_b.T  # (block, N)
             bids = pdf[id_col].to_numpy()
             bi, mj = np.nonzero(S >= threshold)
@@ -903,7 +903,7 @@ def embedding_neardup_pairs_blas_bucketed(
         if len(pdf) < 2:
             return empty
         M = np.stack(pdf["vec"].map(lambda v: np.asarray(v, dtype=np.float64)))
-        Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+        Mn = M / V.safe_row_norms(M)
         S = Mn @ Mn.T
         ids = pdf["vid"].to_numpy()
         i, j = np.nonzero(S >= threshold)

@@ -294,7 +294,7 @@ def knn_exact_blas(
         )
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[query_vec], dtype=np.float64) for r in q_rows])
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = Q / V.safe_row_norms(Q)
     sc = corpus.sparkSession.sparkContext
     bq = sc.broadcast((qids, Qn))
 
@@ -306,7 +306,7 @@ def knn_exact_blas(
             if not len(pdf):
                 continue
             C = np.stack(pdf[corpus_vec].map(lambda v: np.asarray(v, dtype=np.float64)))
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = C / V.safe_row_norms(C)
             S = Cn @ Qn_b.T  # (rows, nq)
             if round_decimals is not None:
                 S = np.round(S, round_decimals)

@@ -3260,7 +3260,8 @@ def multimodal_audio_windows(spark, sf):
            CAST(len(embedding) AS INT) AS n_dims,
            round(sqrt({V.dot_sql('embedding', 'embedding')}), 6) AS l2_norm,
            round(CAST(embedding[1] AS DOUBLE)
-                 / sqrt({V.dot_sql('embedding', 'embedding')}), 6) AS e0_unit
+                 / nullif(sqrt({V.dot_sql('embedding', 'embedding')}), 0), 6)
+             AS e0_unit
     FROM embeddings
     WHERE len(embedding) = 64
     """,
@@ -3279,7 +3280,10 @@ def p6_dim_normalize(spark, sf):
         F.size("embedding").alias("n_dims"),
         F.round(nrm, 6).alias("l2_norm"),
         F.round(
-            F.element_at(V.as_double_array(F.col("embedding")), 1) / nrm, 6
+            F.try_divide(
+                F.element_at(V.as_double_array(F.col("embedding")), 1), nrm
+            ),
+            6,
         ).alias("e0_unit"),
     )
 

@@ -184,3 +184,78 @@ def test_wave2_profiling_ops_null_safe(dirty_sourced_docs):
     assert sum(r["n_docs"] for r in sk) == 5  # null weight doesn't drop the doc
     pct = length_percentiles(dirty_sourced_docs).collect()
     assert sum(r["n"] for r in pct) == 5
+
+
+@pytest.fixture(scope="module")
+def zero_norm_vectors(spark):
+    """A corpus containing a dead (all-zero) embedding — at 100 TB there
+    WILL be one, and a single row must never kill the job (the bare
+    double division throws DIVIDE_BY_ZERO under Spark's default ANSI
+    mode)."""
+    return spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.8, 0.6, 0.0]),
+            (3, [0.0, 0.0, 0.0]),  # dead vector
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_knn_exact_zero_norm_corpus_row(zero_norm_vectors):
+    from auto_vectordb_spark.operators.knn import knn_exact
+
+    q = zero_norm_vectors.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = knn_exact(q, zero_norm_vectors, k=3).collect()
+    # no exception, and the dead vector never wins a slot over live ones:
+    # its cosine is NULL, which sorts last under the desc top-k
+    got = [r["vec_id"] for r in rows]
+    assert got[0] == 1 and 3 not in got[:3] or rows[0]["score"] is not None
+    assert all(r["score"] is not None for r in rows if r["vec_id"] != 3)
+
+
+def test_knn_exact_zero_norm_query_scores_null(zero_norm_vectors):
+    from auto_vectordb_spark.functions import vector as V
+
+    df = zero_norm_vectors.select(
+        "vec_id",
+        V.cosine(F.col("embedding"), F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0))).alias("c"),
+    )
+    assert all(r["c"] is None for r in df.collect())
+
+
+def test_knn_blas_zero_norm_no_nan(zero_norm_vectors):
+    from auto_vectordb_spark.operators.knn import knn_exact_blas
+
+    q = zero_norm_vectors.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = knn_exact_blas(q, zero_norm_vectors, k=4).collect()
+    import math
+
+    scores = {r["vec_id"]: r["score"] for r in rows}
+    assert not any(math.isnan(s) for s in scores.values())
+    # the dead vector's cosine is exactly 0.0 in the BLAS kernel
+    assert scores.get(3, 0.0) == 0.0
+
+
+def test_embedding_neardup_zero_norm_never_pairs(zero_norm_vectors):
+    from auto_vectordb_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+
+    dup = zero_norm_vectors.union(
+        zero_norm_vectors.select(
+            (F.col("vec_id") + 10).alias("vec_id"), "embedding"
+        )
+    )
+    for fn in (embedding_neardup_pairs, embedding_neardup_pairs_blas):
+        pairs = fn(dup, threshold=0.95).collect()
+        ids = {x for r in pairs for x in (r["id_a"], r["id_b"])}
+        assert 3 not in ids and 13 not in ids, fn.__name__
+        # live exact duplicates still pair
+        assert any({r["id_a"], r["id_b"]} == {1, 11} for r in pairs), fn.__name__
