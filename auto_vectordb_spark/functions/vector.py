@@ -119,7 +119,7 @@ def quantize_int8(a: Column) -> tuple[Column, Column]:
     ad = as_double_array(a)
     amax = F.array_max(F.transform(ad, F.abs))
     scale = F.when(amax > 0.0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-    q = F.transform(ad, lambda x: F.round(x * scale).cast("int"))
+    q = F.transform(ad, lambda x: F.round(x * scale).try_cast("int"))
     return scale, q
 
 

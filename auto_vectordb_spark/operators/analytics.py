@@ -194,7 +194,7 @@ def source_embedding_drift(
         "source", F.posexplode(V.as_double_array(F.col(vec_col))).alias("dim", "x")
     )
     sums = ex.groupBy("source", "dim").agg(
-        F.sum(F.round(F.col("x") * F.lit(scale), 0).cast("long")).alias("sq"),
+        F.sum(F.round(F.col("x") * F.lit(scale), 0).try_cast("long")).alias("sq"),
         F.count("*").alias("n"),
     )
     # Each centroid element divides by ITS OWN (source, dim) count — the

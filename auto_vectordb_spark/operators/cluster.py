@@ -94,7 +94,7 @@ def centroid_means_exact(
     exploded = assigned.select(
         F.col(cluster_col).alias("cluster_id"),
         F.posexplode(V.as_double_array(F.col(vec_col))).alias("pos", "v"),
-    ).withColumn("qv", F.round(F.col("v") * _Q).cast("long"))
+    ).withColumn("qv", F.round(F.col("v") * _Q).try_cast("long"))
     sums = exploded.groupBy("cluster_id", "pos").agg(
         F.sum("qv").alias("s"), F.count("*").alias("n")
     )
@@ -141,7 +141,7 @@ def lloyd(
         assigned = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
         joined = vectors.join(assigned.select(id_col, "cluster_id", "dist"), id_col)
         stats = centroid_means_exact(joined, "cluster_id", vec_col)
-        agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).cast("long")).alias("qi"))
+        agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).try_cast("long")).alias("qi"))
         inertia.append(agg.first()["qi"] / 1_000_000)
         new = {r["cluster_id"]: list(r["centroid"]) for r in stats.collect()}
         centroids = [new.get(i, centroids[i]) for i in range(k)]
@@ -248,7 +248,7 @@ def mean_pool_exact_long(
     exploded = vectors.select(
         group_col.cast("long").alias("group_id"),
         F.posexplode(V.as_double_array(F.col(vec_col))).alias("pos", "v"),
-    ).withColumn("qv", F.round(F.col("v") * _Q).cast("long"))
+    ).withColumn("qv", F.round(F.col("v") * _Q).try_cast("long"))
     return (
         exploded.groupBy("group_id", "pos")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("qv").alias("s_q"))
@@ -303,7 +303,7 @@ def silhouette_centroid(
     s = F.when(b > 0, (b - a) / b).otherwise(F.lit(0.0))
     per_vec = vectors.select(
         cands[0]["cid"].alias("cluster_id"),
-        F.round(s * 1_000_000, 0).cast("long").alias("s_q"),
+        F.round(s * 1_000_000, 0).try_cast("long").alias("s_q"),
     )
     return (
         per_vec.groupBy("cluster_id")

@@ -187,8 +187,10 @@ def fertility_by_lang(
             # explicit exact-int64-sum / count (not avg()) — reduction-order
             # independent, bit-identical across engines (parity rule 1)
             F.round(F.sum("n_tok").cast("double") / F.count("*"), 6).alias("avg_tokens"),
+            # try_divide: a language whose every doc tokenizes empty
+            # reports NULL fertility instead of killing the job (ANSI)
             F.round(
-                F.sum("n_chr").cast("double") / F.sum("n_tok"), 6
+                F.try_divide(F.sum("n_chr").cast("double"), F.sum("n_tok")), 6
             ).alias("avg_chars_per_token"),
         )
     )

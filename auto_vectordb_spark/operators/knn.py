@@ -216,7 +216,7 @@ def mine_bitext_margin(
     bq = tgt.select(F.col(id_col).alias("query_id"), vec_col)
     fwd = knn_exact(fq, tgt, k=k, corpus_id=id_col, round_decimals=6)
     bwd = knn_exact(bq, src, k=k, corpus_id=id_col, round_decimals=6)
-    q6 = F.round(F.col("score") * F.lit(1_000_000)).cast("long")
+    q6 = F.round(F.col("score") * F.lit(1_000_000)).try_cast("long")
     a_src = fwd.groupBy("query_id").agg(
         F.sum(q6).alias("asum_q"), F.count("*").alias("an")
     )
@@ -865,7 +865,7 @@ def maxp_doc_scores(
                 F.col("chunk_id").alias("best_chunk"))
     )
     agg = scored.groupBy("query_id", "group_id").agg(
-        F.sum(F.round(F.col("score") * 1_000_000, 0).cast("long")).alias("sum_q"),
+        F.sum(F.round(F.col("score") * 1_000_000, 0).try_cast("long")).alias("sum_q"),
         F.count(F.lit(1)).alias("n_chunks"),
     )
     joined = best.join(agg, ["query_id", "group_id"]).select(

@@ -147,7 +147,7 @@ def maxsim_topk(
         .groupBy("qterm", "cterm")
         .agg(
             F.sum(
-                F.round(F.col("qw") * F.col("cw") * F.lit(DOT_SCALE), 0).cast("long")
+                F.round(F.col("qw") * F.col("cw") * F.lit(DOT_SCALE), 0).try_cast("long")
             ).alias("dot_q")
         )
     )

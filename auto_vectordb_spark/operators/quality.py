@@ -230,7 +230,13 @@ def train_quality_classifier(
 
     from ..functions.text import tokenize
 
-    prepped = labeled_docs.withColumn("__toks", tokenize(F.col(text_col)))
+    # coalesce: HashingTF NPEs on a NULL token array (null text), and a
+    # null-text doc must fail the row, not the fit — it featurizes as the
+    # empty bag
+    prepped = labeled_docs.withColumn(
+        "__toks",
+        F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")),
+    )
     tf = HashingTF(inputCol="__toks", outputCol="__feat", numFeatures=num_features)
     lr = LogisticRegression(
         featuresCol="__feat",
@@ -253,7 +259,12 @@ def score_quality_classifier(
 
     from ..functions.text import tokenize
 
-    out = model.transform(docs.withColumn("__toks", tokenize(F.col(text_col))))
+    out = model.transform(
+        docs.withColumn(
+            "__toks",
+            F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")),
+        )
+    )
     return out.select(
         F.col(id_col),
         F.round(vector_to_array("probability")[1], 6).alias("clf_quality"),

@@ -401,7 +401,7 @@ def term_drift_by_source(
     )
     p_s = F.col("c_st").cast("double") / F.col("t_s").cast("double")
     p_t = F.col("c_t").cast("double") / F.col("t_all").cast("double")
-    contrib_q = F.round(p_s * F.log(p_s / p_t) * F.lit(10.0**quant_scale)).cast("long")
+    contrib_q = F.round(p_s * F.log(p_s / p_t) * F.lit(10.0**quant_scale)).try_cast("long")
     return (
         joined.select("source", "term", contrib_q.alias("q"))
         .groupBy("source")
@@ -469,10 +469,10 @@ def zipf_fit(
     x, y = F.log("rank"), F.log("tf")
     sums = ranked.agg(
         F.count("*").alias("n"),
-        F.sum(F.round(x * F.lit(q)).cast("long")).alias("sx"),
-        F.sum(F.round(y * F.lit(q)).cast("long")).alias("sy"),
-        F.sum(F.round(x * y * F.lit(q)).cast("long")).alias("sxy"),
-        F.sum(F.round(x * x * F.lit(q)).cast("long")).alias("sxx"),
+        F.sum(F.round(x * F.lit(q)).try_cast("long")).alias("sx"),
+        F.sum(F.round(y * F.lit(q)).try_cast("long")).alias("sy"),
+        F.sum(F.round(x * y * F.lit(q)).try_cast("long")).alias("sxy"),
+        F.sum(F.round(x * x * F.lit(q)).try_cast("long")).alias("sxx"),
     )
     if raw_sums:
         return sums.select(
@@ -632,7 +632,7 @@ def cooccurrence_pmi(
         "n_xy",
         "n_x",
         "n_y",
-        F.round(F.log(ratio) * F.lit(10**quant_scale)).cast("long").alias(
+        F.round(F.log(ratio) * F.lit(10**quant_scale)).try_cast("long").alias(
             "pmi_q_micro"
         ),
     )
@@ -673,7 +673,7 @@ def token_entropy(
             )
         ).alias("slnc_q"),
     )
-    ln_n_q = F.round(F.log(F.col("n_tokens").cast("double")) * 1_000_000, 0).cast("long")
+    ln_n_q = F.round(F.log(F.col("n_tokens").cast("double")) * 1_000_000, 0).try_cast("long")
     return per.select(
         "doc_id",
         "n_tokens",

@@ -162,7 +162,7 @@ def _register(name: str, sql: str | None, doc: str = ""):
 
 def cents(col: F.Column, scale: int = 2) -> F.Column:
     """Exact-sum quantization: per-row round to 10^-scale as int64."""
-    return F.round(col * F.lit(10**scale), 0).cast("long")
+    return F.round(col * F.lit(10**scale), 0).try_cast("long")
 
 
 def cents_sql(expr: str, scale: int = 2) -> str:
@@ -3868,9 +3868,9 @@ def corpus_report(spark, sf):
         F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("p50_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.9)"), 4).alias("p90_tokens"),
         (F.count("*") - F.countDistinct("content_hash")).alias("n_exact_dups"),
-        F.round(F.sum("n_chars").cast("double") / F.sum("n_tokens"), 4).alias(
-            "chars_per_token"
-        ),
+        F.round(
+            F.try_divide(F.sum("n_chars").cast("double"), F.sum("n_tokens")), 4
+        ).alias("chars_per_token"),
     )
 
 
@@ -4128,7 +4128,12 @@ def csv_roundtrip(spark, sf):
         # read_csv passes through reader OPTIONS; CSV columns land as strings,
         # so types are restored with explicit casts (deterministic — no
         # inferSchema sampling pass)
-        back = SRC.read_csv(spark, path, quote='"').select(
+        # multiLine: text columns carry embedded newlines; without it the
+        # reader splits a quoted field across records (scale note: a
+        # multiLine CSV file is not splittable - parquet/jsonl are the
+        # formats for big corpora, CSV is the S9 compat surface)
+        back = SRC.read_csv(spark, path, quote='"', escape='"',
+                            multiLine=True).select(
             F.col("lang"),
             F.col("text"),
             F.col("n_chars").cast("bigint").alias("n_chars"),
@@ -4451,7 +4456,7 @@ def cluster_profile(spark, sf):
     return assigned.groupBy("cluster_id").agg(
         F.count("*").alias("n"),
         (
-            F.sum(F.round(F.col("dist") * 1_000_000).cast("long")).cast("double") / 1_000_000
+            F.sum(F.round(F.col("dist") * 1_000_000).try_cast("long")).cast("double") / 1_000_000
         ).alias("sum_dist"),
     )
 
@@ -5586,7 +5591,7 @@ def embedding_dim_stats(spark, sf):
     )
     return ex.groupBy("dim").agg(
         F.count("*").alias("n"),
-        F.sum(F.round(F.col("x") * 1000000, 0).cast("long")).alias("sum_q_micro"),
+        F.sum(F.round(F.col("x") * 1000000, 0).try_cast("long")).alias("sum_q_micro"),
         F.min("x").alias("min_v"),
         F.max("x").alias("max_v"),
     )
@@ -6738,7 +6743,7 @@ def quality_weighted_sample(spark, sf):
     q = TS.quality_score(t["documents"]).select("doc_id", "quality")
     keep = (
         H.stable_hash60(F.col("doc_id").cast("string")) % 1000000
-        < F.round(F.col("quality") * 1000000).cast("long")
+        < F.round(F.col("quality") * 1000000).try_cast("long")
     )
     return q.filter(keep)
 

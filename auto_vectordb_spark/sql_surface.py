@@ -52,7 +52,9 @@ _SCALARS = [
     """
     CREATE OR REPLACE TEMPORARY FUNCTION vec_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
     RETURNS DOUBLE
-    RETURN vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+    -- nullif mirrors functions/vector.py::cosine's try_divide:
+    -- a zero-norm (dead) vector scores NULL, never DIVIDE_BY_ZERO
+    RETURN vec_dot(a, b) / nullif(sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)), 0)
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION tokenize_text(s STRING)
@@ -77,7 +79,7 @@ WITH q AS (
 c AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS cv FROM embeddings),
 scored AS (
   SELECT q.query_id, c.vec_id,
-         round(vec_dot(q.qv, c.cv) / (q.qnorm * sqrt(vec_dot(c.cv, c.cv))), 6)
+         round(vec_dot(q.qv, c.cv) / nullif(q.qnorm * sqrt(vec_dot(c.cv, c.cv)), 0), 6)
            AS score
   FROM q CROSS JOIN c
 ),
@@ -150,8 +152,9 @@ vq AS (
 vs AS (
   SELECT c.vec_id AS doc_id,
          round(vec_dot(vq.qv, CAST(c.embedding AS ARRAY<DOUBLE>))
-               / (vq.qnorm * sqrt(vec_dot(CAST(c.embedding AS ARRAY<DOUBLE>),
-                                          CAST(c.embedding AS ARRAY<DOUBLE>)))),
+               / nullif(vq.qnorm * sqrt(vec_dot(CAST(c.embedding AS ARRAY<DOUBLE>),
+                                                CAST(c.embedding AS ARRAY<DOUBLE>))),
+                        0),
                6) AS knn
   FROM vq CROSS JOIN embeddings c
 ),

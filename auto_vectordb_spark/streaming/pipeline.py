@@ -53,7 +53,7 @@ def windowed_event_counts(
     """
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     # cent-quantized exact sum (see plans/parity.py determinism rule 1)
-    val_cents = F.round(F.col("value") * 100, 0).cast("long")
+    val_cents = F.round(F.col("value") * 100, 0).try_cast("long")
     return (
         src.groupBy(F.window(F.col(ts_col), window).alias("w"), F.col(key_col))
         .agg(
