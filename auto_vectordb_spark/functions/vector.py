@@ -44,8 +44,14 @@ def cosine(a: Column, b: Column) -> Column:
     DIVIDE_BY_ZERO and kill the whole job — the row must fail, not the
     job. NULL scores sort last under every desc top-k in this package
     (Spark desc = NULLS LAST), so dead vectors are naturally excluded.
-    DuckDB twin uses ``nullif(denom, 0)`` for the same semantics."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    DuckDB twin uses ``nullif(denom, 0)`` for the same semantics.
+
+    NaN inputs also map to NULL (via :func:`nan_to_null`): Spark orders
+    NaN as the LARGEST double, so a single NaN embedding would otherwise
+    WIN every desc top-k — silent retrieval corruption, worse than the
+    crash. (The numpy BLAS kernels are naturally safe: -NaN sorts last
+    under argpartition.)"""
+    return nan_to_null(F.try_divide(dot(a, b), norm(a) * norm(b)))
 
 
 def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
@@ -54,7 +60,15 @@ def cosine_with_norms(a: Column, b: Column, norm_a: Column, norm_b: Column) -> C
     but the O(n²) pair stage only evaluates ONE array reduction instead of
     three. Precompute norms (and the array<double> cast) per vector BEFORE
     the pair join."""
-    return F.try_divide(dot(a, b), norm_a * norm_b)
+    return nan_to_null(F.try_divide(dot(a, b), norm_a * norm_b))
+
+
+def nan_to_null(c: Column) -> Column:
+    """NaN → NULL for a double column; NULL passes through. ``nanvl``
+    evaluates its input ONCE — a when(isnan(c)).otherwise(c) would
+    evaluate the full cosine expression twice in the O(n·q) pair stage.
+    DuckDB twin: ``CASE WHEN isnan(x) THEN NULL ELSE x END``."""
+    return F.nanvl(c, F.lit(None).cast("double"))
 
 
 def dim_guard(df: DataFrame, col: str, dim: int = EMBEDDING_DIM) -> DataFrame:

@@ -259,3 +259,23 @@ def test_embedding_neardup_zero_norm_never_pairs(zero_norm_vectors):
         assert 3 not in ids and 13 not in ids, fn.__name__
         # live exact duplicates still pair
         assert any({r["id_a"], r["id_b"]} == {1, 11} for r in pairs), fn.__name__
+
+
+def test_nan_embedding_never_wins_topk(spark):
+    """Spark orders NaN as the LARGEST double, so without the nan_to_null
+    guard inside cosine a single NaN embedding wins EVERY desc top-k —
+    silent retrieval corruption. NaN and zero-norm both score NULL and
+    sort last."""
+    from auto_vectordb_spark.operators.knn import knn_exact
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [float("nan"), 1.0]),
+         (4, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = knn_exact(q, vecs, k=4).collect()
+    assert [r["vec_id"] for r in rows[:2]] == [1, 2]
+    assert all(r["score"] is None for r in rows if r["vec_id"] in (3, 4))
