@@ -7910,9 +7910,9 @@ def curation_funnel(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard",
-    "dedup_sentence_removal",
+    "events_sessionize",
+    "events_user_gaps",
+    "events_value_rank_stats",
     "term_drift_by_source",
     "hard_negative_mining",
     "vocab_growth_curve",
@@ -7941,25 +7941,25 @@ _ATTEST_WINDOW = [
     "source_length_percentiles",
     "token_entropy",
     "curation_funnel",
-    "decontaminate_docs",
-    "cluster_assign",
-    "dedup_span_removal",
-    "more_like_this",
-    "text_scrub",
-    "text_repetition",
-    "text_bpe_tokens",
-    "substring_dup_spans",
-    "dedup_components",
-    "dedup_apply_keep_one",
-    "dedup_incremental",
-    "knn_pq_adc",
-    "cluster_profile",
-    "dedup_minhash_lsh_pairs",
-    "hybrid_search",
-    "pq_encode",
-    "dedup_apply_keep_best",
-    "knn_filtered",
-    "semantic_search_e2e",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "join_broadcast_part",
+    "rollup_counts",
+    "events_json_extract",
+    "events_hourly",
+    "q6_revenue_filter",
+    "window_running_revenue",
+    "having_big_orders",
+    "events_pivot",
+    "skew_salted_join",
+    "events_ntile",
+    "q2_cheapest_supplier",
+    "q7_bination_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_revenue_topk",
+    "q11_value_share",
+    "q14_promo_share",
 ]
 
 
