@@ -415,3 +415,72 @@ def test_levenshtein_unicode_divergence_is_known(sql_one):
     want = duckdb.execute("SELECT levenshtein(?, ?)", ["", "\xa0"]).fetchone()[0]
     assert got == 1  # one code point
     assert want == 2  # two UTF-8 bytes
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    a=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=2, max_size=8,
+    ),
+    b=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=2, max_size=8,
+    ),
+)
+def test_cosine_guarded_matches_bare_division(sql_one, a, b):
+    """The round-6 robustness wrapper (nanvl ∘ try_divide) must be
+    BIT-IDENTICAL to bare division whenever both vectors have non-zero
+    norm — that identity is what keeps the oracle parity of every cosine
+    entry intact — and NULL exactly when either norm is zero."""
+    import math
+
+    from auto_vectordb_spark.functions import vector as V
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    got = sql_one(
+        V.cosine(F.col("a").cast("array<double>"), F.col("b").cast("array<double>")),
+        a=a, b=b,
+    )
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    if na == 0.0 or nb == 0.0:
+        assert got is None
+        return
+    # python float ops are IEEE doubles — same sequential fold order
+    dot = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    want = dot / (na * nb)
+    if math.isnan(want):
+        assert got is None
+    else:
+        assert got == want  # bit-exact, not approx
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    rows=st.lists(
+        st.lists(
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+            min_size=3, max_size=3,
+        ),
+        min_size=1, max_size=6,
+    )
+)
+def test_safe_row_norms_matches_numpy_on_live_rows(rows):
+    import numpy as np
+
+    from auto_vectordb_spark.functions.vector import safe_row_norms
+
+    m = np.array(rows, dtype=np.float64)
+    got = safe_row_norms(m)
+    raw = np.linalg.norm(m, axis=1, keepdims=True)
+    live = raw[:, 0] != 0
+    assert (got[live] == raw[live]).all()
+    assert np.isinf(got[~live]).all()
+    # the contract: dividing never warns/NaNs, dead rows normalize to 0
+    normed = m / got
+    assert not np.isnan(normed).any()
+    assert (normed[~live] == 0.0).all()
