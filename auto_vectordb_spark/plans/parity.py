@@ -7275,9 +7275,13 @@ def cooccurrence_pmi(spark, sf):
       CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
     ),
     sums AS (
+      -- count(x), NOT count(*): the 1..64 cross join pads ragged/short
+      -- vectors with NULL x rows, which count(*) would include — the
+      -- engine divides each centroid element by its posexplode-derived
+      -- per-(source, dim) count of PRESENT dims, so the oracle must too
       SELECT source, dim,
              CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sq,
-             count(*) AS n
+             count(x) AS n
       FROM ex GROUP BY source, dim
     ),
     vecs AS MATERIALIZED (

@@ -52,9 +52,14 @@ _SCALARS = [
     """
     CREATE OR REPLACE TEMPORARY FUNCTION vec_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
     RETURNS DOUBLE
-    -- nullif mirrors functions/vector.py::cosine's try_divide:
-    -- a zero-norm (dead) vector scores NULL, never DIVIDE_BY_ZERO
-    RETURN vec_dot(a, b) / nullif(sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)), 0)
+    -- nullif + nanvl mirror functions/vector.py::cosine's
+    -- nan_to_null(try_divide(...)): a zero-norm (dead) vector scores NULL
+    -- (never DIVIDE_BY_ZERO), and a NaN-element vector scores NULL too —
+    -- Spark orders NaN as the LARGEST double, so without nanvl a single
+    -- NaN embedding would WIN every ORDER BY score DESC top-k
+    RETURN nanvl(
+        vec_dot(a, b) / nullif(sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)), 0),
+        CAST(NULL AS DOUBLE))
     """,
     f"""
     CREATE OR REPLACE TEMPORARY FUNCTION tokenize_text(s STRING)
@@ -78,8 +83,12 @@ WITH q AS (
 ),
 c AS (SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS cv FROM embeddings),
 scored AS (
+  -- nanvl mirrors vec_cosine: a NaN-element corpus row must score NULL
+  -- (sorts LAST under DESC), never NaN (sorts FIRST — silent corruption)
   SELECT q.query_id, c.vec_id,
-         round(vec_dot(q.qv, c.cv) / nullif(q.qnorm * sqrt(vec_dot(c.cv, c.cv)), 0), 6)
+         round(nanvl(vec_dot(q.qv, c.cv)
+                     / nullif(q.qnorm * sqrt(vec_dot(c.cv, c.cv)), 0),
+                     CAST(NULL AS DOUBLE)), 6)
            AS score
   FROM q CROSS JOIN c
 ),
@@ -150,11 +159,14 @@ vq AS (
   FROM embeddings WHERE vec_id = qid
 ),
 vs AS (
+  -- nanvl as in similarity_top_k: NaN embeddings score NULL, and the
+  -- COALESCE in fused then treats them as a zero vector-leg contribution
   SELECT c.vec_id AS doc_id,
-         round(vec_dot(vq.qv, CAST(c.embedding AS ARRAY<DOUBLE>))
+         round(nanvl(vec_dot(vq.qv, CAST(c.embedding AS ARRAY<DOUBLE>))
                / nullif(vq.qnorm * sqrt(vec_dot(CAST(c.embedding AS ARRAY<DOUBLE>),
                                                 CAST(c.embedding AS ARRAY<DOUBLE>))),
                         0),
+               CAST(NULL AS DOUBLE)),
                6) AS knn
   FROM vq CROSS JOIN embeddings c
 ),

@@ -130,6 +130,46 @@ def test_source_embedding_drift_ragged_vectors_divide_per_dim(spark):
     assert math.isclose(row["cos"], 1.0, abs_tol=1e-6)
 
 
+def test_source_embedding_drift_oracle_matches_engine_on_ragged(spark):
+    """Cross-engine pin of the round-6 advice: the oracle's dim cross
+    join pads ragged vectors with NULL-x rows, which its old count(*)
+    per-dim n included — diverging from the engine's posexplode-derived
+    count of PRESENT dims (oracle sA dim1 mean 2.0/2 vs engine 2.0/1).
+    With count(x) both engines divide by the same per-dim count. The
+    probe range is shrunk 65→3 so the scenario's 1-dim vector is ragged
+    relative to it without needing 64-dim fixtures."""
+    import math
+
+    import duckdb
+
+    from auto_vectordb_spark.operators import analytics as AN
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    emb_rows = [(0, [1.0, 2.0]), (1, [1.0]), (2, [1.0, 2.0])]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(0, "sA"), (1, "sA"), (2, "sB")], ["doc_id", "source"]
+    )
+    got = AN.source_embedding_drift(emb, docs).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE embeddings AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, {v!r}::DOUBLE[])" for i, v in emb_rows)
+        + ") t(vec_id, embedding)"
+    )
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM "
+        "(VALUES (0, 'sA'), (1, 'sA'), (2, 'sB')) t(doc_id, source)"
+    )
+    sql = REGISTRY["source_embedding_drift"].sql.replace(
+        "range(1, 65)", "range(1, 3)"
+    )
+    want = con.execute(sql).fetchone()
+    assert (got["src_a"], got["src_b"], got["n_a"], got["n_b"]) == want[:4]
+    assert math.isclose(got["cos"], want[4], abs_tol=1e-9)
+
+
 def test_recency_weighted_volume_exact_dyadic_weights(spark):
     import datetime as dt
     from pyspark.sql import functions as F

@@ -239,3 +239,32 @@ def test_attest_window_matches_generator_artifact():
         "parity._ATTEST_WINDOW differs from the generator artifact "
         f"{arts[-1]} — rerun tools/next_window.py and paste verbatim"
     )
+
+
+def test_next_window_refuses_uncommitted_ledger():
+    """Round-6 verdict #3: tools/next_window.py must ABORT when a
+    CORRECTNESS_r*.json exists on disk but has no ADD commit in git —
+    otherwise its freshly-attested entries are silently mis-counted as
+    stale (r6: 137 reported vs 87 true) and a window rotated over that
+    output wastes its slots re-attesting already-green entries."""
+    import os
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import next_window as NW
+    finally:
+        sys.path.pop(0)
+
+    fake = "/root/repo/CORRECTNESS_r99.json"
+    assert not os.path.exists(fake)
+    open(fake, "w").write("{}")
+    try:
+        with pytest.raises(SystemExit, match="uncommitted"):
+            NW._graded_commit("CORRECTNESS_r99.json")
+    finally:
+        os.unlink(fake)
+    # committed ledgers still resolve to the graded tree (parent commit)
+    assert NW._graded_commit("CORRECTNESS_r01.json").endswith("^")

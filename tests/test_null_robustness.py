@@ -213,7 +213,8 @@ def test_knn_exact_zero_norm_corpus_row(zero_norm_vectors):
     # no exception, and the dead vector never wins a slot over live ones:
     # its cosine is NULL, which sorts last under the desc top-k
     got = [r["vec_id"] for r in rows]
-    assert got[0] == 1 and 3 not in got[:3] or rows[0]["score"] is not None
+    assert got[0] == 1
+    assert 3 not in got[:3]
     assert all(r["score"] is not None for r in rows if r["vec_id"] != 3)
 
 

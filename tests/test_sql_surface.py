@@ -73,6 +73,44 @@ def test_hybrid_top_k_min_score_and_k(surface):
     assert strict == []
 
 
+def test_nan_embedding_scores_null_and_never_wins_topk(surface, sf_dir):
+    """Round-6 advice: the NaN→NULL guard must cover the SQL surface too.
+    Spark orders NaN as the LARGEST double, so without nanvl a single
+    NaN-element corpus row silently WINS every ORDER BY score DESC top-k
+    — the exact corruption mode functions/vector.py::cosine closes for
+    the DataFrame operators."""
+    row = surface.sql(
+        "SELECT vec_cosine(array(double('nan'), 1.0D), array(1.0D, 0.0D)) AS c"
+    ).collect()[0]
+    assert row["c"] is None  # NULL, not NaN
+
+    surface.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [float("nan"), 1.0]),  # would rank FIRST without nanvl
+            (4, [0.0, 0.0]),           # dead vector: zero norm
+        ],
+        "vec_id long, embedding array<double>",
+    ).createOrReplaceTempView("embeddings")
+    try:
+        rows = surface.sql("SELECT * FROM similarity_top_k(1, 3)").collect()
+        assert [r["vec_id"] for r in rows][:2] == [1, 2]  # live rows first
+        for r in rows:
+            if r["vec_id"] in (3, 4):
+                assert r["score"] is None  # NULL, never NaN
+            else:
+                assert r["score"] == r["score"]  # no NaN leaked
+        # hybrid's vector leg: NaN knn becomes NULL -> COALESCE 0, so the
+        # fused score is finite for every returned doc
+        fused = surface.sql(
+            "SELECT * FROM hybrid_top_k(3, 'spark join filter', 5, -100.0)"
+        ).collect()
+        assert fused and all(r["score"] == r["score"] for r in fused)
+    finally:
+        load_views(surface, sf_dir)  # restore the parquet-backed view
+
+
 def test_tvf_plans_are_jvm_only(surface):
     for stmt in [
         "SELECT * FROM similarity_top_k(0, 10)",

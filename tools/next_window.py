@@ -116,7 +116,17 @@ def _graded_commit(correctness_path: str) -> str | None:
     )
     lines = r.stdout.split()
     if not lines:
-        return None
+        # Round-6 verdict #3: an on-disk but UNCOMMITTED ledger has no ADD
+        # commit, so every entry it freshly attested would silently be
+        # mis-counted as stale (r6 saw 137 reported vs 87 true) — and a
+        # window rotated over that output would squander its slots
+        # re-attesting already-green entries. Refuse loudly instead.
+        raise SystemExit(
+            f"{correctness_path} exists on disk but git has no commit adding "
+            "it: the round's ledger is uncommitted, so staleness output would "
+            "be wrong. Commit the artifact (artifact-only commit) first, "
+            "then re-run."
+        )
     commit = lines[-1]
     touched = subprocess.run(
         ["git", "-C", "/root/repo", "show", "--name-only", "--format=", commit],
