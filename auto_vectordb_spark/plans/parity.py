@@ -7909,61 +7909,61 @@ def curation_funnel(spark, sf):
 #
 # This list is the VERBATIM output of ``python tools/next_window.py`` on
 # the final round tree — no hand curation (round-5 verdict #5). The raw
-# tool stdout is committed alongside as tools/window_r06.out and
+# tool stdout is committed alongside as tools/window_r07.out and
 # tests/test_entry_contract.py asserts this list equals the artifact, so
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "events_sessionize",
-    "events_user_gaps",
-    "events_value_rank_stats",
-    "term_drift_by_source",
-    "hard_negative_mining",
-    "vocab_growth_curve",
-    "oov_rate_by_lang",
-    "rag_context_pack",
-    "maxsim_late_interaction",
+    "embed_documents",
     "embedding_gram_matrix",
-    "bitext_margin_mining",
-    "ann_recall_eval",
-    "quality_calibration",
-    "cooccurrence_pmi",
-    "source_embedding_drift",
-    "table_profile",
-    "shard_skew_report",
-    "sequence_packing",
-    "ngram_novelty",
-    "dedup_ngram_containment",
-    "neardup_levenshtein_pairs",
-    "doc_embedding_mean_pool",
-    "prf_query_expansion",
-    "knn_maxp_docs",
-    "cluster_silhouette",
-    "events_recency_volume",
-    "ccnet_perplexity_buckets",
-    "semantic_decontaminate",
-    "source_length_percentiles",
-    "token_entropy",
-    "curation_funnel",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "join_broadcast_part",
-    "rollup_counts",
-    "events_json_extract",
-    "events_hourly",
-    "q6_revenue_filter",
-    "window_running_revenue",
-    "having_big_orders",
-    "events_pivot",
-    "skew_salted_join",
-    "events_ntile",
-    "q2_cheapest_supplier",
-    "q7_bination_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_revenue_topk",
-    "q11_value_share",
-    "q14_promo_share",
+    "event_transitions",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_heavy_suppliers",
+    "q22_idle_balance",
+    "decontaminate_docs",
+    "cluster_assign",
+    "dedup_span_removal",
+    "more_like_this",
+    "events_session_window",
+    "events_sliding_windows",
+    "events_moving_avg",
+    "text_scrub",
+    "text_repetition",
+    "text_bpe_tokens",
+    "substring_dup_spans",
+    "dedup_components",
+    "dedup_apply_keep_one",
+    "dedup_incremental",
+    "knn_pq_adc",
+    "cluster_profile",
+    "p6_dim_normalize",
+    "q1_pricing_summary",
+    "dedup_minhash_lsh_pairs",
+    "hybrid_search",
+    "pq_encode",
+    "dedup_apply_keep_best",
+    "knn_filtered",
+    "semantic_search_e2e",
+    "rerank_hybrid",
+    "corpus_report",
+    "sql_similarity_topk",
+    "sql_bm25_topk",
+    "sql_hybrid_topk",
+    "staging_lifecycle",
+    "csv_roundtrip",
+    "embedding_quantize_int8",
+    "knn_int8_topk",
+    "cluster_kmeans_lloyd",
+    "embedding_outliers",
+    "domain_rebalance_uniform",
+    "gopher_rules",
+    "fertility_by_lang",
+    "keyword_tfidf_topk",
+    "mmr_rerank",
+    "semdedup_pairs",
 ]
 
 
