@@ -60,6 +60,17 @@ def assign_centroids(
     by (rounded distance, cluster id), zero shuffle, zero join. This is the
     plan that survives 100 TB: assignment cost is exactly one corpus scan.
     """
+    if not centroids:
+        # a quantizer trained on an empty slice has no cells — the
+        # well-defined degenerate result is an EMPTY assignment with the
+        # normal schema, not an analysis-time crash on array_min(array())
+        # (whose element type is VOID); at 100 TB an empty source/day
+        # partition is routine and must not kill the job
+        return vectors.select(
+            F.col(id_col),
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("double").alias("dist"),
+        ).where(F.lit(False))
     v = V.as_double_array(F.col(vec_col))
     candidates = F.array(
         *[
@@ -136,6 +147,13 @@ def lloyd(
         .collect()
     )
     centroids: list[list[float]] = [list(r["c"]) for r in first]
+    if not centroids:
+        # empty input: no seeds, no iterations — empty assignment out
+        return (
+            assign_centroids(vectors, [], vec_col=vec_col, id_col=id_col),
+            [],
+            [],
+        )
     inertia: list[float] = []
     for _ in range(iters):
         assigned = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
@@ -285,6 +303,18 @@ def silhouette_centroid(
     a single codegen'd projection (array_sort of (d, cid) structs), the
     same zero-join shape as assign_centroids.
     """
+    if len(centroids) < 2:
+        # silhouette needs a nearest AND second-nearest centroid; with an
+        # empty or single-cell quantizer (empty training slice) the score
+        # is undefined — emit the empty table with the normal schema
+        # rather than crash (k=0: VOID array_sort; k=1: ANSI
+        # INVALID_ARRAY_INDEX on cands[1] at runtime)
+        return vectors.select(
+            F.lit(None).cast("int").alias("cluster_id"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("long").alias("sum_s_q"),
+            F.lit(None).cast("double").alias("mean_s"),
+        ).where(F.lit(False))
     v = V.as_double_array(F.col(vec_col))
     cands = F.array_sort(
         F.array(

@@ -55,6 +55,10 @@ def pq_codebooks_seed(
         .select(V.as_double_array(F.col(vec_col)).alias("v"))
         .collect()
     )
+    if not rows:
+        # empty training slice: no codebooks — every consumer below
+        # degrades to an empty encode/search result instead of crashing
+        return []
     d = len(rows[0]["v"])
     sub = d // m
     return [
@@ -79,7 +83,10 @@ def pq_codebooks_kmeans(
 
     df = vectors if sample_fraction is None else vectors.sample(sample_fraction, seed=seed)
     v = V.as_double_array(F.col(vec_col))
-    d = len(df.select(v.alias("v")).first()["v"])
+    row = df.select(v.alias("v")).first()
+    if row is None:
+        return []  # empty training slice — same degenerate contract as seed
+    d = len(row["v"])
     sub = d // m
     books = []
     for j in range(m):
@@ -112,6 +119,8 @@ def pq_encode(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """(id, codes array<int>) — map-only encode against literal codebooks."""
+    if not codebooks:
+        return _empty_codes(vectors, id_col)
     v = V.as_double_array(F.col(vec_col))
     sub = len(codebooks[0][0])
     codes = F.array(
@@ -121,6 +130,28 @@ def pq_encode(
         ]
     )
     return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def _empty_codes(vectors: DataFrame, id_col: str) -> DataFrame:
+    """Empty (id, codes) frame with the normal encode schema — the
+    degenerate result when the codebooks were trained on an empty slice."""
+    return vectors.select(
+        F.col(id_col), F.lit(None).cast("array<int>").alias("codes")
+    ).where(F.lit(False))
+
+
+def _empty_topk(queries: DataFrame, codes: DataFrame, corpus_id: str) -> DataFrame:
+    """Empty (query_id, corpus_id, adist) frame with the normal ADC top-k
+    schema — searching with no codebooks returns no neighbors."""
+    return (
+        queries.crossJoin(codes)
+        .select(
+            F.col("query_id"),
+            F.col(corpus_id),
+            F.lit(None).cast("double").alias("adist"),
+        )
+        .where(F.lit(False))
+    )
 
 
 def _codebook_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
@@ -152,6 +183,8 @@ def pq_encode_broadcast(
     data-driven codebooks; encode is a one-off batch job, search stays on
     the compact codes.)
     """
+    if not codebooks:
+        return _empty_codes(vectors, id_col)
     v = V.as_double_array(F.col(vec_col))
     sub = len(codebooks[0][0])
     cb = _codebook_df(vectors.sparkSession, codebooks)
@@ -188,6 +221,8 @@ def pq_adc_topk_broadcast(
     broadcast-crossJoin scoring is the same m element_at lookups + exact
     int sum as the literal path; the code table still never shuffles.
     """
+    if not codebooks:
+        return _empty_topk(queries, codes, corpus_id)
     qv = V.as_double_array(F.col(query_vec))
     sub = len(codebooks[0][0])
     m = len(codebooks)
@@ -236,6 +271,8 @@ def ivf_pq_topk_broadcast(
     centroid_id; the code table never shuffles and at scale its
     partitionBy("centroid_id") layout prunes the scan to ~nprobe/n_cells).
     """
+    if not codebooks:
+        return _empty_topk(queries, codes_indexed, corpus_id)
     qv = V.as_double_array(F.col(query_vec))
     sub = len(codebooks[0][0])
     m = len(codebooks)
@@ -326,6 +363,8 @@ def pq_adc_topk(
     table is the ONLY corpus-side input — at scale this reads ~1.5 % of the
     float bytes and still never shuffles the big side.
     """
+    if not codebooks:
+        return _empty_topk(queries, codes, corpus_id)
     q = F.broadcast(queries.select(F.col("query_id"), *_query_dtables(query_vec, codebooks)))
     scored = q.crossJoin(codes).select(
         "query_id",
@@ -365,6 +404,8 @@ def ivf_pq_topk(
     broadcast(probes × query dtables) ⋈ codes on centroid_id; the code
     table is never shuffled.
     """
+    if not codebooks:
+        return _empty_topk(queries, codes_indexed, corpus_id)
     qv = V.as_double_array(F.col(query_vec))
     cscored = queries.select(F.col("query_id"), qv.alias("__qv")).crossJoin(
         F.broadcast(

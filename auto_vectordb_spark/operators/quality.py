@@ -237,6 +237,15 @@ def train_quality_classifier(
         "__toks",
         F.coalesce(tokenize(F.col(text_col)), F.array().cast("array<string>")),
     )
+    if prepped.isEmpty():
+        # training on zero examples has no degenerate model — fail LOUDLY
+        # with a typed, actionable error instead of MLlib's opaque
+        # "Nothing has been added to this summarizer" (an empty labeled
+        # slice upstream is an orchestration bug the operator must name)
+        raise ValueError(
+            "train_quality_classifier: labeled_docs has no rows — cannot "
+            "fit a classifier on an empty training slice"
+        )
     tf = HashingTF(inputCol="__toks", outputCol="__feat", numFeatures=num_features)
     lr = LogisticRegression(
         featuresCol="__feat",

@@ -6719,7 +6719,16 @@ def quality_classifier_score(spark, sf):
         "doc_id", F.col("keep").cast("int").alias("label")
     )
     data = docs.join(labels, "doc_id")
-    model = Q.train_quality_classifier(data.filter(F.col("doc_id") % 2 == 0))
+    try:
+        model = Q.train_quality_classifier(data.filter(F.col("doc_id") % 2 == 0))
+    except ValueError:
+        # empty corpus slice: nothing to train on, nothing to score —
+        # the end-to-end entry degrades to the empty scored table
+        return docs.select(
+            "doc_id",
+            F.lit(None).cast("double").alias("clf_quality"),
+            F.lit(None).cast("int").alias("predicted"),
+        ).where(F.lit(False))
     return Q.score_quality_classifier(model, docs.filter(F.col("doc_id") % 2 == 1))
 
 

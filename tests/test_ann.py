@@ -457,3 +457,41 @@ def test_maxp_doc_scores_rolls_up_chunks(spark, sf_dir):
                       key=lambda r: (-r["maxp"], r["group_id"]))
         assert top_doc["group_id"] == cid // 4
         assert top_doc["maxp"] == s
+
+
+def test_pq_empty_training_slice_degrades_end_to_end(spark):
+    """Empty-input contract (SCALE.md r7): codebooks trained on an empty
+    sample are [], and every encode/ADC-search consumer returns the empty
+    frame with its normal schema — train-then-apply composes over an
+    empty slice without crashing."""
+    from auto_vectordb_spark.operators import pq as PQ
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+
+    assert PQ.pq_codebooks_seed(empty) == []
+    assert PQ.pq_codebooks_kmeans(empty) == []
+
+    codes = PQ.pq_encode(empty, [])
+    assert codes.collect() == []
+    assert [f.name for f in codes.schema] == ["vec_id", "codes"]
+    assert codes.schema["codes"].dataType.simpleString() == "array<int>"
+    assert PQ.pq_encode_broadcast(empty, []).collect() == []
+
+    for fn in (PQ.pq_adc_topk, PQ.pq_adc_topk_broadcast):
+        out = fn(queries, codes, [])
+        assert out.collect() == []
+        assert [f.name for f in out.schema] == ["query_id", "vec_id", "adist"]
+
+    cents = spark.createDataFrame(
+        [], "centroid_id long, centroid array<double>"
+    )
+    idx = spark.createDataFrame(
+        [], "vec_id long, centroid_id long, codes array<int>"
+    )
+    for fn in (PQ.ivf_pq_topk, PQ.ivf_pq_topk_broadcast):
+        out = fn(queries, idx, cents, [])
+        assert out.collect() == []
+        assert [f.name for f in out.schema] == ["query_id", "vec_id", "adist"]

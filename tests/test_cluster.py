@@ -269,3 +269,29 @@ def test_silhouette_centroid_bounds_and_degenerate_cases(spark):
         assert r["mean_s"] > 0.99  # tight, well-separated clusters
     dup = CL.silhouette_centroid(vecs, [[0.0, 0.0], [0.0, 0.0]]).collect()
     assert all(r["sum_s_q"] == 0 for r in dup)  # b == a everywhere
+
+
+def test_empty_quantizer_degrades_to_empty_results(spark):
+    """Empty-input contract (SCALE.md r7): a quantizer trained on an empty
+    slice has no cells — assignment/silhouette/lloyd must return EMPTY
+    frames with the normal schemas, never crash at analysis time on
+    array_min(array()) over VOID."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    empty = vecs.where("vec_id < 0")
+
+    a = CL.assign_centroids(vecs, [])
+    assert a.collect() == []
+    assert [f.name for f in a.schema] == ["vec_id", "cluster_id", "dist"]
+    assert a.schema["cluster_id"].dataType.simpleString() == "int"
+    assert a.schema["dist"].dataType.simpleString() == "double"
+
+    s = CL.silhouette_centroid(vecs, [])
+    assert s.collect() == []
+    assert [f.name for f in s.schema] == ["cluster_id", "n", "sum_s_q", "mean_s"]
+    # k=1 is equally degenerate: no second-nearest centroid exists
+    assert CL.silhouette_centroid(vecs, [[0.0, 0.0]]).collect() == []
+
+    assigned, cents, inertia = CL.lloyd(empty, k=4, iters=2)
+    assert assigned.collect() == [] and cents == [] and inertia == []

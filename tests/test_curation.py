@@ -286,3 +286,14 @@ def test_curation_funnel_partitions_corpus_first_fail(spark, tables):
     losers = docs.count() - exact_dedup(docs).count()
     got_dup = sum(r["n_docs"] for r in rows if r["stage"] == "1_dup")
     assert got_dup == losers
+
+
+def test_train_quality_classifier_empty_slice_raises_typed_error(spark):
+    """Empty-input contract (SCALE.md r7): training on zero examples has
+    no degenerate model — the operator must fail LOUDLY with an error
+    naming the cause, not MLlib's opaque summarizer failure."""
+    from auto_vectordb_spark.operators import quality as Q
+
+    empty = spark.createDataFrame([], "doc_id long, text string, label int")
+    with pytest.raises(ValueError, match="empty training slice"):
+        Q.train_quality_classifier(empty)

@@ -1,0 +1,61 @@
+"""Empty-mirror gate: every registry entry must survive ZERO-ROW tables.
+
+The dirty mirror (test_dirty_mirror.py) covers MALFORMED rows; this gate
+covers ABSENT rows — at 100 TB an empty slice is routine (a source with no
+documents today, an events partition with no rows for an hour, an
+embeddings shard that filtered to nothing). A distributed job over an
+empty slice must produce an empty (or well-defined degenerate) result —
+never an analysis-time crash on array_min(array()) over zero trained
+centroids, an IndexError on rows[0] of an empty codebook sample, or an
+opaque MLlib fit failure. First run of this gate (round 7) found 14
+entries dying on empty input; 9 were fixed (cluster/PQ empty-quantizer
+guards, loud typed error + entry-level degrade for the classifier) and 5
+are documented deferrals below.
+
+Policy mirror of the dirty gate: zero exceptions outside the deferred
+set; row counts are free (they will be 0).
+"""
+
+import sys
+
+import pytest
+
+from auto_vectordb_spark.plans.parity import REGISTRY
+
+sys.path.insert(0, "/root/repo/tools")
+from empty_probe import make_empty_dir  # noqa: E402
+
+# Known empty-input crashers, deferred to the post-backlog round because
+# the fixes edit operators/knn.py (+5 fresh attestations staled) and
+# operators/dedup.py (+4) — over the round-7/8 re-attestation window
+# budget (see SCALE.md "Empty-input contract"). Each dies in a numpy
+# stack / Spark-ML fit over an empty corpus sample:
+DEFERRED_EMPTY_CRASHERS = {
+    "ann_lsh_topk",               # BucketedRandomProjectionLSH.fit on empty
+    "knn_blas_topk",              # np.stack([]) in the Arrow kernel
+    "dedup_embedding_blas",       # first() -> None subscript
+    "dedup_embedding_blas_exact", # np.stack([]) in the Arrow kernel
+    "dedup_embedding_lsh",        # first() -> None subscript
+}
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("empty_sf")
+    make_empty_dir(str(dst))
+    return str(dst)
+
+
+def test_all_entries_survive_empty_tables(spark, empty_dir):
+    failures = {}
+    for name, q in REGISTRY.items():
+        if name in DEFERRED_EMPTY_CRASHERS:
+            continue
+        try:
+            q.spark(spark, empty_dir).collect()
+        except Exception as e:  # noqa: BLE001 — any crash is the finding
+            failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
+    assert not failures, (
+        f"{len(failures)} entries die on EMPTY tables (an empty slice must "
+        f"yield an empty result, not kill the job): {failures}"
+    )
