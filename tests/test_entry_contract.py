@@ -268,3 +268,30 @@ def test_next_window_refuses_uncommitted_ledger():
         os.unlink(fake)
     # committed ledgers still resolve to the graded tree (parent commit)
     assert NW._graded_commit("CORRECTNESS_r01.json").endswith("^")
+
+
+def test_blast_radius_dependents_track_the_fingerprint():
+    """tools/blast_radius.py must see the same dependency edges as the
+    staleness gate it fronts (it reuses next_window's own machinery; this
+    pins the wiring): a bm25 entry depends on operators/bm25.py, a dedup
+    entry on operators/dedup.py AND its one-level functions/hashing.py
+    dep, and a pure-TPC-H entry on neither."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    try:
+        import blast_radius as BR
+    finally:
+        sys.path.pop(0)
+
+    targets = {
+        "auto_vectordb_spark/operators/bm25.py",
+        "auto_vectordb_spark/operators/dedup.py",
+        "auto_vectordb_spark/functions/hashing.py",
+    }
+    deps = BR.dependents(targets)
+    assert "auto_vectordb_spark/operators/bm25.py" in deps["bm25_topk"]
+    assert "auto_vectordb_spark/operators/dedup.py" in deps["dedup_exact"]
+    # one-level transitive: dedup.py imports functions/hashing.py
+    assert "auto_vectordb_spark/functions/hashing.py" in deps["dedup_minhash_signatures"]
+    assert "q1_pricing_summary" not in deps
