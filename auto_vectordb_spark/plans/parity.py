@@ -7923,9 +7923,9 @@ def curation_funnel(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "embed_documents",
-    "embedding_gram_matrix",
-    "event_transitions",
+    "events_dau_wau",
+    "events_funnel",
+    "events_hourly",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q18_large_orders",
