@@ -162,7 +162,9 @@ def lloyd(
         agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).try_cast("long")).alias("qi"))
         inertia.append(agg.first()["qi"] / 1_000_000)
         new = {r["cluster_id"]: list(r["centroid"]) for r in stats.collect()}
-        centroids = [new.get(i, centroids[i]) for i in range(k)]
+        # effective k = len(centroids): a tiny slice (n < k rows) seeds
+        # fewer than k centroids, and indexing range(k) would IndexError
+        centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     return assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col), centroids, inertia
 
 

@@ -295,3 +295,15 @@ def test_empty_quantizer_degrades_to_empty_results(spark):
 
     assigned, cents, inertia = CL.lloyd(empty, k=4, iters=2)
     assert assigned.collect() == [] and cents == [] and inertia == []
+
+
+def test_lloyd_fewer_rows_than_k(spark):
+    """Tiny-slice contract: with n < k rows the seed yields only n
+    centroids and every iteration must track that effective k — the
+    centroid update indexed range(k) and crashed on a 1-row table."""
+    vecs = spark.createDataFrame([(7, [1.0, 2.0])], ["vec_id", "embedding"])
+    assigned, cents, inertia = CL.lloyd(vecs, k=8, iters=2)
+    assert len(cents) == 1 and cents[0] == [1.0, 2.0]
+    rows = assigned.collect()
+    assert [(r["vec_id"], r["cluster_id"], r["dist"]) for r in rows] == [(7, 0, 0.0)]
+    assert inertia == [0.0, 0.0]

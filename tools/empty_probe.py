@@ -9,8 +9,13 @@ slice must produce an empty (or well-defined degenerate) result, never
 crash on `.collect()[0]`, a None-propagating max(), or a cutoff derived
 from an empty sample.
 
-Usage: python tools/empty_probe.py [entry ...]
+Usage: python tools/empty_probe.py [--rows N] [entry ...]
 Prints one line per entry: ok/rows, or the exception type+message.
+
+``--rows N`` probes N-row tables instead of zero-row ones — the "tiny
+slice" shape (a 1-row source) hits different edges than the empty one:
+ANSI INVALID_ARRAY_INDEX on second-nearest lookups, k-greater-than-n
+training, window frames over a single row.
 """
 
 from __future__ import annotations
@@ -27,11 +32,13 @@ from auto_vectordb_spark.plans.parity import REGISTRY, TABLES  # noqa: E402
 SRC = "/root/testdata/sf0.001"
 
 
-def make_empty_dir(dst: str) -> None:
+def make_empty_dir(dst: str, rows: int = 0) -> None:
     con = duckdb.connect()
     for t in TABLES:
+        # deterministic slice: lowest-key rows, so reruns probe the same data
+        order = "1" if rows == 0 else "ALL"
         tbl = con.execute(
-            f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0"
+            f"SELECT * FROM '{SRC}/{t}.parquet' ORDER BY {order} LIMIT {rows}"
         ).fetch_arrow_table()
         pq.write_table(tbl, f"{dst}/{t}.parquet")
     con.close()
@@ -42,9 +49,14 @@ def main() -> None:
 
     from auto_vectordb_spark.session import get_spark
 
-    names = sys.argv[1:] or list(REGISTRY)
-    dst = tempfile.mkdtemp(prefix="empty_sf_")
-    make_empty_dir(dst)
+    argv = sys.argv[1:]
+    rows = 0
+    if argv[:1] == ["--rows"]:
+        rows = int(argv[1])
+        argv = argv[2:]
+    names = argv or list(REGISTRY)
+    dst = tempfile.mkdtemp(prefix=f"empty_sf_{rows}_")
+    make_empty_dir(dst, rows)
     spark = get_spark(cpus=8)
     ok, failed = 0, {}
     for name in names:
