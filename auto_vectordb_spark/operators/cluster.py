@@ -223,7 +223,10 @@ def gram_matrix(
     def part(it):
         acc = None
         for pdf in it:
-            vs = pdf[vec_col].to_numpy()
+            # a NULL embedding contributes nothing to the second moment —
+            # row-fails-not-job (np.stack over a None would otherwise kill
+            # the whole partition task)
+            vs = [v for v in pdf[vec_col].to_numpy() if v is not None]
             if len(vs) == 0:
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
