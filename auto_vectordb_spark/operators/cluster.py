@@ -223,17 +223,33 @@ def gram_matrix(
     def part(it):
         acc = None
         for pdf in it:
-            # a NULL embedding contributes nothing to the second moment —
-            # row-fails-not-job (np.stack over a None would otherwise kill
-            # the whole partition task)
-            vs = [v for v in pdf[vec_col].to_numpy() if v is not None]
+            # row-fails-not-job: a NULL embedding contributes nothing, and
+            # a ragged (short) vector contributes only its PRESENT dims —
+            # zero-padding makes each missing dim's products exactly 0,
+            # the same semantics as the oracle's NULL-skipping sums
+            # (np.stack over None/ragged rows would otherwise kill the
+            # whole partition task)
+            vs = [
+                np.asarray(v, dtype=np.float64)
+                for v in pdf[vec_col].to_numpy()
+                if v is not None
+            ]
             if len(vs) == 0:
                 continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in vs])
+            d = max(a.shape[0] for a in vs)
+            X = np.zeros((len(vs), d))
+            for r, a in enumerate(vs):
+                X[r, : a.shape[0]] = a
             P = X[:, :, None] * X[:, None, :] * scale
             Q = (np.sign(P) * np.floor(np.abs(P) + 0.5)).astype(np.int64)
             s = Q.sum(axis=0)
-            acc = s if acc is None else acc + s
+            if acc is None:
+                acc = s
+            elif acc.shape[0] >= s.shape[0]:
+                acc[: s.shape[0], : s.shape[0]] += s
+            else:
+                s[: acc.shape[0], : acc.shape[0]] += acc
+                acc = s
         if acc is None:
             return
         iu = np.triu_indices(acc.shape[0])

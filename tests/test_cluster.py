@@ -307,3 +307,25 @@ def test_lloyd_fewer_rows_than_k(spark):
     rows = assigned.collect()
     assert [(r["vec_id"], r["cluster_id"], r["dist"]) for r in rows] == [(7, 0, 0.0)]
     assert inertia == [0.0, 0.0]
+
+
+def test_gram_matrix_null_and_ragged_rows_contribute_present_dims_only(spark):
+    """Dirty-data contract: a NULL embedding contributes nothing to the
+    Gram matrix and a ragged (short) vector contributes only its present
+    dims — the Arrow kernel zero-pads instead of letting np.stack kill
+    the partition task."""
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, None),          # NULL vector: no contribution
+            (3, [3.0]),         # ragged: contributes only dim 1
+            (4, []),            # zero-length: no contribution
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r["i"], r["j"]): r["sum_q"] for r in CL.gram_matrix(df).collect()}
+    # (1,1): 1*1 from row1 + 3*3 from row3; (1,2)/(2,2): row1 only
+    assert out[(1, 1)] == round(1.0 * 1.0 * 1e6) + round(3.0 * 3.0 * 1e6)
+    assert out[(1, 2)] == round(1.0 * 2.0 * 1e6)
+    assert out[(2, 2)] == round(2.0 * 2.0 * 1e6)
+    assert set(out) == {(1, 1), (1, 2), (2, 2)}

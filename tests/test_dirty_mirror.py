@@ -79,6 +79,8 @@ def dirty_dir(tmp_path_factory):
         dict(vec_id=em + 4, embedding=[-1e-30] * dim, label=None),    # denormal
         dict(vec_id=None, embedding=[0.1] * dim, label=0),            # null key
         dict(vec_id=em + 5, embedding=None, label=0),                 # NULL vector
+        dict(vec_id=em + 6, embedding=[0.5, 0.5, 0.5], label=0),      # ragged
+        dict(vec_id=em + 7, embedding=[], label=1),                   # zero-length
     ]
     pq.write_table(pa.Table.from_pylist(erows, schema=e.schema),
                    f"{dst}/embeddings.parquet")
