@@ -329,3 +329,27 @@ def test_gram_matrix_null_and_ragged_rows_contribute_present_dims_only(spark):
     assert out[(1, 2)] == round(1.0 * 2.0 * 1e6)
     assert out[(2, 2)] == round(2.0 * 2.0 * 1e6)
     assert set(out) == {(1, 1), (1, 2), (2, 2)}
+
+
+def test_gram_matrix_merges_ragged_partials_across_arrow_batches(spark):
+    """The kernel accumulates per-BATCH partials; with ragged rows the
+    partials have different widths and both merge branches (acc wider /
+    partial wider) must align on the top-left block. Forcing one-row
+    Arrow batches makes every row its own partial."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        for rows in ([(1, [3.0]), (2, [1.0, 2.0])],
+                     [(1, [1.0, 2.0]), (2, [3.0])]):  # both merge orders
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>"
+            ).coalesce(1)
+            out = {(r["i"], r["j"]): r["sum_q"] for r in CL.gram_matrix(df).collect()}
+            assert out[(1, 1)] == round(9.0 * 1e6) + round(1.0 * 1e6)
+            assert out[(1, 2)] == round(2.0 * 1e6)
+            assert out[(2, 2)] == round(4.0 * 1e6)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
