@@ -258,7 +258,14 @@ def pack_context_budget(
     # renumber rank/cum_tokens around it — the packed context would no
     # longer reflect the retrieval ranking with no surfaced signal. A
     # missing id is referential corruption upstream; fail the job.
-    j = results.join(n_tok, "doc_id", "left").withColumn(
+    # A NULL retrieved doc_id is the OTHER failure class — a malformed
+    # row, not a dangling reference (it has no identity to cite or pack,
+    # and a NULL key can never match the left join, so it would reach
+    # raise_error with a NULL message). Row-fails-not-job: drop it before
+    # ranking; the loud path stays for genuine non-NULL missing ids.
+    j = results.where(F.col("doc_id").isNotNull()).join(
+        n_tok, "doc_id", "left"
+    ).withColumn(
         "n_tokens",
         F.when(
             F.col("n_tokens").isNull(),

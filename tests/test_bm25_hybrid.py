@@ -256,3 +256,27 @@ def test_prf_expansion_excludes_query_terms_and_ranks_by_tf(spark):
     # fb_tf ties broken term-ASC -> banana, cherry
     assert got == [("banana", 3, 2), ("cherry", 3, 2)]
     assert all(r["term"] != "apple" for r in out)
+
+
+def test_pack_context_budget_null_doc_id_fails_row_not_job(spark):
+    """A NULL retrieved doc_id is a malformed ROW (no identity to cite),
+    not a dangling reference — it is dropped before ranking, while a
+    genuine non-NULL missing id still fails the job loudly."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "three four five")], ["doc_id", "text"]
+    )
+    results = spark.createDataFrame(
+        [(0, 1, 0.9), (0, None, 0.95), (0, 2, 0.8)],
+        "query_id long, doc_id long, score double",
+    )
+    rows = HY.pack_context_budget(results, docs, token_budget=100).collect()
+    assert [(r["doc_id"], r["rank"]) for r in rows] == [(1, 1), (2, 2)]
+
+    bad = spark.createDataFrame(
+        [(0, 1, 0.9), (0, 99, 0.95)],
+        "query_id long, doc_id long, score double",
+    )
+    with pytest.raises(Exception, match="absent"):
+        HY.pack_context_budget(bad, docs, token_budget=100).collect()

@@ -62,6 +62,9 @@ def dirty_dir(tmp_path_factory):
         # either way the row fails, never the job (r7 extension)
         dict(doc_id=None, text="null id doc", lang="en", source="web",
              n_chars=11),
+        # duplicate key with a CONFLICTING payload (retry/backfill
+        # double-write): joins fan out, aggregates count both — no crash
+        dict(rows[0], text="conflicting duplicate payload"),
     ]
     pq.write_table(pa.Table.from_pylist(rows, schema=d.schema),
                    f"{dst}/documents.parquet")
@@ -81,6 +84,7 @@ def dirty_dir(tmp_path_factory):
         dict(vec_id=em + 5, embedding=None, label=0),                 # NULL vector
         dict(vec_id=em + 6, embedding=[0.5, 0.5, 0.5], label=0),      # ragged
         dict(vec_id=em + 7, embedding=[], label=1),                   # zero-length
+        dict(erows[0], embedding=[9.9] * dim),                        # dup key
     ]
     pq.write_table(pa.Table.from_pylist(erows, schema=e.schema),
                    f"{dst}/embeddings.parquet")
@@ -102,6 +106,7 @@ def dirty_dir(tmp_path_factory):
              value=1.0, props="{}"),                                  # null ts
         dict(event_id=None, ts=t0, user_id=6, event_type="view",
              value=1.0, props="{}"),                                  # null key
+        dict(evrows[0]),                                              # dup event
     ]
     pq.write_table(pa.Table.from_pylist(evrows, schema=ev.schema),
                    f"{dst}/events.parquet")
