@@ -6721,7 +6721,16 @@ def quality_classifier_score(spark, sf):
     data = docs.join(labels, "doc_id")
     try:
         model = Q.train_quality_classifier(data.filter(F.col("doc_id") % 2 == 0))
-    except ValueError:
+    except ValueError as e:
+        # Degrade ONLY on the operator's own typed empty-slice signal —
+        # a bare `except ValueError` would also swallow unrelated
+        # MLlib/param ValueErrors into a silent empty result (ADVICE r7).
+        # Message-match instead of a dedicated exception class because
+        # quality.py is frozen this round (blast radius: +1 fresh
+        # staling); r9's quality.py edit should introduce
+        # EmptyTrainingSliceError and tighten this to an isinstance check.
+        if not str(e).startswith("train_quality_classifier:"):
+            raise
         # empty corpus slice: nothing to train on, nothing to score —
         # the end-to-end entry degrades to the empty scored table
         return docs.select(
@@ -7923,56 +7932,56 @@ def curation_funnel(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "events_dau_wau",
-    "events_funnel",
-    "events_hourly",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_heavy_suppliers",
-    "q22_idle_balance",
-    "decontaminate_docs",
-    "cluster_assign",
-    "dedup_span_removal",
-    "more_like_this",
-    "events_session_window",
-    "events_sliding_windows",
-    "events_moving_avg",
-    "text_scrub",
-    "text_repetition",
-    "text_bpe_tokens",
-    "substring_dup_spans",
     "dedup_components",
-    "dedup_apply_keep_one",
     "dedup_incremental",
-    "knn_pq_adc",
-    "cluster_profile",
-    "p6_dim_normalize",
-    "q1_pricing_summary",
     "dedup_minhash_lsh_pairs",
-    "hybrid_search",
-    "pq_encode",
-    "dedup_apply_keep_best",
-    "knn_filtered",
-    "semantic_search_e2e",
-    "rerank_hybrid",
-    "corpus_report",
-    "sql_similarity_topk",
-    "sql_bm25_topk",
-    "sql_hybrid_topk",
-    "staging_lifecycle",
-    "csv_roundtrip",
-    "embedding_quantize_int8",
-    "knn_int8_topk",
-    "cluster_kmeans_lloyd",
-    "embedding_outliers",
-    "domain_rebalance_uniform",
-    "gopher_rules",
-    "fertility_by_lang",
-    "keyword_tfidf_topk",
-    "mmr_rerank",
-    "semdedup_pairs",
+    "attribution_pairs",
+    "knn_binary_topk",
+    "knn_matryoshka_16",
+    "streaming_hourly",
+    "text_token_stats",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "knn_exact_cosine",
+    "knn_exact_dot",
+    "pipeline_parse_pages",
+    "above_brand_average",
+    "knn_blas_topk",
+    "dedup_embedding_blas_exact",
+    "training_set_build",
+    "hybrid_rrf",
+    "text_chunking",
+    "dsir_importance_weights",
+    "bigram_lm_nll",
+    "domain_cap_source",
+    "domain_rebalance_temp",
+    "embedding_dim_stats",
+    "zipf_fit",
+    "source_overlap",
+    "neardup_pair_profile",
+    "dup_cluster_histogram",
+    "knn_cascade_rerank",
+    "events_anomaly_mad",
+    "events_seasonal_deviation",
+    "events_anomaly_zscore",
+    "langid_confusion",
+    "text_sentences",
+    "dedup_sentences_crossdoc",
+    "dedup_sentence_removal",
+    "quality_weighted_sample",
+    "rag_context_pack",
+    "embedding_gram_matrix",
+    "quality_calibration",
+    "source_embedding_drift",
+    "doc_embedding_mean_pool",
+    "cluster_silhouette",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -1,7 +1,10 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "queries_median": {...}, "value_median": ..., "runs": [...], "sf": ...}
+ "queries_median": {...}, "value_median": ..., "runs": [...],
+ "runs_detail": [{"queries": {...}, "wall_sec": ..., "offset_sec": ...,
+                  "pre": {"loadavg": [...], "mem_available_kb": ...},
+                  "post": {...}}, ...], "sf": ...}
 
 Headliners cover each engine pillar: columnar agg (q1), multi-join (q5),
 window top-k (topk_per_group), exact kNN (knn_exact_cosine), BM25, hybrid
@@ -75,6 +78,35 @@ HEADLINE = [
 ]
 
 
+def _host_telemetry() -> dict:
+    """Host-condition snapshot (round-8 self-attribution).
+
+    Two consecutive rounds of elevated driver bench with monotonic
+    within-invocation degradation (r7: 28.1 -> 47.8 -> 76.9 s over three
+    cold repeats of bit-identical plans) could only be attributed to host
+    band via SEPARATE idle-host runs (SCALE.md). From round 8 the artifact
+    carries its own evidence: /proc/loadavg and MemAvailable sampled
+    around every repeat. If repeats degrade while load is flat and memory
+    ample, the sf0.1 engine bisect applies; if load/memory move with the
+    degradation, the signal is environmental and needs no engine work.
+    """
+    t: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            t["loadavg"] = [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        pass
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    t["mem_available_kb"] = int(line.split()[1])
+                    break
+    except (OSError, ValueError, IndexError):
+        pass
+    return t
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -101,6 +133,7 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
     t_bench0 = time.perf_counter()
     all_runs: list[dict[str, float]] = []
+    runs_detail: list[dict] = []
     for _ in range(repeats):
         if all_runs:
             elapsed = time.perf_counter() - t_bench0
@@ -113,6 +146,8 @@ def main() -> None:
         # substitution, making the medians incomparable to the frozen
         # run-1 methodology.
         spark.catalog.clearCache()
+        pre_telemetry = _host_telemetry()
+        t_run0 = time.perf_counter()
         timings: dict[str, float] = {}
         for name in HEADLINE:
             q = REGISTRY[name]
@@ -127,6 +162,15 @@ def main() -> None:
             timings[name] = round(time.perf_counter() - t0, 3)
             assert n >= 0, f"{name} returned no count"
         all_runs.append(timings)
+        runs_detail.append(
+            {
+                "queries": timings,
+                "wall_sec": round(time.perf_counter() - t_run0, 3),
+                "offset_sec": round(t_run0 - t_bench0, 3),
+                "pre": pre_telemetry,
+                "post": _host_telemetry(),
+            }
+        )
     medians = {
         name: round(statistics.median(r[name] for r in all_runs), 3) for name in HEADLINE
     }
@@ -141,6 +185,7 @@ def main() -> None:
                 "value_median": round(sum(medians.values()), 3),
                 "queries_median": medians,
                 "runs": [round(sum(r.values()), 3) for r in all_runs],
+                "runs_detail": runs_detail,
                 "sf": sf,
             }
         )

@@ -353,3 +353,26 @@ def test_gram_matrix_merges_ragged_partials_across_arrow_batches(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+@pytest.mark.xfail(
+    strict=True,
+    raises=TypeError,
+    reason="KNOWN r7 defect (ADVICE, medium): lloyd's seed collect "
+    "(orderBy id, limit k) does list(r['c']) with no NULL/ragged filter, "
+    "so a NULL embedding among the k LOWEST ids kills the JOB with a "
+    "driver-side TypeError — violating the row-fails-not-job contract. "
+    "The dirty mirror misses it because its NULL row gets a HIGH vec_id. "
+    "Engine fix is budgeted for r9 (cluster.py edit stales 7 fresh "
+    "attestations; r8 is the zero-headroom backlog round) — when the "
+    "seed scan gains .where(col.isNotNull() & size>0), this strict "
+    "xfail XPASSes and must flip to a plain assertion.",
+)
+def test_lloyd_seed_with_low_id_null_embedding_pinned(spark):
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assigned, cents, _ = CL.lloyd(df, k=2, iters=1)
+    assert all(c is not None for c in cents)
+    assert assigned.where(F.col("vec_id") == 1).count() == 1

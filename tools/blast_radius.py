@@ -77,6 +77,7 @@ def dependents(targets: set[str]) -> dict[str, set[str]]:
 def classify() -> dict[str, str]:
     """entry -> fresh | stale | window | never, reusing next_window's
     staleness pass (prints its own report; we re-derive silently)."""
+    import ast
     import contextlib
     import glob
     import io
@@ -101,7 +102,10 @@ def classify() -> dict[str, str]:
     stale: set[str] = set()
     for line in buf.getvalue().splitlines():
         if line.startswith("# stale: "):
-            stale = set(eval(line[len("# stale: ") :]))  # noqa: S307 — own output
+            # literal_eval, not eval: the line is our own output today, but
+            # entry names are user-ish strings and the format may change —
+            # never hand a report line to the interpreter (ADVICE r7).
+            stale = set(ast.literal_eval(line[len("# stale: ") :]))
 
     out = {}
     for name in REGISTRY:
