@@ -297,3 +297,21 @@ def test_train_quality_classifier_empty_slice_raises_typed_error(spark):
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
     with pytest.raises(ValueError, match="empty training slice"):
         Q.train_quality_classifier(empty)
+
+
+def test_classifier_entry_reraises_unrelated_valueerror(spark, sf_dir, monkeypatch):
+    """The quality_classifier_score entry degrades to an empty scored table
+    ONLY on train_quality_classifier's own typed empty-slice signal; any
+    other ValueError (MLlib param validation, future refactors) must
+    propagate — a bare `except ValueError` silently swallowed them
+    (ADVICE r7). Pins the message-match stopgap until r9's
+    EmptyTrainingSliceError."""
+    from auto_vectordb_spark.operators import quality as Q
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    def boom(*a, **k):
+        raise ValueError("totally unrelated MLlib failure")
+
+    monkeypatch.setattr(Q, "train_quality_classifier", boom)
+    with pytest.raises(ValueError, match="totally unrelated"):
+        REGISTRY["quality_classifier_score"].spark(spark, sf_dir).collect()

@@ -66,3 +66,25 @@ def test_all_entries_survive_empty_and_tiny_tables(spark, mirror_dir):
         f"{len(failures)} entries die on {rows}-row tables (an empty/tiny "
         f"slice must yield a degenerate result, not kill the job): {failures}"
     )
+
+
+def test_deferred_crashers_still_crash_on_empty(spark, mirror_dir):
+    """Canary on the deferral list itself: every DEFERRED entry must still
+    actually crash on the empty slice. When the budgeted fix lands (r9),
+    this fails on the fixed entry, forcing its removal from
+    DEFERRED_EMPTY_CRASHERS so it re-enters the main gate — the exemption
+    can never silently outlive the defect it documents."""
+    rows, path = mirror_dir
+    if rows != 0:
+        pytest.skip("the deferred kernels only crash on the 0-row slice")
+    healed = []
+    for name in sorted(DEFERRED_EMPTY_CRASHERS):
+        try:
+            REGISTRY[name].spark(spark, path).collect()
+            healed.append(name)
+        except Exception:  # noqa: BLE001 — crash is the (current) contract
+            pass
+    assert not healed, (
+        f"entries no longer crash on empty input — remove them from "
+        f"DEFERRED_EMPTY_CRASHERS so the main gate covers them: {healed}"
+    )
