@@ -1,12 +1,18 @@
 """Contract gates for bench.py — the per-round perf artifact.
 
-The driver consumes bench.py's one JSON line; BASELINE.md comparability
-depends on the frozen HEADLINE set and the run-1 semantics, and the r8
-self-attribution depends on the telemetry sampler never breaking the
-one-line contract (it must degrade to an empty dict, not raise, on a
-host without /proc)."""
+The driver consumes bench.py's FINAL stdout line via a 2,000-char tail
+capture; BASELINE.md comparability depends on the frozen HEADLINE set and
+the run-1 semantics, the r8 self-attribution depends on the telemetry
+sampler never breaking the line contract (degrade to an empty dict, not
+raise, on a host without /proc), and — the r8 lesson, BENCH_r08
+``parsed: null`` — the final line must FIT the capture window, so
+runs_detail lives in a sidecar and the compact line is length-gated."""
+
+import json
+import os
 
 import bench
+import pytest
 
 from auto_vectordb_spark.plans.parity import REGISTRY
 
@@ -23,12 +29,77 @@ def test_headline_set_is_frozen():
     assert bench.HEADLINE[0] == "q1_pricing_summary"
 
 
+@pytest.mark.skipif(
+    not os.path.exists("/proc/loadavg"), reason="telemetry shape needs /proc"
+)
 def test_host_telemetry_shape():
     t = bench._host_telemetry()
-    # on this CI host /proc exists; both fields must parse
     assert len(t["loadavg"]) == 3
     assert all(isinstance(x, float) for x in t["loadavg"])
     assert isinstance(t["mem_available_kb"], int) and t["mem_available_kb"] > 0
+
+
+def test_host_telemetry_loadavg_all_or_nothing(monkeypatch):
+    # a malformed short /proc/loadavg must omit the key entirely, never
+    # emit a <3-element list that IndexErrors consumers indexing [0..2]
+    import builtins
+    import io
+
+    real_open = builtins.open
+
+    def short_loadavg(path, *a, **k):
+        if str(path) == "/proc/loadavg":
+            return io.StringIO("1.23")
+        return real_open(path, *a, **k)
+
+    monkeypatch.setattr(builtins, "open", short_loadavg)
+    assert "loadavg" not in bench._host_telemetry()
+
+
+def _worst_case_runs(n_repeats: int = 3) -> list[dict[str, float]]:
+    # 5-digit-seconds timings (unrealistically slow) stress the serialized width
+    return [{name: 86400.123 + i for name in bench.HEADLINE} for i in range(n_repeats)]
+
+
+def test_final_line_fits_driver_capture_window():
+    line = json.dumps(bench._compact_payload(_worst_case_runs(), sf=0.1))
+    assert len(line) <= bench.MAX_FINAL_LINE, (
+        f"{len(line)} chars — the driver tail-captures 2,000; BENCH would be parsed:null"
+    )
+
+
+def test_compact_payload_has_frozen_keys_and_no_detail():
+    p = bench._compact_payload(_worst_case_runs(), sf=0.1)
+    assert set(p) == {
+        "metric", "value", "unit", "queries", "value_median",
+        "queries_median", "runs", "sf",
+    }
+    assert "runs_detail" not in p
+
+
+def test_emit_prints_compact_last_and_sidecars_detail(tmp_path, capsys, monkeypatch):
+    sidecar = tmp_path / "detail.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(sidecar))
+    compact = bench._compact_payload(_worst_case_runs(), sf=0.01)
+    detail = {"metric": "headline_suite_detail", "runs_detail": [{"pre": {}}], "sf": 0.01}
+    bench._emit(compact, detail)
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    # final stdout line IS the compact payload — nothing printed after it
+    assert json.loads(out_lines[-1]) == compact
+    assert json.loads(sidecar.read_text()) == detail
+
+
+def test_emit_falls_back_to_stdout_when_sidecar_unwritable(tmp_path, capsys, monkeypatch):
+    monkeypatch.setenv(
+        "SPARK_GRAFT_BENCH_DETAIL", str(tmp_path / "no_dir" / "detail.json")
+    )
+    compact = bench._compact_payload(_worst_case_runs(1), sf=0.01)
+    detail = {"metric": "headline_suite_detail", "runs_detail": [], "sf": 0.01}
+    bench._emit(compact, detail)
+    out_lines = capsys.readouterr().out.strip().splitlines()
+    # detail printed EARLIER (truncation-safe position), compact still last
+    assert json.loads(out_lines[0]) == detail
+    assert json.loads(out_lines[-1]) == compact
 
 
 def test_host_telemetry_degrades_without_proc(monkeypatch):
