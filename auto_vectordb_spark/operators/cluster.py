@@ -140,8 +140,12 @@ def lloyd(
     the k×d centroid matrix ever reaches the driver. Empty clusters keep
     their previous centroid (the standard Lloyd fix).
     """
+    # seed from the k lowest-id VALID vectors: a NULL or zero-length
+    # embedding among the lowest ids must fail the row, not the job
+    # (list(None) below was a driver-side TypeError killing the whole run)
     first = (
-        vectors.orderBy(F.col(id_col))
+        vectors.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .orderBy(F.col(id_col))
         .limit(k)
         .select(V.as_double_array(F.col(vec_col)).alias("c"))
         .collect()
@@ -233,6 +237,17 @@ def gram_matrix(
                 np.asarray(v, dtype=np.float64)
                 for v in pdf[vec_col].to_numpy()
                 if v is not None
+            ]
+            # row-fails-not-job, exactness edition: a NaN/inf element, or a
+            # magnitude whose quantized product exceeds int64, would pass
+            # through astype(int64) as SILENT garbage (INT64_MIN) — the
+            # worst failure mode. Such rows drop like NULL rows; max|x|²·Q
+            # bounds every pairwise product, so the check is O(d) per row.
+            vs = [
+                a
+                for a in vs
+                if np.isfinite(a).all()
+                and np.abs(a).max(initial=0.0) ** 2 * scale < 2.0**63
             ]
             if len(vs) == 0:
                 continue

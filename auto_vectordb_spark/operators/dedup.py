@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import cleanvec as CV
 from ..functions import hashing as H
 from ..functions import vector as V
 from ..functions.text import shingles, tokenize
@@ -794,21 +795,35 @@ def embedding_neardup_pairs_blas(
             f"and got > {max_collect_rows} rows; use "
             f"embedding_neardup_pairs_blas_bucketed for unbucketed corpora"
         )
+    # row-fails-not-job: NULL / zero-length / ragged vectors and NULL ids
+    # drop (modal dim of the collected valid rows defines the working
+    # dimensionality); an empty or all-invalid slice returns the
+    # schema-correct empty frame instead of dying in np.stack([])
+    out_schema = "id_a long, id_b long, cosine double"
+    dim = CV.modal_dim(r[vec_col] for r in rows)
+    rows = CV.clean_rows(rows, vec_col, dim, id_field=id_col) if dim else []
+    if not rows:
+        return vectors.sparkSession.createDataFrame([], out_schema)
     ids = np.array([r[id_col] for r in rows], dtype=np.int64)
     M = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     Mn = M / V.safe_row_norms(M)
-    sc = vectors.sparkSession.sparkContext
-    bm = sc.broadcast((ids, Mn))
+    # (ids, Mn) ride the pickled kernel closure: PySpark ships large task
+    # commands via its own managed TorrentBroadcast, reclaimed with the
+    # plan by the ContextCleaner — an explicit sc.broadcast handle here
+    # could never be destroy()ed without breaking lazy execution and
+    # leaked across bench repeats.
 
     def part(it):
-        ids_b, Mn_b = bm.value
+        ids_b, Mn_b = ids, Mn
         for pdf in it:
             if not len(pdf):
                 continue
-            C = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mask, C = CV.clean_block(pdf, vec_col, Mn_b.shape[1], id_col=id_col)
+            if C is None:
+                continue
             Cn = C / V.safe_row_norms(C)
             S = Cn @ Mn_b.T  # (block, N)
-            bids = pdf[id_col].to_numpy()
+            bids = pdf[id_col].to_numpy()[mask].astype(np.int64)
             bi, mj = np.nonzero(S >= threshold)
             keep = bids[bi] < ids_b[mj]
             yield pd.DataFrame(
@@ -861,32 +876,43 @@ def embedding_neardup_pairs_blas_bucketed(
     if num_tables is None:
         num_tables = _auto_num_tables(threshold, bits_per_table, recall_target)
 
-    first = vectors.select(vec_col).first()
-    dim = len(first[vec_col])
+    # modal-dim probe over a bounded valid-row sample: an empty or
+    # all-invalid corpus returns the schema-correct empty frame (no planes
+    # to draw), and a ragged minority row can't hijack the dimensionality
+    dim = CV.probe_dim(vectors, vec_col)
+    if dim is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     rng = np.random.default_rng(seed)
+    # the plane matrix is tiny (T·B × d); it rides the kernel closures —
+    # see embedding_neardup_pairs_blas for the broadcast-lifecycle note
     planes = rng.standard_normal((num_tables * bits_per_table, dim))
-    sc = vectors.sparkSession.sparkContext
-    bp = sc.broadcast(planes)
     weights = np.power(2, np.arange(bits_per_table), dtype=np.int64)
     vec_type = vectors.schema[vec_col].dataType.simpleString()
 
     def assign(it):
-        P = bp.value
+        P = planes
         for pdf in it:
             if not len(pdf):
                 continue
-            M = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            # row-fails-not-job: NULL/ragged vectors and NULL ids drop here
+            mask, M = CV.clean_block(pdf, vec_col, dim, id_col=id_col)
+            if M is None:
+                continue
             signs = (M @ P.T) > 0
+            vids = pdf[id_col].to_numpy()[mask].astype(np.int64)
+            vecs = pdf[vec_col][mask].reset_index(drop=True)
             out = []
             for t in range(num_tables):
                 block = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
                 out.append(
                     pd.DataFrame(
                         {
-                            "vid": pdf[id_col].to_numpy(),
+                            "vid": vids,
                             "tbl": t,
                             "bucket": block.astype(np.int64) @ weights,
-                            "vec": pdf[vec_col],
+                            "vec": vecs,
                         }
                     )
                 )
@@ -956,23 +982,29 @@ def embedding_neardup_lsh(
     if num_tables is None:
         num_tables = _auto_num_tables(threshold, bits_per_table, recall_target)
 
-    first = vectors.select(vec_col).first()
-    dim = len(first[vec_col])
+    # modal-dim probe + row contract: same hygiene as the bucketed BLAS
+    # kernel — empty/all-invalid corpus degrades to the empty pair frame,
+    # malformed rows fail the row, never the partition task
+    dim = CV.probe_dim(vectors, vec_col)
+    if dim is None:
+        return vectors.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((num_tables * bits_per_table, dim))
-    sc = vectors.sparkSession.sparkContext
-    bp = sc.broadcast(planes)
     weights = np.power(2, np.arange(bits_per_table), dtype=np.int64)
 
     def assign(it):
-        P = bp.value
+        P = planes
         for pdf in it:
             if not len(pdf):
                 continue
-            M = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            mask, M = CV.clean_block(pdf, vec_col, dim, id_col=id_col)
+            if M is None:
+                continue
             signs = (M @ P.T) > 0  # (rows, T*B)
             out = []
-            ids = pdf[id_col].to_numpy()
+            ids = pdf[id_col].to_numpy()[mask].astype(np.int64)
             for t in range(num_tables):
                 block = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
                 buckets = block.astype(np.int64) @ weights

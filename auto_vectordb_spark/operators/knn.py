@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions import cleanvec as CV
 from ..functions import vector as V
 from .relational import top_k_per_group
 
@@ -80,8 +81,14 @@ def knn_exact(
     scored = score_pairs(queries, corpus, query_vec, corpus_vec, metric)
     if round_decimals is not None:
         scored = scored.withColumn("score", F.round("score", round_decimals))
+    # row-fails-not-job: a NULL query or corpus vector yields a NULL score;
+    # without this filter such pairs would be tie-break-RANKED into the
+    # top-k (a NULL-vector query retrieves k unscored ids) and downstream
+    # joins on the retrieved ids fail loudly. No-op on clean data.
     return top_k_per_group(
-        scored.select("query_id", corpus_id, "score"),
+        scored.select("query_id", corpus_id, "score").where(
+            F.col("score").isNotNull()
+        ),
         ["query_id"],
         "score",
         k,
@@ -262,7 +269,9 @@ def knn_exact_blas(
     ``dedup.embedding_neardup_pairs_blas_bucketed`` (sign-LSH bucketed
     per-partition GEMM).
 
-    The query matrix (small) is collected, L2-normalized, and broadcast; each
+    The query matrix (small) is collected, L2-normalized, and shipped with
+    the kernel closure (PySpark's managed command broadcast — see the
+    inline note); each
     corpus partition computes one ``block @ Q.T`` matmul inside mapInPandas
     and emits only its LOCAL per-query top-k; a final windowed top-k merges
     partitions. At 100 TB the corpus is scanned once, nothing but (parts × k
@@ -292,26 +301,41 @@ def knn_exact_blas(
             f"than max_queries={max_queries} rows. Use knn_exact or the "
             f"bucketed BLAS dedup path for unbounded query sets."
         )
+    out_schema = f"query_id long, {corpus_id} long, score double"
+    # row-fails-not-job: NULL / zero-length / ragged query vectors and NULL
+    # query ids are dropped (modal dim of the valid rows defines the
+    # working dimensionality); an empty or all-invalid query side returns
+    # the schema-correct empty frame instead of dying in np.stack([])
+    dim = CV.modal_dim(r[query_vec] for r in q_rows)
+    q_rows = CV.clean_rows(q_rows, query_vec, dim, id_field="query_id") if dim else []
+    if not q_rows:
+        return queries.sparkSession.createDataFrame([], out_schema)
     qids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
     Q = np.stack([np.asarray(r[query_vec], dtype=np.float64) for r in q_rows])
     Qn = Q / V.safe_row_norms(Q)
-    sc = corpus.sparkSession.sparkContext
-    bq = sc.broadcast((qids, Qn))
-
-    out_schema = f"query_id long, {corpus_id} long, score double"
+    # (qids, Qn) ride the pickled kernel closure instead of an explicit
+    # sc.broadcast: PySpark ships large task commands through its own
+    # managed TorrentBroadcast (rdd._prepare_for_python_RDD), whose
+    # lifecycle is tied to the plan and reclaimed by the ContextCleaner —
+    # an explicit handle here could never be destroy()ed without breaking
+    # the lazy-DataFrame contract and leaked across bench repeats.
 
     def part(it):
-        ids_b, Qn_b = bq.value
+        ids_b, Qn_b = qids, Qn
         for pdf in it:
             if not len(pdf):
                 continue
-            C = np.stack(pdf[corpus_vec].map(lambda v: np.asarray(v, dtype=np.float64)))
+            # same row contract on the corpus side: a malformed corpus row
+            # contributes no candidates, the partition task lives
+            mask, C = CV.clean_block(pdf, corpus_vec, Qn_b.shape[1], id_col=corpus_id)
+            if C is None:
+                continue
             Cn = C / V.safe_row_norms(C)
             S = Cn @ Qn_b.T  # (rows, nq)
             if round_decimals is not None:
                 S = np.round(S, round_decimals)
             kk = min(k, S.shape[0])
-            cids = pdf[corpus_id].to_numpy()
+            cids = pdf[corpus_id].to_numpy()[mask].astype(np.int64)
             if round_decimals is not None:
                 # deterministic local cut: (score DESC, id ASC) per query
                 top = np.empty((kk, S.shape[1]), dtype=np.int64)
@@ -506,11 +530,24 @@ def lsh_model(corpus: DataFrame, vec_col: str = "embedding", bucket_length: floa
     """Fit BucketedRandomProjectionLSH over the corpus (bulk index build).
 
     Returns (model, corpus_with_vectors). Deterministic via fixed seed.
+    Row contract: NULL / zero-length / off-dimension vectors are filtered
+    out before the fit (MLlib dies on them); an empty or all-invalid
+    corpus returns ``(None, empty_corpus)`` — :func:`lsh_search` maps a
+    ``None`` model to the schema-correct empty result instead of an
+    opaque MLlib fit failure on zero rows.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    with_vec = corpus.withColumn("__features", array_to_vector(F.col(vec_col)))
+    dim = CV.probe_dim(corpus, vec_col)
+    clean = (
+        corpus.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+        if dim is not None
+        else corpus.where(F.lit(False))
+    )
+    with_vec = clean.withColumn("__features", array_to_vector(F.col(vec_col)))
+    if dim is None:
+        return None, with_vec
     lsh = BucketedRandomProjectionLSH(
         inputCol="__features",
         outputCol="__hashes",
@@ -527,9 +564,16 @@ def lsh_search(
     query_vec: list[float],
     k: int = 10,
 ) -> DataFrame:
-    """approxNearestNeighbors for one query vector (euclidean distance)."""
+    """approxNearestNeighbors for one query vector (euclidean distance).
+
+    ``model=None`` (the :func:`lsh_model` empty-corpus contract) yields the
+    same columns with zero rows."""
     from pyspark.ml.linalg import Vectors
 
+    if model is None:
+        return indexed_corpus.withColumn(
+            "distance", F.lit(None).cast("double")
+        ).where(F.lit(False))
     return model.approxNearestNeighbors(
         indexed_corpus, Vectors.dense(query_vec), k, distCol="distance"
     )

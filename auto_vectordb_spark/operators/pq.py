@@ -49,8 +49,12 @@ def pq_codebooks_seed(
     """codebooks[j][c] = centroid c of subspace j, taken from the ``ksub``
     lowest-id vectors (deterministic seeded-sample training — the oracle
     twin; collect is ksub rows, tiny by construction)."""
+    # train on the ksub lowest-id VALID vectors: a NULL/zero-length
+    # embedding among the lowest ids fails the row, not the training run
+    # (len(None)/slice-of-None below were driver-side TypeErrors)
     rows = (
-        vectors.orderBy(F.col(id_col))
+        vectors.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        .orderBy(F.col(id_col))
         .limit(ksub)
         .select(V.as_double_array(F.col(vec_col)).alias("v"))
         .collect()
@@ -82,6 +86,8 @@ def pq_codebooks_kmeans(
     from pyspark.ml.functions import array_to_vector
 
     df = vectors if sample_fraction is None else vectors.sample(sample_fraction, seed=seed)
+    # NULL/zero-length vectors fail the row, not the KMeans fit
+    df = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
     v = V.as_double_array(F.col(vec_col))
     row = df.select(v.alias("v")).first()
     if row is None:

@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from ..functions import hashing as H
 from ..functions.text import tokenize
 
+
+class EmptyTrainingSliceError(ValueError):
+    """Raised by :func:`train_quality_classifier` when the labeled slice has
+    zero rows: training on nothing has no degenerate model, and the caller —
+    not the operator — decides whether to degrade (score nothing) or abort.
+    A dedicated type so callers can catch EXACTLY this condition instead of
+    message-matching ValueError text (the r8 stopgap, ADVICE r7)."""
+
 _Q = 1_000_000  # log-prob quantization (6 decimals, exact int64 sums)
 
 
@@ -242,7 +250,7 @@ def train_quality_classifier(
         # with a typed, actionable error instead of MLlib's opaque
         # "Nothing has been added to this summarizer" (an empty labeled
         # slice upstream is an orchestration bug the operator must name)
-        raise ValueError(
+        raise EmptyTrainingSliceError(
             "train_quality_classifier: labeled_docs has no rows — cannot "
             "fit a classifier on an empty training slice"
         )

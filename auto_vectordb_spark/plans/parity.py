@@ -1228,7 +1228,13 @@ def ann_lsh_topk(spark, sf):
     t = load_views(spark, sf)
     emb = t["embeddings"]
     model, indexed = KNN.lsh_model(emb, bucket_length=4.0, num_hash_tables=4)
-    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    # empty/all-invalid corpus (model=None) or a missing/NULL probe vector
+    # degrades to the schema-correct empty result — an empty embeddings
+    # slice is routine at scale and must not kill the job
+    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    if model is None or qrow is None or qrow["embedding"] is None:
+        return spark.createDataFrame([], "vec_id long, distance double")
+    qvec = [float(x) for x in qrow["embedding"]]
     out = KNN.lsh_search(model, indexed, qvec, k=_KNN_K)
     return out.select(
         "vec_id", F.round("distance", 6).alias("distance")
@@ -1354,6 +1360,175 @@ def embed_documents(spark, sf):
             F.round(F.col("wf").cast("double"), 6).alias("weight"),
         )
     )
+
+
+_E2E_K = 4  # frozen IVF centroids for the e2e ingest entry: docs 0..3
+
+
+def _streaming_ingest_sql() -> str:
+    """Batch-semantics oracle for the incremental ingest lineage: per doc,
+    BM25-side dl / distinct-term count plus the frozen-centroid cosine-argmax
+    IVF assignment — all rebuilt from ``documents`` alone, knowing nothing
+    about micro-batches, epochs, or the replayed batch the Spark side
+    ingests (that is the point: streamed == batch).
+
+    Assignment determinism: DuckDB's sparse bucket-join dot product sums in
+    a different order than Spark's dense array fold, so cosines differ at
+    last-ulp. The argmax is stable because measured best-vs-second centroid
+    gaps on the sf0.001/sf0.01 fixtures are >= 4.0e-4 / 1.6e-5 (probe gate
+    in tests/test_streaming.py), 9+ orders above engine float drift
+    (~1e-14 for a 64-dim float32 dot). Output is all-integer, so the hash
+    compare has no rounding surface at all."""
+    etoks = "list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')"
+    return f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    tf0 AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    postings AS (SELECT doc_id, term, count(*) AS tf FROM tf0 GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tf0 GROUP BY doc_id),
+    nt AS (SELECT doc_id, count(*) AS n_terms FROM postings GROUP BY doc_id),
+    etok AS (SELECT doc_id, unnest({etoks}) AS tok FROM documents),
+    h AS (SELECT doc_id, {H.stable_hash60_sql('tok')} AS h FROM etok),
+    agg AS (
+      SELECT doc_id, h % {_EMBED_DIM} AS bucket,
+             CAST(sum(CASE WHEN (h >> 59) & 1 = 1 THEN 1 ELSE -1 END) AS DOUBLE) AS w
+      FROM h GROUP BY doc_id, h % {_EMBED_DIM}
+    ),
+    nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS n FROM agg GROUP BY doc_id),
+    emb AS (
+      SELECT agg.doc_id, bucket, CAST(CAST(w / n AS FLOAT) AS DOUBLE) AS wt
+      FROM agg JOIN nrm ON agg.doc_id = nrm.doc_id WHERE w <> 0
+    ),
+    cvec AS (SELECT doc_id AS cid, bucket, wt FROM emb WHERE doc_id < {_E2E_K}),
+    dnorm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nd FROM emb GROUP BY doc_id),
+    cnorm AS (SELECT cid, sqrt(sum(wt * wt)) AS nc FROM cvec GROUP BY cid),
+    dots AS (
+      SELECT e.doc_id, c.cid, sum(e.wt * c.wt) AS dot
+      FROM emb e JOIN cvec c ON e.bucket = c.bucket GROUP BY e.doc_id, c.cid
+    ),
+    cosd AS (
+      SELECT a.doc_id, a.cid, COALESCE(t.dot, 0) / (a.nd * a.nc) AS cos
+      FROM (SELECT d.doc_id, c.cid, d.nd, c.nc FROM dnorm d CROSS JOIN cnorm c) a
+      LEFT JOIN dots t ON a.doc_id = t.doc_id AND a.cid = t.cid
+    ),
+    best AS (
+      SELECT doc_id, cid FROM (
+        SELECT doc_id, cid, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cos DESC, cid ASC) AS rk
+        FROM cosd
+      ) WHERE rk = 1
+    )
+    SELECT dl.doc_id, dl.dl, nt.n_terms, CAST(best.cid AS BIGINT) AS centroid_id
+    FROM dl
+    JOIN nt ON dl.doc_id = nt.doc_id
+    JOIN best ON dl.doc_id = best.doc_id
+    """
+
+
+@_register(
+    "streaming_ingest_e2e",
+    _streaming_ingest_sql(),
+    doc="End-to-end INCREMENTAL ingest lineage — the reference's §3.1-3.2 "
+    "lifecycle (file arrival parsing.py:245-289 → RDB insert "
+    "postgres.py:226-290 → ES index merge elasticsearch_index.py:145-172) "
+    "as ONE attested streaming run: documents split into 3 parquet arrival "
+    "drops PLUS a byte-identical REPLAY of drop 1 (at-least-once delivery), "
+    "consumed file-by-file (maxFilesPerTrigger=1) by the SAME "
+    "streaming/pipeline.py writers production would run — "
+    "incremental_bm25_index (epoch-tagged postings/doc_lens appends, "
+    "latest-epoch-wins read) and incremental_ivf_index (hash-projection "
+    "embed_udf + frozen-centroid ivf_append into centroid_id= partitions, "
+    "duplicate-id collapse at read). The returned per-doc index state "
+    "(doc_id, dl, n_terms, centroid_id) must equal the batch oracle, which "
+    "knows nothing about micro-batches or the replay — attesting both "
+    "batch/stream semantic parity AND replay idempotency in one hash. "
+    "Assignment argmax margins (best vs 2nd centroid cosine): >=4.0e-4 at "
+    "sf0.001, >=1.6e-5 at sf0.01 — 9+ orders above cross-engine float "
+    "drift; probe gate in tests/test_streaming.py. "
+    "The driver-side collect materializes only the per-doc SUMMARY (k·|docs|"
+    " rows) so the scratch dir can be reclaimed; the indexes themselves "
+    "never leave executor storage",
+)
+def streaming_ingest_e2e(spark, sf):
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ..functions.embedding import embed_udf
+    from ..streaming.pipeline import (
+        incremental_bm25_index,
+        incremental_ivf_index,
+        stream_files,
+    )
+
+    ensure_session_confs(spark)
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    out_schema = "doc_id long, dl long, n_terms long, centroid_id long"
+    if docs.isEmpty():
+        # empty slice: nothing arrives, nothing indexes — degenerate result
+        # without spinning up streams over zero files
+        return spark.createDataFrame([], out_schema)
+
+    work = _tempfile.mkdtemp(prefix="spark_graft_e2e_")
+    try:
+        arrivals = f"{work}/arrivals"
+        _os.makedirs(arrivals)
+        for i in range(3):
+            stage = f"{work}/stage_{i}"
+            docs.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(stage)
+            parts = sorted(_glob.glob(f"{stage}/part-*.parquet"))
+            if parts:
+                _shutil.copy(parts[0], f"{arrivals}/batch_{i}.parquet")
+        # at-least-once delivery: drop 1 arrives AGAIN as a new file; the
+        # latest-epoch (BM25) / dedup-at-read (IVF) contracts must absorb it
+        if _os.path.exists(f"{arrivals}/batch_1.parquet"):
+            _shutil.copy(
+                f"{arrivals}/batch_1.parquet", f"{arrivals}/batch_3_replay.parquet"
+            )
+
+        stream = stream_files(spark, arrivals, docs.schema, max_files_per_trigger=1)
+        q1 = incremental_bm25_index(stream, f"{work}/bm25", f"{work}/ckpt_bm25")
+        q1.processAllAvailable()
+        q1.stop()
+
+        emb = embed_udf(_EMBED_DIM)
+        centroids = docs.where(F.col("doc_id") < _E2E_K).select(
+            F.col("doc_id").cast("int").alias("centroid_id"),
+            emb(F.col("text")).alias("centroid"),
+        )
+        vec_stream = stream.select(
+            F.col("doc_id").alias("vec_id"), emb(F.col("text")).alias("embedding")
+        )
+        q2 = incremental_ivf_index(
+            vec_stream, f"{work}/ivf", f"{work}/ckpt_ivf", centroids
+        )
+        q2.processAllAvailable()
+        q2.stop()
+
+        idx = BM25.index_from_dir(spark, f"{work}/bm25")
+        n_terms = idx.postings.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+        assigned = (
+            spark.read.parquet(f"{work}/ivf")
+            .select(F.col("vec_id").alias("doc_id"), "centroid_id")
+            .dropDuplicates(["doc_id"])  # replayed appends are identical rows
+            if _os.path.exists(f"{work}/ivf")
+            else spark.createDataFrame([], "doc_id long, centroid_id int")
+        )
+        out = (
+            idx.doc_lens.join(n_terms, "doc_id")
+            .join(assigned, "doc_id")
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col("dl").cast("long").alias("dl"),
+                F.col("n_terms").cast("long").alias("n_terms"),
+                F.col("centroid_id").cast("long").alias("centroid_id"),
+            )
+        )
+        rows = out.collect()
+    finally:
+        _shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)
 
 
 @_register(
@@ -1870,6 +2045,137 @@ def hybrid_rrf(spark, sf):
     )
     fused = HY.fuse_rrf(b_scores, v_scores, k=_KNN_K)
     return fused.withColumn("score", F.round("score", 6))
+
+
+def _hybrid_ab_sql() -> str:
+    """Fusion A/B oracle: BOTH policies from one set of leg CTEs, full-outer
+    aligned per (query, doc); absent-side rank/score coalesce to 0 (scores
+    in either top-k are strictly positive, so 0 is an unambiguous
+    not-in-this-list marker and the output stays NULL-free for hashing)."""
+    cos = V.cosine_sql("q.embedding", "c.embedding")
+    return f"""
+    WITH {_bm25_score_cte(BM25_QUERIES)},
+    vq AS (
+      SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id < {_N_HYBRID_QUERIES}
+    ),
+    vs AS (
+      SELECT q.query_id, c.vec_id AS doc_id, round({cos}, 6) AS score
+      FROM vq q CROSS JOIN embeddings c
+    ),
+    fw AS (
+      SELECT COALESCE(b.query_id, v.query_id) AS query_id,
+             COALESCE(b.doc_id, v.doc_id) AS doc_id,
+             {HY.TEXT_BOOST} * COALESCE(b.score, 0.0)
+               + {HY.VECTOR_BOOST} * COALESCE(v.score, 0.0) AS score
+      FROM bm25 b FULL OUTER JOIN vs v
+        ON b.query_id = v.query_id AND b.doc_id = v.doc_id
+    ),
+    tw AS (
+      SELECT query_id, doc_id, score, rn FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM fw WHERE score >= {HYBRID_MIN_SCORE}
+      ) WHERE rn <= {_KNN_K}
+    ),
+    rb AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_b
+      FROM bm25
+    ),
+    rv AS (
+      SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank_v
+      FROM vs
+    ),
+    fr AS (
+      SELECT COALESCE(rb.query_id, rv.query_id) AS query_id,
+             COALESCE(rb.doc_id, rv.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + rank_b), 0)
+                   + COALESCE(1.0 / (60 + rank_v), 0), 6) AS score
+      FROM rb FULL OUTER JOIN rv
+        ON rb.query_id = rv.query_id AND rb.doc_id = rv.doc_id
+    ),
+    tr AS (
+      SELECT query_id, doc_id, score, rn FROM (
+        SELECT query_id, doc_id, score,
+               row_number() OVER (
+                 PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rn
+        FROM fr
+      ) WHERE rn <= {_KNN_K}
+    )
+    SELECT COALESCE(w.query_id, r.query_id) AS query_id,
+           COALESCE(w.doc_id, r.doc_id) AS doc_id,
+           COALESCE(w.score, 0.0) AS weighted_score,
+           COALESCE(w.rn, 0) AS weighted_rank,
+           COALESCE(r.score, 0.0) AS rrf_score,
+           COALESCE(r.rn, 0) AS rrf_rank
+    FROM tw w FULL OUTER JOIN tr r
+      ON w.query_id = r.query_id AND w.doc_id = r.doc_id
+    """
+
+
+@_register(
+    "hybrid_fusion_ab",
+    _hybrid_ab_sql(),
+    doc="Fusion A/B: the reference's ES comment PROMISES RRF but ships a "
+    "weighted boolean score (elasticsearch_index.py:222 comment vs :235-246 "
+    "body; the SURVEY §2.8 V4 discrepancy) — this entry runs BOTH policies "
+    "over ONE set of leg scores (text boost 1.0 / vector boost 0.8 / "
+    "min_score, exactly :241,:255,:276, vs 1/(60+rank)) and full-outer "
+    "aligns their per-query top-k lists: (weighted_score, weighted_rank, "
+    "rrf_score, rrf_rank), rank/score 0 where a doc made only one list. "
+    "The comment-vs-implementation gap becomes a measurable attested "
+    "relation. Legs computed once; both fusions join already-reduced "
+    "(query, doc, score) sets — corpus never rescanned",
+)
+def hybrid_fusion_ab(spark, sf):
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    index = BM25.build_index(t["documents"])
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    vq = (
+        t["embeddings"]
+        .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    v_scores = KNN.score_pairs(vq, t["embeddings"]).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.round("score", 6).alias("score")
+    )
+    w = HY.fuse_weighted(b_scores, v_scores, min_score=HYBRID_MIN_SCORE, k=_KNN_K)
+    r = HY.fuse_rrf(b_scores, v_scores, k=_KNN_K).withColumn(
+        "score", F.round("score", 6)
+    )
+
+    def _ranked(df, score_name, rank_name):
+        from pyspark.sql.window import Window as _Win
+
+        win = _Win.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return df.select(
+            "query_id",
+            "doc_id",
+            F.col("score").alias(score_name),
+            F.row_number().over(win).cast("long").alias(rank_name),
+        )
+
+    w2 = _ranked(w, "weighted_score", "weighted_rank")
+    r2 = _ranked(r, "rrf_score", "rrf_rank")
+    return w2.join(r2, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.coalesce("weighted_score", F.lit(0.0)).alias("weighted_score"),
+        F.coalesce("weighted_rank", F.lit(0).cast("long")).alias("weighted_rank"),
+        F.coalesce("rrf_score", F.lit(0.0)).alias("rrf_score"),
+        F.coalesce("rrf_rank", F.lit(0).cast("long")).alias("rrf_rank"),
+    )
 
 
 _MINHASH_PAIRS_CTE = f"""
@@ -4406,9 +4712,17 @@ _CL_ASSIGN_SQL = """
 
 
 def _collect_seed_centroids(t, k: int = _CL_K) -> list[list[float]]:
+    # NULL/zero-length embeddings among the fixed-centroid ids fail the
+    # ROW, not the collect (list(None) was a driver-side TypeError; the
+    # r9 dirty mirror pins a NULL vector at vec_id=-1). No-op on clean
+    # data, so the `WHERE vec_id < 8` oracle twin is unaffected.
     rows = (
         t["embeddings"]
-        .filter(F.col("vec_id") < k)
+        .filter(
+            (F.col("vec_id") < k)
+            & F.col("embedding").isNotNull()
+            & (F.size("embedding") > 0)
+        )
         .orderBy("vec_id")
         .select(F.col("embedding").cast("array<double>").alias("c"))
         .collect()
@@ -6721,16 +7035,11 @@ def quality_classifier_score(spark, sf):
     data = docs.join(labels, "doc_id")
     try:
         model = Q.train_quality_classifier(data.filter(F.col("doc_id") % 2 == 0))
-    except ValueError as e:
+    except Q.EmptyTrainingSliceError:
         # Degrade ONLY on the operator's own typed empty-slice signal —
         # a bare `except ValueError` would also swallow unrelated
-        # MLlib/param ValueErrors into a silent empty result (ADVICE r7).
-        # Message-match instead of a dedicated exception class because
-        # quality.py is frozen this round (blast radius: +1 fresh
-        # staling); r9's quality.py edit should introduce
-        # EmptyTrainingSliceError and tighten this to an isinstance check.
-        if not str(e).startswith("train_quality_classifier:"):
-            raise
+        # MLlib/param ValueErrors into a silent empty result (ADVICE r7;
+        # the r8 message-match stopgap became this typed catch in r9).
         # empty corpus slice: nothing to train on, nothing to score —
         # the end-to-end entry degrades to the empty scored table
         return docs.select(

@@ -331,6 +331,32 @@ def test_gram_matrix_null_and_ragged_rows_contribute_present_dims_only(spark):
     assert set(out) == {(1, 1), (1, 2), (2, 2)}
 
 
+def test_gram_matrix_masks_nonfinite_and_overflow_rows(spark):
+    """r7 ADVICE hazard, fixed r9: a NaN (or inf) element, or a magnitude
+    whose quantized product exceeds int64, used to flow through
+    astype(int64) as SILENT garbage (INT64_MIN) — a wrong-value path, not
+    a crash. Such rows now drop like NULL rows; clean rows are unaffected."""
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),
+            (2, [math.nan, 1.0]),   # NaN element: whole row drops
+            (3, [math.inf, 1.0]),   # inf element: whole row drops
+            (4, [1e30, 1e30]),      # 1e60·1e6 >> 2^63: whole row drops
+            (5, [2.0, 0.5]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {(r["i"], r["j"]): r["sum_q"] for r in CL.gram_matrix(df).collect()}
+    assert out[(1, 1)] == round(1.0 * 1e6) + round(4.0 * 1e6)
+    assert out[(1, 2)] == round(2.0 * 1e6) + round(1.0 * 1e6)
+    assert out[(2, 2)] == round(4.0 * 1e6) + round(0.25 * 1e6)
+    assert set(out) == {(1, 1), (1, 2), (2, 2)}
+    # and every surviving value is sane — no INT64_MIN garbage anywhere
+    assert all(abs(v) < 2**40 for v in out.values())
+
+
 def test_gram_matrix_merges_ragged_partials_across_arrow_batches(spark):
     """The kernel accumulates per-BATCH partials; with ragged rows the
     partials have different widths and both merge branches (acc wider /
@@ -355,24 +381,18 @@ def test_gram_matrix_merges_ragged_partials_across_arrow_batches(spark):
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
-@pytest.mark.xfail(
-    strict=True,
-    raises=TypeError,
-    reason="KNOWN r7 defect (ADVICE, medium): lloyd's seed collect "
-    "(orderBy id, limit k) does list(r['c']) with no NULL/ragged filter, "
-    "so a NULL embedding among the k LOWEST ids kills the JOB with a "
-    "driver-side TypeError — violating the row-fails-not-job contract. "
-    "The dirty mirror misses it because its NULL row gets a HIGH vec_id. "
-    "Engine fix is budgeted for r9 (cluster.py edit stales 7 fresh "
-    "attestations; r8 is the zero-headroom backlog round) — when the "
-    "seed scan gains .where(col.isNotNull() & size>0), this strict "
-    "xfail XPASSes and must flip to a plain assertion.",
-)
-def test_lloyd_seed_with_low_id_null_embedding_pinned(spark):
+def test_lloyd_seed_with_low_id_null_embedding(spark):
+    """r7 ADVICE defect, fixed r9: a NULL embedding among the k LOWEST ids
+    must fail the ROW (seed scan filters isNotNull & size>0), not kill the
+    job with a driver-side TypeError in list(r['c']). Also pinned by the
+    low-vec_id NULL row in the main dirty mirror."""
     df = spark.createDataFrame(
         [(0, None), (1, [1.0, 2.0]), (2, [3.0, 4.0]), (3, [5.0, 6.0])],
         "vec_id long, embedding array<double>",
     )
     assigned, cents, _ = CL.lloyd(df, k=2, iters=1)
-    assert all(c is not None for c in cents)
+    # seeds skip the NULL row: k=2 valid seeds (vec_ids 1,2), then one
+    # mean update over the 3 valid vectors — both centroids stay real
+    assert len(cents) == 2
+    assert all(c is not None and len(c) == 2 for c in cents)
     assert assigned.where(F.col("vec_id") == 1).count() == 1

@@ -295,7 +295,7 @@ def test_train_quality_classifier_empty_slice_raises_typed_error(spark):
     from auto_vectordb_spark.operators import quality as Q
 
     empty = spark.createDataFrame([], "doc_id long, text string, label int")
-    with pytest.raises(ValueError, match="empty training slice"):
+    with pytest.raises(Q.EmptyTrainingSliceError, match="empty training slice"):
         Q.train_quality_classifier(empty)
 
 
@@ -304,8 +304,8 @@ def test_classifier_entry_reraises_unrelated_valueerror(spark, sf_dir, monkeypat
     ONLY on train_quality_classifier's own typed empty-slice signal; any
     other ValueError (MLlib param validation, future refactors) must
     propagate — a bare `except ValueError` silently swallowed them
-    (ADVICE r7). Pins the message-match stopgap until r9's
-    EmptyTrainingSliceError."""
+    (ADVICE r7). Since r9 the entry catches the typed
+    EmptyTrainingSliceError (isinstance, not message-match)."""
     from auto_vectordb_spark.operators import quality as Q
     from auto_vectordb_spark.plans.parity import REGISTRY
 

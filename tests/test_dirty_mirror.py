@@ -75,23 +75,25 @@ def dirty_dir(tmp_path_factory):
     erows = e.to_pylist()
     dim = len(erows[0]["embedding"])
     em = max(r["vec_id"] for r in erows)
-    # pre-r7 dirty embedding rows: value-level corruption, vector present
-    erows_pre_r7 = erows + [
+    erows += [
+        # value-level corruption, vector present (pre-r7 rows)
         dict(vec_id=em + 1, embedding=[0.0] * dim, label=0),          # zero-norm
         dict(vec_id=em + 2, embedding=[math.nan] * dim, label=1),     # NaN
         dict(vec_id=em + 3, embedding=[1e30] * dim, label=2),         # overflow
         dict(vec_id=em + 4, embedding=[-1e-30] * dim, label=None),    # denormal
         dict(erows[0], embedding=[9.9] * dim),                        # dup key
-    ]
-    # r7 structural rows: the ones the deferred BLAS/LSH kernels still
-    # crash on (np.stack of None/ragged) — main mirror only
-    erows_full = erows_pre_r7 + [
+        # structural corruption (r7 rows; BLAS/LSH kernel coverage
+        # restored to the main gate by the r9 cleanvec fix)
         dict(vec_id=None, embedding=[0.1] * dim, label=0),            # null key
         dict(vec_id=em + 5, embedding=None, label=0),                 # NULL vector
         dict(vec_id=em + 6, embedding=[0.5, 0.5, 0.5], label=0),      # ragged
         dict(vec_id=em + 7, embedding=[], label=1),                   # zero-length
+        # NULL vector at the LOWEST id (r9, ADVICE r7): seed-from-lowest-
+        # ids trainers (lloyd, PQ codebooks) and vec_id<N query windows
+        # must drop it, not die collecting it (the pinned lloyd TypeError)
+        dict(vec_id=-1, embedding=None, label=0),                     # low-id NULL
     ]
-    pq.write_table(pa.Table.from_pylist(erows_full, schema=e.schema),
+    pq.write_table(pa.Table.from_pylist(erows, schema=e.schema),
                    f"{dst}/embeddings.parquet")
 
     ev = con.execute(
@@ -116,59 +118,20 @@ def dirty_dir(tmp_path_factory):
     pq.write_table(pa.Table.from_pylist(evrows, schema=ev.schema),
                    f"{dst}/events.parquet")
     con.close()
-
-    # Variant mirror for the DEFERRED_EMPTY_CRASHERS: identical except the
-    # embeddings table stops at the pre-r7 dirty rows. Skipping those five
-    # entries from the whole gate (r7) silently dropped their
-    # previously-passing NaN/overflow/unicode/null-text coverage — this
-    # dir restores it while the structural NULL/ragged fix waits on the
-    # r9 engine-edit budget (ADVICE r7).
-    import os
-
-    dst2 = tmp_path_factory.mktemp("dirty_sf_pre_r7")
-    for t in TABLES:
-        if t != "embeddings":
-            os.symlink(f"{dst}/{t}.parquet", f"{dst2}/{t}.parquet")
-    pq.write_table(pa.Table.from_pylist(erows_pre_r7, schema=e.schema),
-                   f"{dst2}/embeddings.parquet")
-    return str(dst), str(dst2)
+    return str(dst)
 
 
 def test_all_entries_survive_dirty_mirror(spark, dirty_dir):
-    # the BLAS/LSH numpy kernels also die on the r7 NULL-vector row, the
-    # same file-edit-budget deferral as the empty gate (SCALE.md
-    # "Empty-input contract") — exempted here until those land
-    from test_empty_mirror import DEFERRED_EMPTY_CRASHERS
-
+    # no exemptions: the r7 BLAS/LSH deferral (and its pre-r7 variant
+    # mirror) ended with the r9 cleanvec fix — every entry runs against
+    # the FULL dirty row set, structural corruption included
     failures = {}
     for name, q in REGISTRY.items():
-        if name in DEFERRED_EMPTY_CRASHERS:
-            continue
         try:
-            q.spark(spark, dirty_dir[0]).collect()
+            q.spark(spark, dirty_dir).collect()
         except Exception as e:  # noqa: BLE001 — any crash is the finding
             failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
     assert not failures, (
         f"{len(failures)} entries die on dirty rows (a malformed row must "
         f"fail the row, not the job): {failures}"
-    )
-
-
-def test_deferred_entries_survive_pre_r7_dirty_rows(spark, dirty_dir):
-    """The five deferred kernels keep their pre-r7 dirty coverage: NaN /
-    overflow / denormal / zero-norm / dup-key embeddings plus every
-    document- and event-side corruption must still fail the row, not the
-    job. Only the r7 structural rows (NULL/ragged/zero-length vectors,
-    NULL vec_id) are out of scope until the r9 fix."""
-    from test_empty_mirror import DEFERRED_EMPTY_CRASHERS
-
-    failures = {}
-    for name in DEFERRED_EMPTY_CRASHERS:
-        try:
-            REGISTRY[name].spark(spark, dirty_dir[1]).collect()
-        except Exception as e:  # noqa: BLE001 — any crash is the finding
-            failures[name] = f"{type(e).__name__}: {str(e)[:200]}"
-    assert not failures, (
-        f"deferred entries regressed on PRE-r7 dirty rows (this coverage "
-        f"passed before the r7 skip): {failures}"
     )

@@ -630,3 +630,62 @@ def test_incremental_ivf_index_stream(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_e2e_ingest_assignment_margin_probe(spark, sf_dir):
+    """Margin gate for streaming_ingest_e2e's oracle (plans/parity.py):
+    the IVF assignment argmax is compared cross-engine on UNROUNDED
+    cosines, which is only sound while every doc's best-vs-second centroid
+    gap stays orders of magnitude above engine float drift (~1e-14 for a
+    64-dim float32 dot). This probe recomputes the gaps with numpy and
+    fails if the fixture margins ever collapse below 1e-9 — the signal to
+    switch the entry to round-before-rank."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from auto_vectordb_spark.functions.embedding import embed_udf
+    from auto_vectordb_spark.plans.parity import _E2E_K, _EMBED_DIM, load_views
+
+    docs = load_views(spark, sf_dir)["documents"]
+    rows = docs.select(
+        "doc_id", embed_udf(_EMBED_DIM)(F.col("text")).alias("e")
+    ).collect()
+    vecs = {r["doc_id"]: np.asarray(r["e"], dtype=np.float64) for r in rows}
+    cents = np.stack([vecs[i] for i in range(_E2E_K)])
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+    min_gap = min(
+        (lambda s: s[0] - s[1])(np.sort(cn @ (v / max(np.linalg.norm(v), 1e-30)))[::-1])
+        for v in vecs.values()
+    )
+    # measured 4.1e-4 at sf0.001 and 1.6e-5 at sf0.01 (2026-08-15)
+    assert min_gap > 1e-9, f"assignment margin collapsed to {min_gap}"
+
+
+def test_hybrid_fusion_ab_lists_align_and_diverge(spark, sf_dir):
+    """The A/B entry must be non-vacuous: both policies produce a full
+    top-k per query from identical legs, agree on membership for most docs
+    (same legs), and the weighted-vs-RRF ORDER differs somewhere — the
+    comment-vs-implementation discrepancy the entry exists to measure
+    (elasticsearch_index.py:222 vs :235-246)."""
+    from auto_vectordb_spark.plans.parity import _KNN_K, REGISTRY
+
+    rows = REGISTRY["hybrid_fusion_ab"].spark(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert by_q, "no fused rows at all"
+    for q, rs in by_q.items():
+        w_ranks = sorted(r["weighted_rank"] for r in rs if r["weighted_rank"] > 0)
+        r_ranks = sorted(r["rrf_rank"] for r in rs if r["rrf_rank"] > 0)
+        assert w_ranks == list(range(1, _KNN_K + 1)), (q, w_ranks)
+        assert r_ranks == list(range(1, _KNN_K + 1)), (q, r_ranks)
+    # rank-order divergence exists somewhere (weighted is score-scale
+    # sensitive, RRF is rank-space) — if the two policies ever became
+    # identical the A/B entry would be measuring nothing
+    assert any(
+        r["weighted_rank"] > 0 and r["rrf_rank"] > 0
+        and r["weighted_rank"] != r["rrf_rank"]
+        for r in rows
+    ) or any(
+        (r["weighted_rank"] > 0) != (r["rrf_rank"] > 0) for r in rows
+    ), "weighted and RRF produced identical rankings on every query"
