@@ -122,7 +122,9 @@ def test_bench_emits_valid_json(tmp_path):
     import sys
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="8")
+               SPARK_GRAFT_CPUS="8",
+               # keep the telemetry sidecar out of the repo root during tests
+               SPARK_GRAFT_BENCH_DETAIL=str(tmp_path / "bench_detail.json"))
     proc = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True, text=True, timeout=570, env=env,

@@ -42,6 +42,9 @@ SINGLE_PARTITION_OK = frozenset(
         "events_ntile",
         # 1-row max-timestamp aggregate broadcast into the decay scan
         "events_recency_volume",
+        # same 1-row BM25 corpus-stats aggregate as hybrid_search, feeding
+        # BOTH fusion policies from one leg computation
+        "hybrid_fusion_ab",
         "hybrid_rrf",
         "hybrid_search",
         "more_like_this",
