@@ -8241,56 +8241,56 @@ def curation_funnel(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "dedup_components",
-    "dedup_incremental",
-    "dedup_minhash_lsh_pairs",
-    "attribution_pairs",
-    "knn_binary_topk",
-    "knn_matryoshka_16",
+    "events_dau_wau",
+    "events_funnel",
+    "events_hourly",
+    "streaming_ingest_e2e",
+    "hybrid_fusion_ab",
+    "hard_negative_mining",
+    "bitext_margin_mining",
+    "ann_recall_eval",
+    "ngram_novelty",
+    "dedup_ngram_containment",
+    "neardup_levenshtein_pairs",
+    "knn_maxp_docs",
+    "semantic_decontaminate",
+    "hybrid_search",
+    "decontaminate_docs",
+    "cluster_assign",
+    "dedup_span_removal",
+    "substring_dup_spans",
+    "dedup_apply_keep_one",
+    "knn_pq_adc",
+    "cluster_profile",
+    "pq_encode",
+    "dedup_apply_keep_best",
+    "knn_filtered",
+    "semantic_search_e2e",
+    "rerank_hybrid",
+    "staging_lifecycle",
+    "knn_int8_topk",
+    "cluster_kmeans_lloyd",
+    "embedding_outliers",
+    "domain_rebalance_uniform",
+    "mmr_rerank",
+    "semdedup_pairs",
     "streaming_hourly",
-    "text_token_stats",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
     "dedup_exact",
     "dedup_minhash_signatures",
+    "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "knn_exact_cosine",
     "knn_exact_dot",
     "pipeline_parse_pages",
-    "above_brand_average",
     "knn_blas_topk",
     "dedup_embedding_blas_exact",
     "training_set_build",
     "hybrid_rrf",
-    "text_chunking",
+    "dedup_components",
+    "dedup_incremental",
     "dsir_importance_weights",
-    "bigram_lm_nll",
-    "domain_cap_source",
-    "domain_rebalance_temp",
-    "embedding_dim_stats",
-    "zipf_fit",
-    "source_overlap",
-    "neardup_pair_profile",
-    "dup_cluster_histogram",
-    "knn_cascade_rerank",
-    "events_anomaly_mad",
-    "events_seasonal_deviation",
-    "events_anomaly_zscore",
-    "langid_confusion",
-    "text_sentences",
-    "dedup_sentences_crossdoc",
-    "dedup_sentence_removal",
-    "quality_weighted_sample",
-    "rag_context_pack",
-    "embedding_gram_matrix",
-    "quality_calibration",
-    "source_embedding_drift",
-    "doc_embedding_mean_pool",
-    "cluster_silhouette",
-    "ccnet_perplexity_buckets",
 ]
 
 
