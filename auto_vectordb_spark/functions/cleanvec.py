@@ -58,12 +58,14 @@ def probe_dim(df: DataFrame, vec_col: str, sample: int = 64) -> int | None:
 
 def clean_rows(rows, vec_field: str, dim: int, id_field: str | None = None) -> list:
     """Driver-side twin of :func:`clean_block` for collected Row lists:
-    keep rows with a non-NULL ``dim``-length vector (and non-NULL id when
-    ``id_field`` is given)."""
+    keep rows with a non-NULL, all-finite ``dim``-length vector (and
+    non-NULL id when ``id_field`` is given)."""
+    import math
+
     out = []
     for r in rows:
         v = r[vec_field]
-        if v is None or len(v) != dim:
+        if v is None or len(v) != dim or not all(math.isfinite(x) for x in v):
             continue
         if id_field is not None and r[id_field] is None:
             continue
@@ -73,10 +75,16 @@ def clean_rows(rows, vec_field: str, dim: int, id_field: str | None = None) -> l
 
 def clean_block(pdf, vec_col: str, dim: int, id_col: str | None = None):
     """(mask, matrix) for one pandas batch: ``mask`` is the boolean row
-    filter (vector present, exactly ``dim`` long, id present when
-    ``id_col`` given — a NULL long id arrives as NaN after Arrow
-    conversion) and ``matrix`` is the float64 ``np.stack`` of the
-    surviving vectors, or ``None`` when nothing survives."""
+    filter (vector present, exactly ``dim`` long, all elements FINITE, id
+    present when ``id_col`` given — a NULL long id arrives as NaN after
+    Arrow conversion) and ``matrix`` is the float64 ``np.stack`` of the
+    surviving vectors, or ``None`` when nothing survives.
+
+    The finite requirement mirrors vector.cosine's nan_to_null doctrine:
+    a NaN element would flow through the GEMM into NaN scores, which the
+    expression kernels map to NULL but a numpy/Spark desc ranking would
+    order FIRST — one NaN embedding silently winning a top-k is the
+    wrong-value failure mode, worse than a crash."""
     import numpy as np
     import pandas as pd
 
@@ -88,4 +96,11 @@ def clean_block(pdf, vec_col: str, dim: int, id_col: str | None = None):
         mask &= pd.notna(pdf[id_col]).to_numpy()
     if not mask.any():
         return mask, None
-    return mask, np.stack([np.asarray(v, dtype=np.float64) for v in vals[mask]])
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in vals[mask]])
+    finite = np.isfinite(M).all(axis=1)
+    if not finite.all():
+        mask[np.flatnonzero(mask)[~finite]] = False
+        if not mask.any():
+            return mask, None
+        M = M[finite]
+    return mask, M

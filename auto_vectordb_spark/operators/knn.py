@@ -84,10 +84,14 @@ def knn_exact(
     # row-fails-not-job: a NULL query or corpus vector yields a NULL score;
     # without this filter such pairs would be tie-break-RANKED into the
     # top-k (a NULL-vector query retrieves k unscored ids) and downstream
-    # joins on the retrieved ids fail loudly. No-op on clean data.
+    # joins on the retrieved ids fail loudly. The isnan guard covers the
+    # dot metric: cosine maps NaN inputs to NULL (vector.nan_to_null) but
+    # a raw dot of a NaN vector stays NaN, and Spark orders NaN as the
+    # LARGEST double — one NaN embedding would win EVERY desc top-k
+    # (silent retrieval corruption). No-op on clean data.
     return top_k_per_group(
         scored.select("query_id", corpus_id, "score").where(
-            F.col("score").isNotNull()
+            F.col("score").isNotNull() & ~F.isnan("score")
         ),
         ["query_id"],
         "score",

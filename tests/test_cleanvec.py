@@ -120,3 +120,58 @@ def test_lsh_model_none_on_empty_and_search_degrades(spark):
     out = KNN.lsh_search(model, indexed, [1.0, 0.0], k=3)
     assert "distance" in out.columns
     assert out.count() == 0
+
+
+def test_clean_block_drops_nonfinite_vectors():
+    import math
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1.0, 2.0, 3.0, 4.0],
+            "embedding": [
+                [1.0, 2.0],
+                [math.nan, 1.0],   # NaN element: row drops
+                [math.inf, 0.0],   # inf element: row drops
+                [3.0, 4.0],
+            ],
+        }
+    )
+    mask, M = CV.clean_block(pdf, "embedding", 2, id_col="vec_id")
+    assert mask.tolist() == [True, False, False, True]
+    assert M.shape == (2, 2) and np.isfinite(M).all()
+    rows_all_bad = pdf.iloc[1:3]
+    mask2, M2 = CV.clean_block(rows_all_bad, "embedding", 2, id_col="vec_id")
+    assert not mask2.any() and M2 is None
+
+
+def test_knn_exact_dot_metric_nan_vector_never_wins(spark):
+    """Spark orders NaN as the LARGEST double, so without the isnan guard
+    a single NaN embedding wins EVERY desc top-k under the dot metric
+    (cosine is already nan_to_null'd) — silent retrieval corruption."""
+    import math
+
+    corpus = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5]), (3, [math.nan, 1.0]), (4, [0.0, 1.0])],
+    )
+    queries = _emb(spark, [(0, [1.0, 1.0])]).withColumnRenamed("vec_id", "query_id")
+    got = KNN.knn_exact(queries, corpus, k=3, metric="dot").collect()
+    ids = [r["vec_id"] for r in got]
+    assert 3 not in ids, f"NaN corpus vector hijacked the top-k: {ids}"
+    assert len(ids) == 3 and all(
+        r["score"] == r["score"] for r in got
+    )  # no NaN scores emitted
+
+
+def test_knn_exact_blas_nan_query_and_corpus_rows_drop(spark):
+    import math
+
+    corpus = _emb(
+        spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [math.nan, math.nan])]
+    )
+    queries = _emb(
+        spark, [(0, [1.0, 1.0]), (9, [math.nan, 0.0])]
+    ).withColumnRenamed("vec_id", "query_id")
+    got = KNN.knn_exact_blas(queries, corpus, k=3, round_decimals=6).collect()
+    assert {r["query_id"] for r in got} == {0}  # NaN query retrieves nothing
+    assert all(r["vec_id"] != 3 for r in got)   # NaN corpus row never retrieved
