@@ -27,6 +27,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def valid_vec(col, dim: int | None = None):
+    """Column predicate for a usable vector: present, non-empty, no NULL
+    elements (one NULL element NULLs/poisons every downstream reduction,
+    and MLlib fit/transform dies on it outright), and exactly ``dim`` long
+    when given — the shared seed-scan / index-build row filter, so the
+    contract has ONE spelling instead of drifting per call site."""
+    c = F.col(col) if isinstance(col, str) else col
+    p = c.isNotNull() & (F.size(c) > 0) & ~F.exists(c, lambda x: x.isNull())
+    if dim is not None:
+        p = p & (F.size(c) == int(dim))
+    return p
+
+
 def modal_dim(values) -> int | None:
     """Modal length of the non-NULL, non-empty vectors in ``values``
     (any iterable of list/None); ties prefer the larger dimension.
@@ -59,13 +72,20 @@ def probe_dim(df: DataFrame, vec_col: str, sample: int = 64) -> int | None:
 def clean_rows(rows, vec_field: str, dim: int, id_field: str | None = None) -> list:
     """Driver-side twin of :func:`clean_block` for collected Row lists:
     keep rows with a non-NULL, all-finite ``dim``-length vector (and
-    non-NULL id when ``id_field`` is given)."""
+    non-NULL id when ``id_field`` is given). NULL elements arrive as
+    Python ``None`` from collect() (the kernels see them as NaN after
+    Arrow conversion) — they must drop the row, not TypeError the
+    driver."""
     import math
 
     out = []
     for r in rows:
         v = r[vec_field]
-        if v is None or len(v) != dim or not all(math.isfinite(x) for x in v):
+        if (
+            v is None
+            or len(v) != dim
+            or any(x is None or not math.isfinite(x) for x in v)
+        ):
             continue
         if id_field is not None and r[id_field] is None:
             continue

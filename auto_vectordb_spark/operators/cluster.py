@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import cleanvec as CV
 from ..functions import vector as V
 
 # per-element quantization for exact (order-independent) centroid means:
@@ -140,11 +141,14 @@ def lloyd(
     the k×d centroid matrix ever reaches the driver. Empty clusters keep
     their previous centroid (the standard Lloyd fix).
     """
-    # seed from the k lowest-id VALID vectors: a NULL or zero-length
-    # embedding among the lowest ids must fail the row, not the job
-    # (list(None) below was a driver-side TypeError killing the whole run)
+    # seed from the k lowest-id VALID vectors: a NULL / zero-length /
+    # NULL-element embedding among the lowest ids must fail the row, not
+    # the job (list(None) below was a driver-side TypeError), and a RAGGED
+    # one must not silently poison a centroid with the wrong
+    # dimensionality — valid_vec pins seeds to the corpus's modal dim
+    dim = CV.probe_dim(vectors, vec_col)
     first = (
-        vectors.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        vectors.where(CV.valid_vec(vec_col, dim) if dim else F.lit(False))
         .orderBy(F.col(id_col))
         .limit(k)
         .select(V.as_double_array(F.col(vec_col)).alias("c"))

@@ -834,8 +834,12 @@ def embedding_neardup_pairs_blas(
                 }
             )
 
-    return vectors.select(id_col, vec_col).mapInPandas(
-        part, schema="id_a long, id_b long, cosine double"
+    # NULL-id rows filtered BEFORE the kernel: one NULL per batch turns the
+    # Arrow->pandas id column into float64, silently rounding ids > 2^53
+    return (
+        vectors.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull())
+        .mapInPandas(part, schema="id_a long, id_b long, cosine double")
     )
 
 
@@ -918,8 +922,12 @@ def embedding_neardup_pairs_blas_bucketed(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    assigned = vectors.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"vid long, tbl int, bucket long, vec {vec_type}"
+    # same NULL-id pre-filter as embedding_neardup_pairs_blas: keep the
+    # Arrow batches pure int64 so no id round-trips through float64
+    assigned = (
+        vectors.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull())
+        .mapInPandas(assign, schema=f"vid long, tbl int, bucket long, vec {vec_type}")
     )
 
     def kernel(pdf):
@@ -1013,8 +1021,10 @@ def embedding_neardup_lsh(
                 )
             yield pd.concat(out, ignore_index=True)
 
-    assigned = vectors.select(id_col, vec_col).mapInPandas(
-        assign, schema="vid long, tbl int, bucket long"
+    assigned = (
+        vectors.select(id_col, vec_col)
+        .where(F.col(id_col).isNotNull())  # pure-int64 batches, see BLAS twin
+        .mapInPandas(assign, schema="vid long, tbl int, bucket long")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cand = (

@@ -362,7 +362,15 @@ def knn_exact_blas(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    local = corpus.select(corpus_id, corpus_vec).mapInPandas(part, schema=out_schema)
+    # NULL-id rows are filtered BEFORE the kernel, not just masked inside
+    # it: one NULL in a batch makes Arrow hand pandas the whole id column
+    # as float64, silently rounding any id above 2^53 (hash-derived 60-bit
+    # ids would corrupt) — keep the batches pure int64
+    local = (
+        corpus.select(corpus_id, corpus_vec)
+        .where(F.col(corpus_id).isNotNull())
+        .mapInPandas(part, schema=out_schema)
+    )
     return top_k_per_group(local, ["query_id"], "score", k, tie_break=corpus_id)
 
 
@@ -544,8 +552,11 @@ def lsh_model(corpus: DataFrame, vec_col: str = "embedding", bucket_length: floa
     from pyspark.ml.functions import array_to_vector
 
     dim = CV.probe_dim(corpus, vec_col)
+    # valid_vec also excludes vectors with NULL ELEMENTS — array_to_vector
+    # / the MLlib fit die on one, the opaque job-kill this filter exists
+    # to prevent
     clean = (
-        corpus.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim))
+        corpus.where(CV.valid_vec(vec_col, dim))
         if dim is not None
         else corpus.where(F.lit(False))
     )

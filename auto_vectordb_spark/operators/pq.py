@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import cleanvec as CV
 from ..functions import vector as V
 from .cluster import sqdist
 from .relational import top_k_per_group
@@ -49,11 +50,14 @@ def pq_codebooks_seed(
     """codebooks[j][c] = centroid c of subspace j, taken from the ``ksub``
     lowest-id vectors (deterministic seeded-sample training — the oracle
     twin; collect is ksub rows, tiny by construction)."""
-    # train on the ksub lowest-id VALID vectors: a NULL/zero-length
-    # embedding among the lowest ids fails the row, not the training run
-    # (len(None)/slice-of-None below were driver-side TypeErrors)
+    # train on the ksub lowest-id VALID vectors: a NULL / zero-length /
+    # NULL-element embedding among the lowest ids fails the row, not the
+    # training run (len(None)/slice-of-None were driver-side TypeErrors),
+    # and a ragged one must not yield short/empty codewords — valid_vec
+    # pins the sample to the corpus's modal dimensionality
+    dim = CV.probe_dim(vectors, vec_col)
     rows = (
-        vectors.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+        vectors.where(CV.valid_vec(vec_col, dim) if dim else F.lit(False))
         .orderBy(F.col(id_col))
         .limit(ksub)
         .select(V.as_double_array(F.col(vec_col)).alias("v"))
@@ -86,8 +90,10 @@ def pq_codebooks_kmeans(
     from pyspark.ml.functions import array_to_vector
 
     df = vectors if sample_fraction is None else vectors.sample(sample_fraction, seed=seed)
-    # NULL/zero-length vectors fail the row, not the KMeans fit
-    df = df.where(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
+    # NULL / zero-length / NULL-element / ragged vectors fail the row, not
+    # the KMeans fit (MLlib dies on nulls; a ragged row would skew slices)
+    dim = CV.probe_dim(df, vec_col)
+    df = df.where(CV.valid_vec(vec_col, dim) if dim else F.lit(False))
     v = V.as_double_array(F.col(vec_col))
     row = df.select(v.alias("v")).first()
     if row is None:

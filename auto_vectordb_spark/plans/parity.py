@@ -44,6 +44,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import cleanvec as CV
 from ..functions import hashing as H
 from ..functions import vector as V
 from ..operators import analytics as AN
@@ -990,6 +991,11 @@ _KNN_K = 10
 
 
 def _knn_sql(metric_sql: str) -> str:
+    # the NULL/NaN filter mirrors knn_exact's Spark-side row contract
+    # exactly (operators/knn.py): a NULL or NaN score never enters the
+    # ranking in EITHER engine, so the pair stays the same function even
+    # on non-clean inputs (DuckDB, like Spark, would otherwise order NaN
+    # as the largest value and hand it the top-k)
     return f"""
     WITH q AS (
       SELECT vec_id AS query_id, embedding AS qv FROM embeddings
@@ -1006,6 +1012,7 @@ def _knn_sql(metric_sql: str) -> str:
                PARTITION BY query_id ORDER BY score DESC, vec_id ASC
              ) AS rn
       FROM scored
+      WHERE score IS NOT NULL AND NOT isnan(score)
     )
     SELECT query_id, vec_id, score FROM ranked WHERE rn <= {_KNN_K}
     """
@@ -1228,11 +1235,17 @@ def ann_lsh_topk(spark, sf):
     t = load_views(spark, sf)
     emb = t["embeddings"]
     model, indexed = KNN.lsh_model(emb, bucket_length=4.0, num_hash_tables=4)
-    # empty/all-invalid corpus (model=None) or a missing/NULL probe vector
-    # degrades to the schema-correct empty result — an empty embeddings
-    # slice is routine at scale and must not kill the job
-    qrow = emb.filter(F.col("vec_id") == 0).select("embedding").first()
-    if model is None or qrow is None or qrow["embedding"] is None:
+    # empty/all-invalid corpus (model=None) or a missing/NULL/zero-length/
+    # ragged/NULL-element probe vector degrades to the schema-correct
+    # empty result — a malformed probe must not crash approxNearestNeighbors
+    # with a dimension/null error any more than an empty slice may
+    qrow = (
+        emb.filter((F.col("vec_id") == 0) & CV.valid_vec("embedding"))
+        .select("embedding")
+        .first()
+    )
+    dim = CV.probe_dim(emb, "embedding")
+    if model is None or qrow is None or len(qrow["embedding"]) != dim:
         return spark.createDataFrame([], "vec_id long, distance double")
     qvec = [float(x) for x in qrow["embedding"]]
     out = KNN.lsh_search(model, indexed, qvec, k=_KNN_K)
@@ -1508,8 +1521,13 @@ def streaming_ingest_e2e(spark, sf):
 
         idx = BM25.index_from_dir(spark, f"{work}/bm25")
         n_terms = idx.postings.groupBy("doc_id").agg(F.count("*").alias("n_terms"))
+        # explicit schema: when no doc holds a centroid id the appends
+        # create the directory with zero part files, and schema INFERENCE
+        # on it would throw — with the schema given, the read degrades to
+        # an empty frame (path-missing still guarded separately)
+        ivf_schema = "vec_id long, embedding array<float>, centroid_id int"
         assigned = (
-            spark.read.parquet(f"{work}/ivf")
+            spark.read.schema(ivf_schema).parquet(f"{work}/ivf")
             .select(F.col("vec_id").alias("doc_id"), "centroid_id")
             .dropDuplicates(["doc_id"])  # replayed appends are identical rows
             if _os.path.exists(f"{work}/ivf")
@@ -4712,16 +4730,18 @@ _CL_ASSIGN_SQL = """
 
 
 def _collect_seed_centroids(t, k: int = _CL_K) -> list[list[float]]:
-    # NULL/zero-length embeddings among the fixed-centroid ids fail the
-    # ROW, not the collect (list(None) was a driver-side TypeError; the
-    # r9 dirty mirror pins a NULL vector at vec_id=-1). No-op on clean
-    # data, so the `WHERE vec_id < 8` oracle twin is unaffected.
+    # NULL / zero-length / NULL-element / ragged embeddings among the
+    # fixed-centroid ids fail the ROW, not the collect (list(None) was a
+    # driver-side TypeError; a ragged centroid would silently poison
+    # every assignment distance — the r9 dirty mirror pins both at
+    # negative vec_ids). No-op on clean data, so the `WHERE vec_id < 8`
+    # oracle twin is unaffected.
+    emb = t["embeddings"]
+    dim = CV.probe_dim(emb, "embedding")
     rows = (
-        t["embeddings"]
-        .filter(
+        emb.filter(
             (F.col("vec_id") < k)
-            & F.col("embedding").isNotNull()
-            & (F.size("embedding") > 0)
+            & (CV.valid_vec("embedding", dim) if dim else F.lit(False))
         )
         .orderBy("vec_id")
         .select(F.col("embedding").cast("array<double>").alias("c"))
@@ -8267,6 +8287,7 @@ _ATTEST_WINDOW = [
     "knn_filtered",
     "semantic_search_e2e",
     "rerank_hybrid",
+    "sql_similarity_topk",
     "staging_lifecycle",
     "knn_int8_topk",
     "cluster_kmeans_lloyd",
@@ -8290,7 +8311,6 @@ _ATTEST_WINDOW = [
     "hybrid_rrf",
     "dedup_components",
     "dedup_incremental",
-    "dsir_importance_weights",
 ]
 
 

@@ -175,3 +175,33 @@ def test_knn_exact_blas_nan_query_and_corpus_rows_drop(spark):
     got = KNN.knn_exact_blas(queries, corpus, k=3, round_decimals=6).collect()
     assert {r["query_id"] for r in got} == {0}  # NaN query retrieves nothing
     assert all(r["vec_id"] != 3 for r in got)   # NaN corpus row never retrieved
+
+
+def test_valid_vec_predicate(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 2.0]),            # valid
+            (2, None),                  # NULL vector
+            (3, []),                    # zero-length
+            (4, [1.0, None]),           # NULL element
+            (5, [1.0, 2.0, 3.0]),       # ragged (vs dim=2)
+            (6, [math.nan, 1.0]),       # NaN element: allowed here (kernels
+        ],                              # mask it; expressions nan_to_null it)
+        "vec_id long, embedding array<double>",
+    )
+    ids = lambda c: sorted(r["vec_id"] for r in df.where(c).collect())  # noqa: E731
+    assert ids(CV.valid_vec("embedding")) == [1, 5, 6]
+    assert ids(CV.valid_vec("embedding", dim=2)) == [1, 6]
+
+
+def test_clean_rows_survives_null_element_vectors(spark):
+    """A NULL element arrives as Python None from collect(); math.isfinite
+    would TypeError on it — the row must drop, not kill the driver."""
+    rows = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, None]), (3, [float("nan"), 1.0])],
+        "query_id long, embedding array<double>",
+    ).collect()
+    kept = CV.clean_rows(rows, "embedding", 2, id_field="query_id")
+    assert [r["query_id"] for r in kept] == [1]

@@ -396,3 +396,36 @@ def test_lloyd_seed_with_low_id_null_embedding(spark):
     assert len(cents) == 2
     assert all(c is not None and len(c) == 2 for c in cents)
     assert assigned.where(F.col("vec_id") == 1).count() == 1
+
+
+def test_lloyd_seed_skips_low_id_ragged_and_null_element_rows(spark):
+    """r9 review: a ragged or NULL-element vector among the k lowest ids
+    must not become a seed (it would silently poison every assignment
+    distance) — valid_vec pins seeds to the corpus's modal dim."""
+    df = spark.createDataFrame(
+        [
+            (0, [9.9]),                 # ragged: excluded from seeds
+            (1, [1.0, None]),           # NULL element: excluded from seeds
+            (2, [1.0, 2.0]),
+            (3, [3.0, 4.0]),
+            (4, [5.0, 6.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    _, cents, _ = CL.lloyd(df, k=2, iters=1)
+    assert len(cents) == 2
+    assert all(len(c) == 2 and all(x is not None for x in c) for c in cents)
+
+
+def test_pq_codebooks_seed_skips_ragged_rows(spark):
+    from auto_vectordb_spark.operators import pq as PQ
+
+    df = spark.createDataFrame(
+        [(0, [9.9, 9.9, 9.9]), (1, [1.0, 2.0, 3.0, 4.0]), (2, [5.0, 6.0, 7.0, 8.0])],
+        "vec_id long, embedding array<double>",
+    )
+    books = PQ.pq_codebooks_seed(df, m=2, ksub=2)
+    # the 3-dim ragged row is not a training vector: every codeword is a
+    # full half-vector of the modal 4-dim space
+    assert len(books) == 2
+    assert all(len(cw) == 2 for book in books for cw in book)

@@ -62,6 +62,13 @@ def dirty_dir(tmp_path_factory):
         # either way the row fails, never the job (r7 extension)
         dict(doc_id=None, text="null id doc", lang="en", source="web",
              n_chars=11),
+        # companion doc for the low-id RAGGED embedding (vec_id=-2): the
+        # ragged query legitimately self-matches the ragged corpus row
+        # (both 3-dim -> real cosine), and pack_context_budget's loud
+        # dangling-reference check is a DOCUMENTED contract, not a dirty-
+        # row failure — the mirror corrupts one axis at a time
+        dict(doc_id=-2, text="ragged embedding companion doc", lang="en",
+             source="web", n_chars=30),
         # duplicate key with a CONFLICTING payload (retry/backfill
         # double-write): joins fan out, aggregates count both — no crash
         dict(rows[0], text="conflicting duplicate payload"),
@@ -92,6 +99,16 @@ def dirty_dir(tmp_path_factory):
         # ids trainers (lloyd, PQ codebooks) and vec_id<N query windows
         # must drop it, not die collecting it (the pinned lloyd TypeError)
         dict(vec_id=-1, embedding=None, label=0),                     # low-id NULL
+        # low-id RAGGED row (r9 review): a wrong-dimension vector among
+        # the lowest ids must not silently poison seeded centroids /
+        # PQ codewords (dim-pinned valid_vec), nor crash any query window
+        dict(vec_id=-2, embedding=[0.5, 0.5, 0.5], label=0),          # low-id ragged
+        # NULL-ELEMENT vector (r9 review): arrives as None from collect()
+        # (TypeError hazard on the driver) and as NaN from Arrow (finite
+        # mask in kernels); MLlib fit dies on it without valid_vec
+        dict(vec_id=-3,
+             embedding=[0.1] * (dim // 2) + [None] + [0.1] * (dim - dim // 2 - 1),
+             label=0),                                                # null element
     ]
     pq.write_table(pa.Table.from_pylist(erows, schema=e.schema),
                    f"{dst}/embeddings.parquet")

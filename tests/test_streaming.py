@@ -689,3 +689,29 @@ def test_hybrid_fusion_ab_lists_align_and_diverge(spark, sf_dir):
     ) or any(
         (r["weighted_rank"] > 0) != (r["rrf_rank"] > 0) for r in rows
     ), "weighted and RRF produced identical rankings on every query"
+
+
+def test_e2e_ingest_degrades_when_no_centroid_ids_exist(spark, sf_dir, tmp_path):
+    """r9 review: with no doc_id < _E2E_K (an id-shifted shard), the IVF
+    appends create a directory with ZERO part files — schema inference on
+    it would throw. The entry must degrade to the empty result (matching
+    its oracle, whose centroid CTE is equally empty), not crash."""
+    import os
+
+    import duckdb
+
+    from auto_vectordb_spark.plans.parity import REGISTRY, TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        if t == "documents":
+            con.execute(
+                f"COPY (SELECT * REPLACE (doc_id + 1000 AS doc_id) "
+                f"FROM '{sf_dir}/{t}.parquet') TO '{tmp_path}/{t}.parquet'"
+            )
+        else:
+            os.symlink(f"{sf_dir}/{t}.parquet", f"{tmp_path}/{t}.parquet")
+    con.close()
+    out = REGISTRY["streaming_ingest_e2e"].spark(spark, str(tmp_path))
+    assert out.columns == ["doc_id", "dl", "n_terms", "centroid_id"]
+    assert out.count() == 0
