@@ -205,3 +205,79 @@ def test_clean_rows_survives_null_element_vectors(spark):
     ).collect()
     kept = CV.clean_rows(rows, "embedding", 2, id_field="query_id")
     assert [r["query_id"] for r in kept] == [1]
+
+
+# ------------------------------------------------- property-based contract
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_element = st.one_of(
+    st.none(),
+    st.floats(allow_nan=True, allow_infinity=True, width=64),
+)
+_vector = st.one_of(
+    st.none(),
+    st.lists(_element, min_size=0, max_size=5),
+)
+_row = st.tuples(st.one_of(st.none(), st.integers(0, 10**17)), _vector)
+
+
+def _valid(v, i, dim):
+    import math
+
+    return (
+        i is not None
+        and v is not None
+        and len(v) == dim
+        and all(x is not None and math.isfinite(x) for x in v)
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_row, min_size=0, max_size=30), st.integers(1, 5))
+def test_clean_block_mask_matches_reference_predicate(rows, dim):
+    """For ANY batch composition, clean_block's survivors are exactly the
+    rows with a non-NULL id and a finite dim-length vector, in order —
+    no crash, no silent admission, no over-dropping."""
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array(
+                [i for i, _ in rows], dtype="float64"  # Arrow null-int form
+            ),
+            "embedding": pd.Series(
+                [
+                    None
+                    if v is None
+                    else np.array(
+                        [np.nan if x is None else x for x in v], dtype=np.float64
+                    )
+                    for _, v in rows
+                ],
+                dtype=object,
+            ),
+        }
+    )
+    mask, M = CV.clean_block(pdf, "embedding", dim, id_col="vec_id")
+    want = [_valid(v, i, dim) for i, v in rows]
+    assert mask.tolist() == want
+    if any(want):
+        assert M.shape == (sum(want), dim) and np.isfinite(M).all()
+    else:
+        assert M is None
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(_row, min_size=0, max_size=30), st.integers(1, 5))
+def test_clean_rows_agrees_with_clean_block(rows, dim):
+    """Driver-side and kernel-side cleaners accept EXACTLY the same rows
+    (clean_rows sees Python None where the kernel sees NaN)."""
+
+    class R(dict):
+        def __getitem__(self, k):
+            return dict.__getitem__(self, k)
+
+    row_objs = [R(query_id=i, embedding=v) for i, v in rows]
+    kept = CV.clean_rows(row_objs, "embedding", dim, id_field="query_id")
+    want = [r for (i, v), r in zip(rows, row_objs) if _valid(v, i, dim)]
+    assert kept == want
