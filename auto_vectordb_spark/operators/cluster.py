@@ -85,10 +85,15 @@ def assign_centroids(
         ]
     )
     best = F.array_min(candidates)
+    # nan_to_null: a NaN vector's distance is NaN to every centroid; the
+    # argmin still assigns deterministically (Spark orders NaN greatest),
+    # but the emitted dist must be NULL, not NaN — NaN would silently win
+    # any downstream desc ranking (the wrong-value class, vector.cosine
+    # doctrine). No-op on clean data.
     return vectors.select(
         F.col(id_col),
         best["cid"].alias("cluster_id"),
-        best["d"].alias("dist"),
+        V.nan_to_null(best["d"]).alias("dist"),
     )
 
 
@@ -193,12 +198,22 @@ def outliers_by_group_centroid(
     cents = centroid_means_exact(
         vectors.withColumnRenamed(group_col, "cluster_id"), "cluster_id", vec_col
     ).select(F.col("cluster_id").alias(group_col), "centroid")
-    d = F.round(sqdist(V.as_double_array(F.col(vec_col)), F.col("centroid")), 6)
+    # nan_to_null: a NaN vector must not occupy a top-outlier slot with a
+    # garbage NaN distance (desc ranks NaN first); NULL sorts last instead
+    d = V.nan_to_null(
+        F.round(sqdist(V.as_double_array(F.col(vec_col)), F.col("centroid")), 6)
+    )
     scored = (
         vectors.join(F.broadcast(cents), group_col)
         .select(F.col(id_col), F.col(group_col), d.alias("dist"))
     )
-    return scored.orderBy(F.desc("dist"), F.asc(id_col)).limit(top_n)
+    # a malformed (NULL-dist) row is not an outlier FINDING — it must not
+    # pad the top-n when a group has fewer than top_n valid rows
+    return (
+        scored.where(F.col("dist").isNotNull())
+        .orderBy(F.desc("dist"), F.asc(id_col))
+        .limit(top_n)
+    )
 
 
 def gram_matrix(

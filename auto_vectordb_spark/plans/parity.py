@@ -3427,8 +3427,10 @@ def events_moving_avg(spark, sf):
     SELECT CAST(decile AS INT) AS decile,
            count(*) AS n,
            CAST(sum({cents_sql('value')}) AS BIGINT) AS sum_value_2c,
-           round(min(value), 2) AS min_value,
-           round(max(value), 2) AS max_value
+           round(min(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+             AS min_value,
+           round(max(CASE WHEN isnan(value) THEN NULL ELSE value END), 2)
+             AS max_value
     FROM ranked GROUP BY 1
     """,
     doc="NTILE(10) decile summary over event value, computed WITHOUT a "
@@ -3489,11 +3491,15 @@ def events_ntile(spark, sf):
             ),
         )
     )
+    # NaN-excluded extrema (both engines order NaN as the LARGEST double,
+    # so one NaN event value would silently become every max_value); the
+    # quantized sum already drops NaN via try_cast. No-op on clean data.
+    finite_v = F.nanvl(F.col("value"), F.lit(None).cast("double"))
     return ranked.groupBy("decile").agg(
         F.count("*").alias("n"),
         F.sum(cents(F.col("value"))).alias("sum_value_2c"),
-        F.round(F.min("value"), 2).alias("min_value"),
-        F.round(F.max("value"), 2).alias("max_value"),
+        F.round(F.min(finite_v), 2).alias("min_value"),
+        F.round(F.max(finite_v), 2).alias("max_value"),
     )
 
 
@@ -3582,9 +3588,15 @@ def multimodal_audio_windows(spark, sf):
     f"""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS n_dims,
-           round(sqrt({V.dot_sql('embedding', 'embedding')}), 6) AS l2_norm,
-           round(CAST(embedding[1] AS DOUBLE)
-                 / nullif(sqrt({V.dot_sql('embedding', 'embedding')}), 0), 6)
+           round(CASE WHEN isnan(sqrt({V.dot_sql('embedding', 'embedding')}))
+                      THEN NULL
+                      ELSE sqrt({V.dot_sql('embedding', 'embedding')}) END, 6)
+             AS l2_norm,
+           round(CASE WHEN isnan(CAST(embedding[1] AS DOUBLE)
+                 / nullif(sqrt({V.dot_sql('embedding', 'embedding')}), 0))
+                      THEN NULL
+                      ELSE CAST(embedding[1] AS DOUBLE)
+                 / nullif(sqrt({V.dot_sql('embedding', 'embedding')}), 0) END, 6)
              AS e0_unit
     FROM embeddings
     WHERE len(embedding) = 64
@@ -3599,13 +3611,18 @@ def p6_dim_normalize(spark, sf):
     t = load_views(spark, sf)
     guarded = V.dim_guard(t["embeddings"], "embedding", dim=64)
     nrm = V.norm(F.col("embedding"))
+    # nan_to_null (vector.cosine doctrine): a NaN element makes the norm
+    # NaN — the malformed row reports NULL, never a garbage NaN that wins
+    # desc rankings downstream. No-op on clean data.
     return guarded.select(
         "vec_id",
         F.size("embedding").alias("n_dims"),
-        F.round(nrm, 6).alias("l2_norm"),
+        F.round(V.nan_to_null(nrm), 6).alias("l2_norm"),
         F.round(
-            F.try_divide(
-                F.element_at(V.as_double_array(F.col("embedding")), 1), nrm
+            V.nan_to_null(
+                F.try_divide(
+                    F.element_at(V.as_double_array(F.col("embedding")), 1), nrm
+                )
             ),
             6,
         ).alias("e0_unit"),
@@ -4584,7 +4601,9 @@ def bigram_counts(spark, sf):
     """
     WITH qz AS (
       SELECT vec_id,
-             round(CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END, 6) AS scale,
+             round(CASE WHEN isnan(amax) THEN NULL
+                        WHEN amax > 0 THEN 127.0 / amax
+                        ELSE 0.0 END, 6) AS scale,
              list_transform(
                emb, x -> CAST(round(x * (CASE WHEN amax > 0 THEN 127.0 / amax
                                               ELSE 0.0 END)) AS INTEGER)
@@ -4610,8 +4629,11 @@ def bigram_counts(spark, sf):
 def embedding_quantize_int8(spark, sf):
     t = load_views(spark, sf)
     scale, q = V.quantize_int8(F.col("embedding"))
+    # nan_to_null: a NaN element drives amax (and thus the scale) to NaN —
+    # the malformed row's scale reports NULL instead of leaking NaN (its q
+    # elements already degrade to NULL via try_cast). No-op on clean data.
     enc = t["embeddings"].select(
-        "vec_id", F.round(scale, 6).alias("scale"), q.alias("q")
+        "vec_id", F.round(V.nan_to_null(scale), 6).alias("scale"), q.alias("q")
     )
     return enc.select("vec_id", "scale", F.posexplode("q").alias("j", "qv"))
 
@@ -4754,7 +4776,8 @@ def _collect_seed_centroids(t, k: int = _CL_K) -> list[list[float]]:
     "cluster_assign",
     _CL_ASSIGN_SQL
     + """
-    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d AS dist
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id,
+           CASE WHEN isnan(d) THEN NULL ELSE d END AS dist
     FROM best WHERE rk = 1
     """,
     doc="Coarse-quantizer assignment (operators/cluster.py): nearest of 8 "
@@ -4862,7 +4885,8 @@ def _kmeans_sql(iters: int = 3, k: int = _CL_K) -> str:
         FROM v CROSS JOIN c{iters} c
       ) WHERE rk = 1
     )
-    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id, d AS dist FROM af
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id,
+           CASE WHEN isnan(d) THEN NULL ELSE d END AS dist FROM af
     """
     return head + "".join(its) + final
 
@@ -4905,11 +4929,16 @@ def cluster_kmeans_lloyd(spark, sf):
     ),
     d AS (
       SELECT q.vec_id, q.label,
-             round(list_sum(list_transform(range(1, len(v) + 1),
-                   i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))), 6) AS dist
+             CASE WHEN isnan(round(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))), 6))
+                  THEN NULL
+                  ELSE round(list_sum(list_transform(range(1, len(v) + 1),
+                   i -> (v[i] - centroid[i]) * (v[i] - centroid[i]))), 6) END
+               AS dist
       FROM q JOIN c USING (label)
     )
-    SELECT vec_id, label, dist FROM d ORDER BY dist DESC, vec_id ASC LIMIT 20
+    SELECT vec_id, label, dist FROM d
+    WHERE dist IS NOT NULL ORDER BY dist DESC, vec_id ASC LIMIT 20
     """,
     doc="Embedding-space outlier detection: top-20 vectors farthest from "
     "their own label's exact (quantized-int mean) centroid — mislabel/"
@@ -5905,8 +5934,10 @@ def knn_matryoshka_16(spark, sf):
     SELECT CAST(i - 1 AS INTEGER) AS dim, count(*) AS n,
            CAST(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000)
                          AS BIGINT)) AS BIGINT) AS sum_q_micro,
-           min(CAST(embedding[i] AS DOUBLE)) AS min_v,
-           max(CAST(embedding[i] AS DOUBLE)) AS max_v
+           min(CASE WHEN isnan(CAST(embedding[i] AS DOUBLE)) THEN NULL
+                    ELSE CAST(embedding[i] AS DOUBLE) END) AS min_v,
+           max(CASE WHEN isnan(CAST(embedding[i] AS DOUBLE)) THEN NULL
+                    ELSE CAST(embedding[i] AS DOUBLE) END) AS max_v
     FROM embeddings CROSS JOIN range(1, 65) AS r(i)
     GROUP BY i
     """,
@@ -5923,11 +5954,15 @@ def embedding_dim_stats(spark, sf):
     ex = t["embeddings"].select(
         F.posexplode(V.as_double_array(F.col("embedding"))).alias("dim", "x")
     )
+    # NaN-excluded extrema (NaN orders LARGEST in both engines, so one NaN
+    # element would silently become its dimension's max_v); the quantized
+    # sum already drops NaN via try_cast. No-op on clean data.
+    finite_x = F.nanvl(F.col("x"), F.lit(None).cast("double"))
     return ex.groupBy("dim").agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("x") * 1000000, 0).try_cast("long")).alias("sum_q_micro"),
-        F.min("x").alias("min_v"),
-        F.max("x").alias("max_v"),
+        F.min(finite_x).alias("min_v"),
+        F.max(finite_x).alias("max_v"),
     )
 
 
@@ -8261,11 +8296,12 @@ def curation_funnel(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "events_dau_wau",
-    "events_funnel",
     "events_hourly",
+    "events_json_extract",
+    "events_moving_avg",
     "streaming_ingest_e2e",
     "hybrid_fusion_ab",
+    "events_ntile",
     "hard_negative_mining",
     "bitext_margin_mining",
     "ann_recall_eval",
@@ -8282,6 +8318,7 @@ _ATTEST_WINDOW = [
     "dedup_apply_keep_one",
     "knn_pq_adc",
     "cluster_profile",
+    "p6_dim_normalize",
     "pq_encode",
     "dedup_apply_keep_best",
     "knn_filtered",
@@ -8289,6 +8326,7 @@ _ATTEST_WINDOW = [
     "rerank_hybrid",
     "sql_similarity_topk",
     "staging_lifecycle",
+    "embedding_quantize_int8",
     "knn_int8_topk",
     "cluster_kmeans_lloyd",
     "embedding_outliers",
@@ -8308,9 +8346,6 @@ _ATTEST_WINDOW = [
     "knn_blas_topk",
     "dedup_embedding_blas_exact",
     "training_set_build",
-    "hybrid_rrf",
-    "dedup_components",
-    "dedup_incremental",
 ]
 
 

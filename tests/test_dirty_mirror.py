@@ -152,3 +152,28 @@ def test_all_entries_survive_dirty_mirror(spark, dirty_dir):
         f"{len(failures)} entries die on dirty rows (a malformed row must "
         f"fail the row, not the job): {failures}"
     )
+
+
+def test_no_nan_or_inf_leaks_into_any_output(spark, dirty_dir):
+    """Stronger than no-crash: on dirty inputs, no entry may EMIT a
+    non-finite double — a NaN/Inf in an output column is the silent
+    wrong-value failure class (NaN wins desc rankings, poisons sums)
+    that the r9 hardening targeted. Malformed rows must be dropped or
+    NULLed, never laundered into garbage numbers."""
+    import math
+
+    leaks = {}
+    for name, q in REGISTRY.items():
+        try:
+            rows = q.spark(spark, dirty_dir).collect()
+        except Exception:  # noqa: BLE001 — crashes are the other test's job
+            continue
+        for r in rows:
+            for k, v in r.asDict(recursive=False).items():
+                if isinstance(v, float) and not math.isfinite(v):
+                    leaks.setdefault(name, set()).add(k)
+    leaks = {n: sorted(cols) for n, cols in leaks.items()}
+    assert not leaks, (
+        f"{len(leaks)} entries emit non-finite doubles on dirty rows "
+        f"(silent wrong-value leak): {leaks}"
+    )
