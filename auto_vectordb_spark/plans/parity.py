@@ -54,6 +54,7 @@ from ..operators import curation as CU
 from ..operators import dedup as DD
 from ..operators import hybrid as HY
 from ..operators import knn as KNN
+from ..operators import layout as LAY
 from ..operators import pq as PQ
 from ..operators import profiling as PF
 from ..operators import quality as QL
@@ -8274,6 +8275,161 @@ def token_entropy(spark, sf):
 def curation_funnel(spark, sf):
     t = load_views(spark, sf)
     return CU.curation_funnel(t["documents"], quality_min=0.5)
+
+
+# =========================================================================
+# Data-layout planning (operators/layout.py) — Z-order clustering + the
+# pruning analysis a 100 TB compaction planner consumes. Registered r9,
+# after the r9 window (growth-budget rule: new entries may not displace a
+# pending attestation); both are pure integer arithmetic, so the DuckDB
+# twins run the IDENTICAL mask-shift formulas.
+# =========================================================================
+
+_ZORDER_G_SQL = f"""
+    ev AS (
+      SELECT user_id AS __x, (epoch_us(ts) // 3600000000) AS __y
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax FROM ev
+    ),
+    g AS (
+      SELECT ((__x - __xmin) * {LAY.GRID}) // (__xmax - __xmin + 1) AS xg,
+             ((__y - __ymin) * {LAY.GRID}) // (__ymax - __ymin + 1) AS yg
+      FROM ev, st
+    ),
+    b AS (
+      SELECT xg, yg,
+             ({LAY.morton_sql('xg', 'yg')} >> 10) AS z_bucket,
+             (xg >> 2) AS x_bucket,
+             (yg >> 2) AS y_bucket
+      FROM g
+    )
+"""
+
+
+@_register(
+    "zorder_layout_stats",
+    f"""
+    WITH {_ZORDER_G_SQL}
+    SELECT CAST(z_bucket AS BIGINT) AS z_bucket,
+           count(*) AS n_rows,
+           min(xg) AS x_lo, max(xg) AS x_hi,
+           min(yg) AS y_lo, max(yg) AS y_hi
+    FROM b GROUP BY 1
+    """,
+    doc="Z-order layout quality report: events normalized onto a 256x256 "
+    "(user, hour) grid by exact integer min-max scaling, Morton-interleaved "
+    "(the same mask-shift kernel Delta's OPTIMIZE ZORDER uses), cut into 64 "
+    "file buckets by the z-value's top 6 bits; per bucket the bounding "
+    "rectangle in grid space — tight in BOTH dims, which is what makes "
+    "parquet min-max pruning bite on either predicate. Scale shape: one "
+    "4-value min-max agg broadcast back, map-side bit arithmetic (all "
+    "whole-stage codegen), one hash shuffle on the 64-value bucket key",
+)
+def zorder_layout_stats(spark, sf):
+    t = load_views(spark, sf)
+    return LAY.zorder_bucket_stats(t["events"])
+
+
+@_register(
+    "zorder_pruning_gain",
+    f"""
+    WITH {_ZORDER_G_SQL}
+    SELECT count(*) AS n_rows,
+           count(DISTINCT z_bucket) AS files_total,
+           count(DISTINCT CASE WHEN xg BETWEEN 64 AND 95 THEN z_bucket END)
+             AS z_key_probe,
+           count(DISTINCT CASE WHEN yg BETWEEN 160 AND 191 THEN z_bucket END)
+             AS z_time_probe,
+           count(DISTINCT CASE WHEN xg BETWEEN 64 AND 95
+                                AND yg BETWEEN 160 AND 191 THEN z_bucket END)
+             AS z_rect_probe,
+           count(DISTINCT CASE WHEN xg BETWEEN 64 AND 95 THEN x_bucket END)
+             AS keysort_key_probe,
+           count(DISTINCT CASE WHEN yg BETWEEN 160 AND 191 THEN x_bucket END)
+             AS keysort_time_probe,
+           count(DISTINCT CASE WHEN xg BETWEEN 64 AND 95
+                                AND yg BETWEEN 160 AND 191 THEN x_bucket END)
+             AS keysort_rect_probe,
+           count(DISTINCT CASE WHEN xg BETWEEN 64 AND 95 THEN y_bucket END)
+             AS timesort_key_probe,
+           count(DISTINCT CASE WHEN yg BETWEEN 160 AND 191 THEN y_bucket END)
+             AS timesort_time_probe,
+           count(DISTINCT CASE WHEN xg BETWEEN 64 AND 95
+                                AND yg BETWEEN 160 AND 191 THEN y_bucket END)
+             AS timesort_rect_probe
+    FROM b
+    """,
+    doc="Scan-pruning comparison of three physical layouts at the SAME "
+    "64-file count — z-order vs key-sorted vs time-sorted — under three "
+    "probe shapes (key range, time range, key x time rectangle): "
+    "files_hit = count(DISTINCT bucket) among matching rows, exactly the "
+    "files a min-max-pruned scan opens. Expected pattern (the reason to "
+    "z-order): each single-dim sort is optimal for its own dimension but "
+    "opens EVERY file for the other's probe, while z-order opens "
+    "~sqrt(files) for either and prunes both dims of the rectangle. One "
+    "global aggregate over map-side bit arithmetic; the raw table is "
+    "never shuffled",
+)
+def zorder_pruning_gain(spark, sf):
+    t = load_views(spark, sf)
+    return LAY.zorder_pruning_gain(t["events"])
+
+
+@_register(
+    "zorder_compaction_plan",
+    f"""
+    WITH ev AS (
+      SELECT user_id AS __x, (epoch_us(ts) // 3600000000) AS __y,
+             (event_id % 10 = 0) AS __is_delta
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax
+      FROM ev WHERE NOT __is_delta
+    ),
+    g AS (
+      SELECT __is_delta,
+             greatest(0, least({LAY.GRID - 1},
+               ((__x - __xmin) * {LAY.GRID}) // (__xmax - __xmin + 1))) AS xg,
+             greatest(0, least({LAY.GRID - 1},
+               ((__y - __ymin) * {LAY.GRID}) // (__ymax - __ymin + 1))) AS yg
+      FROM ev, st WHERE __xmin IS NOT NULL
+    ),
+    b AS (
+      SELECT __is_delta, ({LAY.morton_sql('xg', 'yg')} >> 10) AS z_bucket
+      FROM g
+    ),
+    plan AS (
+      SELECT z_bucket,
+             count(*) FILTER (WHERE NOT __is_delta) AS base_rows,
+             count(*) FILTER (WHERE __is_delta) AS delta_rows
+      FROM b GROUP BY 1
+    )
+    SELECT CAST(z_bucket AS BIGINT) AS z_bucket, base_rows, delta_rows,
+           CASE WHEN base_rows = 0 OR delta_rows * 100 >= base_rows * 10
+                THEN 'rewrite' ELSE 'defer' END AS action
+    FROM plan
+    """,
+    doc="Incremental z-order maintenance plan (the decide step of Delta's "
+    "incremental OPTIMIZE / Iceberg's rewrite-data-files): arrivals "
+    "(event_id % 10 = 0, the deterministic stand-in for 'files since last "
+    "OPTIMIZE') are mapped onto the base layout's FROZEN min-max grid, "
+    "clamped into the edge buckets, and each of the 64 z-buckets is marked "
+    "rewrite when delta pressure exceeds 10% of base rows (or the bucket "
+    "is all-new), else defer. Decision inputs are bucket-level counts "
+    "only: one tiny base min-max aggregate + one 64-key hash shuffle — "
+    "the plan never rereads row data, which is what makes per-ingest-cycle "
+    "planning affordable at 100 TB. Empty base => empty plan (an initial "
+    "write, not a compaction)",
+)
+def zorder_compaction_plan(spark, sf):
+    t = load_views(spark, sf)
+    return LAY.zorder_compaction_plan(t["events"])
 
 
 # =========================================================================

@@ -1,0 +1,184 @@
+"""operators/layout.py — Z-order clustering and the pruning report.
+
+The Morton kernel is verified bit-for-bit against an independent pure-
+Python interleave (including a hypothesis sweep of the full 8-bit grid
+domain), and the layout entries are verified structurally: z-buckets must
+be compact rectangles in BOTH grid dimensions, and the pruning report must
+reproduce the analytic file counts the bit layout implies — these are
+exact consequences of the math, not tolerances.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import layout as L
+from auto_vectordb_spark.plans.parity import load_views
+
+SF = "/root/testdata/sf0.001"
+
+
+def py_spread8(v: int) -> int:
+    v &= 0xFF
+    v = (v | (v << 4)) & 0x0F0F
+    v = (v | (v << 2)) & 0x3333
+    v = (v | (v << 1)) & 0x5555
+    return v
+
+
+def py_morton16(x: int, y: int) -> int:
+    return py_spread8(x) | (py_spread8(y) << 1)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_morton_matches_pure_python(spark, pairs):
+    df = spark.createDataFrame(pairs, "x: long, y: long")
+    got = df.select(
+        "x", "y", L.morton16(F.col("x"), F.col("y")).alias("z")
+    ).collect()
+    for r in got:
+        assert r.z == py_morton16(r.x, r.y)
+
+
+def test_morton_bijective_on_grid(spark):
+    """All 256x256 grid cells map to distinct z in [0, 65535]."""
+    cells = spark.range(L.GRID * L.GRID).select(
+        (F.col("id") % L.GRID).alias("x"), (F.col("id") / L.GRID).cast("long").alias("y")
+    )
+    zs = cells.select(L.morton16(F.col("x"), F.col("y")).alias("z"))
+    agg = zs.agg(
+        F.count_distinct("z").alias("n"), F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).first()
+    assert agg.n == L.GRID * L.GRID and agg.lo == 0 and agg.hi == L.GRID * L.GRID - 1
+
+
+def test_morton_sql_twin_matches(spark):
+    """The DuckDB-dialect SQL twin computes the identical interleave."""
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT x, y, {L.morton_sql('x', 'y')} AS z "
+        "FROM (SELECT range % 256 AS x, range // 256 AS y "
+        "      FROM range(65536) WHERE range % 131 = 0)"
+    ).fetchall()
+    assert rows, "sample must not be empty"
+    for x, y, z in rows:
+        assert z == py_morton16(x, y)
+
+
+def test_zbuckets_are_compact_rectangles(spark):
+    """Every 6-bit z-bucket covers exactly one 32x32 grid rectangle, so a
+    bucket's min-max stats are tight in BOTH dimensions — the property
+    that makes two-dimensional pruning work. A single-dimension sort
+    cannot have this: its buckets span the full range of the other dim."""
+    t = load_views(spark, SF)
+    stats = L.zorder_bucket_stats(t["events"]).collect()
+    assert 1 <= len(stats) <= 64
+    for r in stats:
+        # 3 x-bits + 3 y-bits of bucket id → 32-cell-aligned 32x32 tile
+        assert r.x_hi - r.x_lo <= 31, r
+        assert r.y_hi - r.y_lo <= 31, r
+        assert r.x_lo // 32 == r.x_hi // 32, r
+        assert r.y_lo // 32 == r.y_hi // 32, r
+    assert sum(r.n_rows for r in stats) == (
+        t["events"].where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()).count()
+    )
+
+
+def test_pruning_gain_analytic_shape(spark):
+    """With dense data, the probe/file geometry is exact: each 32-cell
+    probe intersects 8 of 64 z-tiles and 8 of 64 single-dim stripes in
+    its own dimension, ALL 64 stripes in the other, and the rectangle
+    probe exactly one z-tile. Sparse SFs can only hit FEWER files, so
+    the assertions are <=-shaped where emptiness is possible and the
+    z-vs-single-dim ordering is kept strict."""
+    t = load_views(spark, SF)
+    r = L.zorder_pruning_gain(t["events"]).first()
+    assert r.files_total <= 64
+    # z-order prunes both single-dimension probes to at most 8 tiles
+    assert r.z_key_probe <= 8 and r.z_time_probe <= 8
+    assert r.z_rect_probe <= 1
+    # each single-dim layout is blind to the OTHER dimension: a probe
+    # there opens every file that has any data (strictly worse than z
+    # whenever the table is non-trivial)
+    if r.n_rows >= 10_000:  # dense enough that every stripe is populated
+        assert r.keysort_time_probe == r.files_total
+        assert r.timesort_key_probe == r.files_total
+        assert r.z_time_probe < r.keysort_time_probe
+        assert r.z_key_probe < r.timesort_key_probe
+
+
+def test_compaction_plan_structure(spark):
+    """Every bucket gets exactly one decision row; the split accounting is
+    exact (base+delta == valid rows); the action matches the documented
+    threshold formula row-by-row."""
+    t = load_views(spark, SF)
+    plan = L.zorder_compaction_plan(t["events"]).collect()
+    assert 1 <= len(plan) <= 64
+    ev = t["events"].where(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    assert sum(r.base_rows + r.delta_rows for r in plan) == ev.count()
+    for r in plan:
+        expect = (
+            "rewrite"
+            if r.base_rows == 0 or r.delta_rows * 100 >= r.base_rows * 10
+            else "defer"
+        )
+        assert r.action == expect, r
+
+
+def test_compaction_empty_base_means_no_plan(spark):
+    """All-delta input (every id % 10 == 0) has no existing layout to
+    maintain — the correct plan is an initial write, i.e. EMPTY."""
+    from datetime import datetime
+
+    rows = [(i * 10, datetime(2024, 1, 1, i), i) for i in range(5)]
+    ev = spark.createDataFrame(rows, "event_id: long, ts: timestamp, user_id: long")
+    assert L.zorder_compaction_plan(ev).count() == 0
+
+
+def test_compaction_out_of_range_delta_clamps_to_edge_bucket(spark):
+    """An arrival outside the frozen base grid cannot invent a new grid:
+    it clamps into the edge bucket, which then shows delta pressure."""
+    from datetime import datetime
+
+    base = [
+        (i, datetime(2024, 1, 1 + (i % 20), i % 24), 100 + i)
+        for i in range(1, 41)
+        if i % 10 != 0  # keep the base batch purely non-delta
+    ]
+    # delta row (id % 10 == 0) far outside the base user range
+    delta = [(10, datetime(2024, 1, 5, 3), 10_000)]
+    ev = spark.createDataFrame(
+        base + delta, "event_id: long, ts: timestamp, user_id: long"
+    )
+    plan = {r.z_bucket: r for r in L.zorder_compaction_plan(ev).collect()}
+    # the clamped delta row lands in SOME bucket with xg == 255 → its
+    # bucket must exist and be marked rewrite if small
+    hit = [r for r in plan.values() if r.delta_rows > 0]
+    assert len(hit) == 1
+    assert hit[0].action == "rewrite"  # 1 delta vs few base rows in that tile
+    assert sum(r.base_rows for r in plan.values()) == 36
+    assert sum(r.delta_rows for r in plan.values()) == 1
+
+
+def test_empty_and_null_rows_fail_row_not_job(spark):
+    """cleanvec doctrine: NULL key/ts rows are dropped; an empty table
+    yields the schema-correct empty stats frame and a zeroed one-row
+    pruning report (count aggregates over nothing)."""
+    ev = spark.createDataFrame(
+        [(None, None), (5, None)], "user_id: long, ts: timestamp"
+    )
+    assert L.zorder_bucket_stats(ev).count() == 0
+    r = L.zorder_pruning_gain(ev).first()
+    assert r.n_rows == 0 and r.files_total == 0 and r.z_rect_probe == 0

@@ -57,6 +57,13 @@ SINGLE_PARTITION_OK = frozenset(
         "q6_revenue_filter",
         # same 1-row BM25 corpus-stats aggregate as bm25_topk
         "prf_query_expansion",
+        # 1-row (4-value) grid min-max aggregate broadcast back into the
+        # map-side Morton arithmetic; the raw events table is never funneled
+        "zorder_layout_stats",
+        # same 1-row min-max aggregate + the final 1-row pruning report
+        "zorder_pruning_gain",
+        # 1-row BASE min-max aggregate broadcast into the frozen-grid map
+        "zorder_compaction_plan",
         "rerank_hybrid",
         # 1-row grand-total aggregate over the ≤16-row per-shard table
         "shard_skew_report",
