@@ -59,6 +59,7 @@ from ..operators import pq as PQ
 from ..operators import profiling as PF
 from ..operators import quality as QL
 from ..operators import relational as R
+from ..operators import schedule as SCH
 from ..operators import textstats as TS
 
 TABLES = (
@@ -8430,6 +8431,98 @@ def zorder_pruning_gain(spark, sf):
 def zorder_compaction_plan(spark, sf):
     t = load_views(spark, sf)
     return LAY.zorder_compaction_plan(t["events"])
+
+
+# =========================================================================
+# Training-schedule planning (operators/schedule.py) — curriculum stages
+# and balanced interleaved shards over the quality order. Registered r9,
+# after the r9 window. Both reuse the verified _QUALITY_CTE scoring and
+# the events_ntile distributed-rank technique (factored into
+# schedule.global_rank); the oracles use plain SQL windows — the point
+# of the Spark side is computing the SAME answer without one.
+# =========================================================================
+
+
+def _scored_docs(t):
+    """(doc_id, n_tokens, quality, lang) for schedulable documents —
+    rows with a NULL id or NULL text have no place in a total order and
+    fail the row (mirrors the oracle's survivors filter)."""
+    docs = t["documents"].where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    return TS.quality_score(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+
+
+_SCHEDULE_ORACLE_HEAD = """
+    WITH survivors AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    {quality_cte},
+    ranked AS (
+      SELECT q.doc_id, q.n_tokens, q.quality, d.lang,
+             row_number() OVER (ORDER BY q.quality, q.doc_id) AS r,
+             count(*) OVER () AS n
+      FROM q JOIN documents d USING (doc_id)
+    )
+"""
+
+
+@_register(
+    "curriculum_stages",
+    _SCHEDULE_ORACLE_HEAD.format(quality_cte=_QUALITY_CTE)
+    + """
+    SELECT CAST(ntile AS INT) AS stage,
+           count(*) AS n_docs,
+           min(quality) AS q_lo,
+           max(quality) AS q_hi,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM (SELECT *, ntile(8) OVER (ORDER BY quality, doc_id) AS ntile
+          FROM ranked)
+    GROUP BY 1
+    """,
+    doc="Curriculum schedule report: the corpus cut into 8 exact "
+    "equal-depth difficulty stages (SQL ntile over quality, doc_id — "
+    "stage 8 = cleanest text, consumed first) with each stage's doc "
+    "count, quality range, token budget and language diversity. The "
+    "Spark side computes the exact global rank WITHOUT a global sort "
+    "(schedule.global_rank: approx boundary ranges -> parallel in-range "
+    "windows -> tiny broadcast prefix offsets, the events_ntile "
+    "technique factored into a reusable operator); the oracle uses the "
+    "plain SQL window the Spark plan refuses to single-partition",
+)
+def curriculum_stages(spark, sf):
+    t = load_views(spark, sf)
+    return SCH.curriculum_stages(_scored_docs(t))
+
+
+@_register(
+    "curriculum_interleaved_shards",
+    _SCHEDULE_ORACLE_HEAD.format(quality_cte=_QUALITY_CTE)
+    + """
+    SELECT CAST((r - 1) % 8 + 1 AS INT) AS shard,
+           count(*) AS n_docs,
+           CAST(sum(CAST(round(quality * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_quality_6d,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM ranked
+    GROUP BY 1
+    """,
+    doc="Balanced training shards: the quality order dealt round-robin "
+    "into 8 shards (shard = (rank-1) mod 8), so every shard receives "
+    "every 8th document of the difficulty spectrum — per-shard counts "
+    "differ by at most one and quality sums track each other, the "
+    "stationarity a run consuming shards in sequence needs. Quality "
+    "mass is compared as the exact per-row 1e-6-quantized int64 sum "
+    "(parity rule 1). Same distributed-rank kernel as curriculum_stages",
+)
+def curriculum_interleaved_shards(spark, sf):
+    t = load_views(spark, sf)
+    return SCH.interleaved_shards(_scored_docs(t))
 
 
 # =========================================================================

@@ -64,6 +64,10 @@ SINGLE_PARTITION_OK = frozenset(
         "zorder_pruning_gain",
         # 1-row BASE min-max aggregate broadcast into the frozen-grid map
         "zorder_compaction_plan",
+        # events_ntile's aggregates, via schedule.global_rank: 1-row
+        # boundary sketch + ~32-row prefix-offset table (both broadcast)
+        "curriculum_stages",
+        "curriculum_interleaved_shards",
         "rerank_hybrid",
         # 1-row grand-total aggregate over the ≤16-row per-shard table
         "shard_skew_report",
