@@ -59,7 +59,17 @@ def global_rank(
     aggregate (broadcast), one hash shuffle on the ~n_buckets-value range
     key, one ~n_buckets-row offset table (broadcast back).
     """
-    rows = df.where(F.col(value_col).isNotNull() & F.col(id_col).isNotNull())
+    # The rank DAG scans its input from two branches (the boundary
+    # aggregate and the windowed rank) that Spark cannot always fuse into
+    # one exchange reuse — with an expensive upstream projection (the
+    # quality score's tokenize) that doubles the corpus scans. Persist
+    # the REDUCED input (a handful of columns per doc, the SCALE.md
+    # "persist the reduced artifact" discipline — measured 5.0 -> 3.8 s
+    # cold at sf0.1); cache lifetime belongs to the session (bench and
+    # the driver clear caches between measured runs).
+    rows = df.where(
+        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    ).persist()
     qs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = rows.agg(
         F.expr(
