@@ -330,3 +330,43 @@ def test_maxp_rollup_100k_chunks(spark):
     )
     out = maxp_doc_scores(queries, corpus, F.col("vec_id") / 4, k=10)
     assert out.count() == 30
+
+
+def test_zorder_5m_rows(spark):
+    """Layout planning at 5M events: the plan must stay map-side bit
+    arithmetic + one tiny min-max aggregate + one 64-key hash shuffle —
+    no sort of the raw table, no single-partition funnel of row data."""
+    from auto_vectordb_spark.operators import layout as L
+
+    ev = _synth_events(spark)
+    stats = L.zorder_bucket_stats(ev)
+    assert stats.count() <= 64
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Sort " not in plan.split("== Initial Plan ==")[0].replace(
+        "SortAggregate", ""
+    ), "bucket stats must not globally sort the events"
+    gain = L.zorder_pruning_gain(ev).first()
+    assert gain.n_rows == N_EVENTS
+    plan2 = L.zorder_compaction_plan(ev)
+    assert plan2.count() <= 64
+
+
+def test_global_rank_2m_rows(spark):
+    """Exact global rank over 2M rows without a one-partition sort: the
+    extremes must rank 1 and N, every range bucket runs in parallel, and
+    the only single-partition exchanges feed the 1-row boundary sketch /
+    ~32-row offset table."""
+    from auto_vectordb_spark.operators import schedule as SCH
+
+    n = 2_000_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.abs(F.xxhash64("id")) % 1_000_000 / 1_000.0).alias("v"),
+    )
+    ranked = SCH.global_rank(df, "v", "doc_id")
+    lo = ranked.orderBy("v", "doc_id").select("__r").first()
+    hi = ranked.orderBy(F.desc("v"), F.desc("doc_id")).select("__r").first()
+    assert lo[0] == 1 and hi[0] == n
+    assert ranked.where(F.col("__n") != n).count() == 0
+    spark.catalog.clearCache()  # global_rank persists its reduced input
