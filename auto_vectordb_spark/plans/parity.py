@@ -53,6 +53,7 @@ from ..operators import cluster as CL
 from ..operators import curation as CU
 from ..operators import dedup as DD
 from ..operators import hybrid as HY
+from ..operators import infodensity as ID
 from ..operators import knn as KNN
 from ..operators import layout as LAY
 from ..operators import pq as PQ
@@ -8523,6 +8524,25 @@ def curriculum_stages(spark, sf):
 def curriculum_interleaved_shards(spark, sf):
     t = load_views(spark, sf)
     return SCH.interleaved_shards(_scored_docs(t))
+
+
+@_register(
+    "compression_density_by_source",
+    None,  # no SQL zlib — rows-only; bit-exact gate in tests/test_infodensity.py
+    doc="Per-source information density via DEFLATE compression ratio "
+    "(operators/infodensity.py): templated spam and machine boilerplate "
+    "compress far below natural prose, a redundancy signal the heuristic "
+    "ratios / entropy tiers cannot see (LZ77 catches repeated STRUCTURE, "
+    "not just the unigram distribution). Arrow mapInPandas kernel emits "
+    "ONLY int64 byte sizes (pure-int kernel doctrine, zlib level pinned); "
+    "ratio math and the 1e-6-quantized mass aggregation are exact JVM "
+    "column arithmetic, one short-key shuffle on source. Rows-only entry: "
+    "no DuckDB zlib exists; tests pin the kernel bit-exactly against a "
+    "pure-Python zlib reference instead",
+)
+def compression_density_by_source(spark, sf):
+    t = load_views(spark, sf)
+    return ID.compression_density_by_source(t["documents"])
 
 
 # =========================================================================

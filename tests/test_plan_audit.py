@@ -98,6 +98,8 @@ PYTHON_NODES_OK = frozenset(
         "pipeline_parse_pages",
         "semantic_search_e2e",
         "text_nfc_normalize",
+        # Arrow-batched zlib size kernel (pure-int64 outputs, map-only)
+        "compression_density_by_source",
     }
 )
 
