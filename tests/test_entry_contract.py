@@ -27,6 +27,8 @@ def test_registry_shape():
         "bpe_train_merges",  # lookaround regexp replay RE2 can't express;
         # batched-vs-sequential identity gated in test_tokenizer.py
         "quality_classifier_score",  # MLlib L-BFGS training; AUC-gated
+        "compression_density_by_source",  # no SQL zlib; bit-exact
+        # pure-Python zlib reference gate in test_infodensity.py
     }
     assert set(qs) - set(osql) == ROWS_ONLY_OK
 
