@@ -96,6 +96,41 @@ def main(sf_dir: str) -> None:
             f"n={r['n_events']} expected={r['expected']}"
         )
 
+    # 5. Round-9 additions: information density, physical layout planning,
+    #    and the training schedule (operators/{infodensity,layout,schedule})
+    from auto_vectordb_spark.operators import infodensity as ID
+    from auto_vectordb_spark.operators import layout as L
+    from auto_vectordb_spark.operators import schedule as SCH
+
+    for r in sorted(
+        ID.compression_density_by_source(docs).collect(), key=lambda r: r["source"]
+    ):
+        mean_ratio = r["sum_ratio_6d"] / r["n_docs"] / 1e6
+        print(
+            f"density {r['source']:10s}: {r['n_docs']} docs, "
+            f"mean DEFLATE ratio {mean_ratio:.3f}, "
+            f"{r['n_high_redundancy']} boilerplate-suspect"
+        )
+    gain = L.zorder_pruning_gain(events).first()
+    print(
+        f"layout: z-order opens {gain['z_key_probe']}/{gain['files_total']} files "
+        f"for a key probe and {gain['z_time_probe']} for a time probe "
+        f"(vs {gain['keysort_time_probe']} under a key-sorted layout)"
+    )
+    rewrites = L.zorder_compaction_plan(events).filter("action = 'rewrite'").count()
+    print(f"layout: incremental OPTIMIZE would rewrite {rewrites} buckets")
+    scored = TS.quality_score(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    stages = sorted(
+        SCH.curriculum_stages(scored).collect(), key=lambda r: -r["stage"]
+    )
+    for i, r in enumerate(stages[:3]):
+        tag = " (consumed first)" if i == 0 else ""
+        print(
+            f"curriculum stage {r['stage']}{tag}: {r['n_docs']} docs, "
+            f"quality [{r['q_lo']:.3f}, {r['q_hi']:.3f}], "
+            f"{r['sum_tokens']} tokens, {r['n_langs']} langs"
+        )
+
     spark.stop()
 
 
