@@ -72,6 +72,40 @@ def morton_sql(x_expr: str, y_expr: str) -> str:
     return f"({spread_sql(x_expr)} | ({spread_sql(y_expr)} << 1))"
 
 
+#: Key ranges below this stretch onto the grid with the exact multiply
+#: formula ((v - vmin) * GRID never exceeds 2^63); wider ranges (hash-
+#: derived ids span the full int64 space on day one) fall back to the
+#: divide-only formula, which cannot overflow but does not stretch a
+#: narrow range across the whole grid. Both branches are deterministic
+#: integer arithmetic, identical in Spark and DuckDB.
+_MULTIPLY_SAFE_RANGE = 1 << 55
+
+
+def grid_expr_sql(v: str, vmin: str, vmax: str, div: str = "div") -> str:
+    """Grid coordinate of ``v`` within [vmin, vmax] as engine-portable
+    SQL (``div`` for Spark, ``//`` for DuckDB — the only dialect
+    difference). Guarded hybrid: exact multiply-stretch when the range is
+    provably multiply-safe, overflow-free divide otherwise. All operands
+    are non-negative in the stretch branch (v >= vmin), so truncating
+    and flooring division agree; the divide branch is also used clamped
+    (compaction), where a negative numerator differs by at most one
+    between the dialects but is <= 0 in both, which the clamp erases."""
+    rng = f"({vmax} - {vmin})"
+    stretch = f"((({v} - {vmin}) * {GRID}) {div} ({rng} + 1))"
+    safe = f"(({v} - {vmin}) {div} ({rng} {div} {GRID} + 1))"
+    return f"(CASE WHEN {rng} < {_MULTIPLY_SAFE_RANGE} THEN {stretch} ELSE {safe} END)"
+
+
+def _hour_index(ts_col: str):
+    """Hours since the epoch as an int64, FLOOR semantics on both sides
+    of the epoch: ``(us - pmod(us, h)) div h`` floors for negative
+    microseconds too (pmod is non-negative), matching DuckDB's flooring
+    ``//`` — a bare ``div`` truncates toward zero and would disagree on
+    pre-1970 timestamps."""
+    us = f"unix_micros({ts_col})"
+    return F.expr(f"({us} - pmod({us}, 3600000000)) div 3600000000")
+
+
 def zorder_frame(
     events: DataFrame,
     x_col: str = "user_id",
@@ -109,7 +143,7 @@ def zorder_frame(
         F.col(x_col).isNotNull() & F.col(ts_col).isNotNull()
     ).select(
         F.col(x_col).cast("long").alias("__x"),
-        F.expr(f"unix_micros({ts_col}) div 3600000000").alias("__y"),
+        _hour_index(ts_col).alias("__y"),
     )
     stats = ev.agg(
         F.min("__x").alias("__xmin"),
@@ -117,14 +151,15 @@ def zorder_frame(
         F.min("__y").alias("__ymin"),
         F.max("__y").alias("__ymax"),
     )
-    # Exact min-max normalization onto the [0, GRID-1] integer grid via
-    # INTEGER floor division (``div``): bit-identical cross-engine, where
-    # a float64 divide-then-floor could flip at representation edges. The
-    # +1 keeps the dimension maximum inside the grid. All operands are
-    # non-negative, so div == floor division in both engines.
+    # Exact min-max normalization onto the integer grid — see
+    # grid_expr_sql for the overflow-guarded hybrid formula and its
+    # cross-engine division-semantics contract. Residual documented
+    # limit: a RANGE wider than int64 (xmin near -2^63 AND xmax near
+    # 2^63) overflows the subtraction, loudly under ANSI; partition such
+    # keys before layout planning.
     g = ev.join(F.broadcast(stats)).select(
-        F.expr(f"((__x - __xmin) * {GRID}) div (__xmax - __xmin + 1)").alias("xg"),
-        F.expr(f"((__y - __ymin) * {GRID}) div (__ymax - __ymin + 1)").alias("yg"),
+        F.expr(grid_expr_sql("__x", "__xmin", "__xmax")).alias("xg"),
+        F.expr(grid_expr_sql("__y", "__ymin", "__ymax")).alias("yg"),
     )
     z = morton16(F.col("xg"), F.col("yg"))
     return g.select(
@@ -198,7 +233,7 @@ def zorder_compaction_plan(
         & F.col(id_col).isNotNull()
     ).select(
         F.col(x_col).cast("long").alias("__x"),
-        F.expr(f"unix_micros({ts_col}) div 3600000000").alias("__y"),
+        _hour_index(ts_col).alias("__y"),
         (F.pmod(F.col(id_col), F.lit(delta_mod)) == 0).alias("__is_delta"),
     )
     base_stats = ev.where(~F.col("__is_delta")).agg(
@@ -213,23 +248,23 @@ def zorder_compaction_plan(
         .where(F.col("__xmin").isNotNull())
         .select(
             "__is_delta",
-            # frozen-grid mapping with clamp into [0, GRID-1]
+            # frozen-grid mapping (zorder_frame's divide-only formula)
+            # with clamp into [0, GRID-1]; for a below-range delta the
+            # numerator is negative — Spark's truncating div and
+            # DuckDB's flooring // may differ by one there, but both
+            # results are <= 0, so the clamp erases the discrepancy
             F.greatest(
                 F.lit(0),
                 F.least(
                     F.lit(GRID - 1),
-                    F.expr(
-                        f"((__x - __xmin) * {GRID}) div (__xmax - __xmin + 1)"
-                    ),
+                    F.expr(grid_expr_sql("__x", "__xmin", "__xmax")),
                 ),
             ).alias("xg"),
             F.greatest(
                 F.lit(0),
                 F.least(
                     F.lit(GRID - 1),
-                    F.expr(
-                        f"((__y - __ymin) * {GRID}) div (__ymax - __ymin + 1)"
-                    ),
+                    F.expr(grid_expr_sql("__y", "__ymin", "__ymax")),
                 ),
             ).alias("yg"),
         )

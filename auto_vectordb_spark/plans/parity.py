@@ -8297,8 +8297,8 @@ _ZORDER_G_SQL = f"""
              min(__y) AS __ymin, max(__y) AS __ymax FROM ev
     ),
     g AS (
-      SELECT ((__x - __xmin) * {LAY.GRID}) // (__xmax - __xmin + 1) AS xg,
-             ((__y - __ymin) * {LAY.GRID}) // (__ymax - __ymin + 1) AS yg
+      SELECT {LAY.grid_expr_sql('__x', '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('__y', '__ymin', '__ymax', div='//')} AS yg
       FROM ev, st
     ),
     b AS (
@@ -8397,9 +8397,9 @@ def zorder_pruning_gain(spark, sf):
     g AS (
       SELECT __is_delta,
              greatest(0, least({LAY.GRID - 1},
-               ((__x - __xmin) * {LAY.GRID}) // (__xmax - __xmin + 1))) AS xg,
+               {LAY.grid_expr_sql('__x', '__xmin', '__xmax', div='//')})) AS xg,
              greatest(0, least({LAY.GRID - 1},
-               ((__y - __ymin) * {LAY.GRID}) // (__ymax - __ymin + 1))) AS yg
+               {LAY.grid_expr_sql('__y', '__ymin', '__ymax', div='//')})) AS yg
       FROM ev, st WHERE __xmin IS NOT NULL
     ),
     b AS (

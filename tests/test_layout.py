@@ -172,6 +172,50 @@ def test_compaction_out_of_range_delta_clamps_to_edge_bucket(spark):
     assert sum(r.delta_rows for r in plan.values()) == 1
 
 
+def test_hash_range_keys_do_not_overflow_grid(spark):
+    """Hash-derived ids (the canonical z-order key) span the full int64
+    range; the divide-only grid formula must keep every coordinate in
+    [0, GRID-1] where a (x - xmin) * GRID multiply would wrap negative."""
+    from datetime import datetime
+
+    rows = [
+        (-(2**62), datetime(2024, 1, 1, 0)),
+        (2**62 - 1, datetime(2024, 1, 20, 5)),
+        (7_450_580_596_923_828, datetime(2024, 1, 10, 3)),
+        (-12, datetime(2024, 1, 15, 9)),
+        (0, datetime(2024, 1, 5, 12)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id: long, ts: timestamp")
+    g = L.zorder_frame(ev).collect()
+    assert len(g) == len(rows)
+    for r in g:
+        assert 0 <= r.xg <= L.GRID - 1, r
+        assert 0 <= r.yg <= L.GRID - 1, r
+        assert 0 <= r.z <= 65535, r
+
+
+def test_hour_index_floors_pre_epoch_timestamps(spark):
+    """Pre-1970 timestamps have negative epoch microseconds; the hour
+    index must FLOOR (DuckDB // semantics), not truncate toward zero."""
+    from datetime import datetime
+
+    rows = [
+        (1, datetime(1969, 12, 31, 23, 30)),  # -0.5h -> floor = -1
+        (2, datetime(1970, 1, 1, 0, 30)),  # +0.5h -> 0
+        (3, datetime(1965, 6, 1, 7, 59)),
+    ]
+    df = spark.createDataFrame(rows, "id: long, ts: timestamp")
+    got = {
+        r.id: r.h
+        for r in df.select("id", L._hour_index("ts").alias("h")).collect()
+    }
+    import calendar
+
+    for id_, ts in rows:
+        us = calendar.timegm(ts.timetuple()) * 1_000_000
+        assert got[id_] == us // 3_600_000_000, (id_, got[id_])
+
+
 def test_empty_and_null_rows_fail_row_not_job(spark):
     """cleanvec doctrine: NULL key/ts rows are dropped; an empty table
     yields the schema-correct empty stats frame and a zeroed one-row
