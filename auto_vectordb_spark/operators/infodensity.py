@@ -47,6 +47,11 @@ def _sizes_kernel(batches):
     import pandas as pd
 
     for pdf in batches:
+        # NULL ids/texts are filtered JVM-side before the kernel (an
+        # int64 Arrow batch containing any NULL materializes in pandas
+        # as float64, which would corrupt ids above 2^53 BEFORE any
+        # kernel-side recovery could run); the notna re-check here is a
+        # contract assertion, not the filter.
         ok = pd.notna(pdf["doc_id"]) & pd.notna(pdf["text"])
         if not ok.any():
             continue
@@ -71,8 +76,13 @@ def compression_sizes(
 ) -> DataFrame:
     """(doc_id, source, n_bytes, z_bytes) — raw and DEFLATE-compressed
     byte sizes per document. Map-only Arrow batches; the corpus is never
-    shuffled and nothing but int64 sizes leaves the kernel."""
-    src = docs.select(
+    shuffled and nothing but int64 sizes leaves the kernel. NULL ids and
+    texts fail the row HERE, JVM-side: a NULL reaching the kernel would
+    force the whole Arrow batch's id column through float64 and silently
+    corrupt every id above 2^53 in that batch."""
+    src = docs.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
         F.col(id_col).alias("doc_id"),
         F.col("source"),
         F.col(text_col).alias("text"),

@@ -84,12 +84,13 @@ _MULTIPLY_SAFE_RANGE = 1 << 55
 def grid_expr_sql(v: str, vmin: str, vmax: str, div: str = "div") -> str:
     """Grid coordinate of ``v`` within [vmin, vmax] as engine-portable
     SQL (``div`` for Spark, ``//`` for DuckDB — the only dialect
-    difference). Guarded hybrid: exact multiply-stretch when the range is
-    provably multiply-safe, overflow-free divide otherwise. All operands
-    are non-negative in the stretch branch (v >= vmin), so truncating
-    and flooring division agree; the divide branch is also used clamped
-    (compaction), where a negative numerator differs by at most one
-    between the dialects but is <= 0 in both, which the clamp erases."""
+    difference; BOTH truncate toward zero on integers). Guarded hybrid:
+    exact multiply-stretch when the range is provably multiply-safe,
+    overflow-free divide otherwise. Callers must guarantee
+    vmin <= v <= vmax (zorder_frame filters to the observed range;
+    zorder_compaction_plan clamps the input first), so every numerator
+    is non-negative, truncation equals flooring in both dialects, and
+    both branches land in [0, GRID-1]."""
     rng = f"({vmax} - {vmin})"
     stretch = f"((({v} - {vmin}) * {GRID}) {div} ({rng} + 1))"
     safe = f"(({v} - {vmin}) {div} ({rng} {div} {GRID} + 1))"
@@ -99,11 +100,26 @@ def grid_expr_sql(v: str, vmin: str, vmax: str, div: str = "div") -> str:
 def _hour_index(ts_col: str):
     """Hours since the epoch as an int64, FLOOR semantics on both sides
     of the epoch: ``(us - pmod(us, h)) div h`` floors for negative
-    microseconds too (pmod is non-negative), matching DuckDB's flooring
-    ``//`` — a bare ``div`` truncates toward zero and would disagree on
-    pre-1970 timestamps."""
+    microseconds too (pmod is non-negative, so the numerator is an exact
+    multiple of h and truncating div equals flooring div). A bare ``div``
+    truncates toward zero and would be off by one pre-1970. DuckDB's
+    integer ``//`` ALSO truncates toward zero (verified:
+    ``(-1800000000) // 3600000000 = 0`` on DuckDB 1.0), so the oracle
+    twin is :func:`hour_index_sql`, which floors via the same
+    pmod-subtract formula — never a bare ``//`` on the raw micros."""
     us = f"unix_micros({ts_col})"
     return F.expr(f"({us} - pmod({us}, 3600000000)) div 3600000000")
+
+
+def hour_index_sql(ts_expr: str) -> str:
+    """DuckDB twin of :func:`_hour_index`: explicit-floor hour index.
+    DuckDB's integer ``//`` truncates toward zero (unlike its float
+    ``//``), so the numerator is first reduced to an exact multiple of
+    3600000000 via a non-negative modulus — after which truncation and
+    flooring agree, exactly as on the Spark side."""
+    us = f"epoch_us({ts_expr})"
+    h = "3600000000"
+    return f"(({us} - ((({us} % {h}) + {h}) % {h})) // {h})"
 
 
 def zorder_frame(
@@ -248,24 +264,27 @@ def zorder_compaction_plan(
         .where(F.col("__xmin").isNotNull())
         .select(
             "__is_delta",
-            # frozen-grid mapping (zorder_frame's divide-only formula)
-            # with clamp into [0, GRID-1]; for a below-range delta the
-            # numerator is negative — Spark's truncating div and
-            # DuckDB's flooring // may differ by one there, but both
-            # results are <= 0, so the clamp erases the discrepancy
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(GRID - 1),
-                    F.expr(grid_expr_sql("__x", "__xmin", "__xmax")),
-                ),
+            # Frozen-grid mapping: the INPUT is clamped into the base
+            # [vmin, vmax] BEFORE gridding, so an out-of-range delta key
+            # lands in the edge bucket without ever entering the grid
+            # arithmetic. Clamping after would be too late: the stretch
+            # branch is chosen from the BASE range, and an extreme delta
+            # key (e.g. near 2^62 over a narrow base) would overflow
+            # (v - vmin) * GRID in int64 — a job-killing error under
+            # ANSI, a silent wrong bucket without it. Input clamping
+            # also keeps the numerator non-negative, so truncating div
+            # (Spark) and DuckDB's // agree with no dialect caveat; the
+            # clamped value never exceeds vmax, so both branches provably
+            # land in [0, GRID-1] with no output clamp needed.
+            F.expr(
+                grid_expr_sql(
+                    "least(greatest(__x, __xmin), __xmax)", "__xmin", "__xmax"
+                )
             ).alias("xg"),
-            F.greatest(
-                F.lit(0),
-                F.least(
-                    F.lit(GRID - 1),
-                    F.expr(grid_expr_sql("__y", "__ymin", "__ymax")),
-                ),
+            F.expr(
+                grid_expr_sql(
+                    "least(greatest(__y, __ymin), __ymax)", "__ymin", "__ymax"
+                )
             ).alias("yg"),
         )
     )

@@ -225,8 +225,12 @@ def bpe_encode_words(words: DataFrame, merges: DataFrame) -> DataFrame:
     Encoding a CORPUS reduces to encoding its distinct words then joining
     back — the same vocab-table trick as training, so encoding cost is
     proportional to the vocabulary, not the text. The merge table is
-    collected and broadcast: it is ≤ vocab_size rows (tens of thousands)
-    by construction — a bounded model artifact, not data. Per-word replay
+    collected and shipped INSIDE the kernel closure: it is ≤ vocab_size
+    rows (tens of thousands) by construction — a bounded model artifact,
+    not data — and closure-shipping lets the ContextCleaner reclaim it
+    with the UDF instead of parking an undestroyed ``sc.broadcast``
+    handle for the session lifetime (the hygiene rule knn.py:320-326
+    documents and the BLAS kernels follow). Per-word replay
     runs inside an Arrow-batched pandas_udf (the classic lowest-rank-first
     merge loop, provably equivalent to replaying merges in rank order), so
     a 30k-merge production tokenizer costs one dict lookup per pair instead
@@ -238,11 +242,10 @@ def bpe_encode_words(words: DataFrame, merges: DataFrame) -> DataFrame:
         (r["left"], r["right"]): r["rank"]
         for r in merges.select("rank", "left", "right").collect()
     }
-    bc = words.sparkSession.sparkContext.broadcast(ranks)
 
     @pandas_udf("string")
     def _encode(col):
-        rk = bc.value
+        rk = ranks
 
         def enc(word: str) -> str:
             syms = list(word) + [END_OF_WORD]

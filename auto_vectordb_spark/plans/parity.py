@@ -8289,7 +8289,7 @@ def curation_funnel(spark, sf):
 
 _ZORDER_G_SQL = f"""
     ev AS (
-      SELECT user_id AS __x, (epoch_us(ts) // 3600000000) AS __y
+      SELECT user_id AS __x, {LAY.hour_index_sql('ts')} AS __y
       FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
     ),
     st AS (
@@ -8384,7 +8384,7 @@ def zorder_pruning_gain(spark, sf):
     "zorder_compaction_plan",
     f"""
     WITH ev AS (
-      SELECT user_id AS __x, (epoch_us(ts) // 3600000000) AS __y,
+      SELECT user_id AS __x, {LAY.hour_index_sql('ts')} AS __y,
              (event_id % 10 = 0) AS __is_delta
       FROM events
       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
@@ -8395,11 +8395,13 @@ def zorder_pruning_gain(spark, sf):
       FROM ev WHERE NOT __is_delta
     ),
     g AS (
+      -- input clamped into the frozen base range BEFORE gridding, the
+      -- identical overflow guard the Spark side applies (layout.py)
       SELECT __is_delta,
-             greatest(0, least({LAY.GRID - 1},
-               {LAY.grid_expr_sql('__x', '__xmin', '__xmax', div='//')})) AS xg,
-             greatest(0, least({LAY.GRID - 1},
-               {LAY.grid_expr_sql('__y', '__ymin', '__ymax', div='//')})) AS yg
+             {LAY.grid_expr_sql('least(greatest(__x, __xmin), __xmax)',
+                                '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('least(greatest(__y, __ymin), __ymax)',
+                                '__ymin', '__ymax', div='//')} AS yg
       FROM ev, st WHERE __xmin IS NOT NULL
     ),
     b AS (

@@ -114,3 +114,38 @@ def test_host_telemetry_degrades_without_proc(monkeypatch):
 
     monkeypatch.setattr(builtins, "open", no_proc)
     assert bench._host_telemetry() == {}
+
+
+def test_parse_bench_stdout_takes_last_value_line():
+    """The A/B child parser must survive warn noise, earlier detail lines
+    (old rounds printed detail to stdout), and progress bars — taking the
+    LAST JSON object carrying the frozen 'value' key."""
+    out = "\n".join(
+        [
+            "26/08/16 WARN NativeCodeLoader: ...",
+            json.dumps({"metric": "headline_suite_detail", "runs_detail": []}),
+            json.dumps({"metric": "headline_suite_total", "value": 9.1, "queries": {"q1": 1.0}}),
+            json.dumps({"metric": "headline_suite_total", "value": 8.2, "queries": {"q1": 0.9}}),
+            "",
+        ]
+    )
+    got = bench._parse_bench_stdout(out)
+    assert got is not None and got["value"] == 8.2
+    assert bench._parse_bench_stdout("no json at all\n") is None
+
+
+def test_ab_final_line_fits_driver_capture():
+    """The A/B verdict line must respect the same tail-capture budget as
+    the normal final line."""
+    verdict = {
+        "metric": "headline_suite_ab",
+        "ref": "0123abc",
+        "reps": 5,
+        "ref_runs": [99.999] * 5,
+        "head_runs": [99.999] * 5,
+        "ref_median": 99.999,
+        "head_median": 99.999,
+        "head_over_ref": 1.0,
+        "sf": 0.1,
+    }
+    assert len(json.dumps(verdict)) <= bench.MAX_FINAL_LINE

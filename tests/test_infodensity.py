@@ -7,6 +7,7 @@ equal the reference aggregation exactly.
 """
 
 import zlib
+from decimal import ROUND_HALF_UP, Decimal
 
 from pyspark.sql import functions as F
 
@@ -14,6 +15,18 @@ from auto_vectordb_spark.operators import infodensity as ID
 from auto_vectordb_spark.plans.parity import load_views
 
 SF = "/root/testdata/sf0.001"
+
+
+def _round6_half_up(z: int, n: int) -> float:
+    """Spark's F.round is HALF_UP; Python's built-in round is half-even,
+    and the two disagree whenever the ratio has an exact 5 in the 7th
+    decimal (dyadic ratios like k/128 = 0.0078125 do). The reference
+    must mirror Spark's semantics, not Python's."""
+    return float(
+        (Decimal(z) / Decimal(n)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+    )
 
 
 def _ref_sizes(rows):
@@ -46,7 +59,7 @@ def test_report_matches_reference_aggregation(spark):
     for source, n, z in sizes.values():
         if n == 0:
             continue  # an empty doc has no density
-        ratio = round(z / n, 6)
+        ratio = _round6_half_up(z, n)
         r6 = int(round(ratio * 1_000_000))
         agg = ref.setdefault(source, [0, 0, None, None, 0])
         agg[0] += 1
@@ -59,6 +72,18 @@ def test_report_matches_reference_aggregation(spark):
         for r in ID.compression_density_by_source(t["documents"]).collect()
     }
     assert got == ref
+
+
+def test_round_reference_matches_spark_half_up_on_dyadic_tie(spark):
+    """z/n = 1/128 = 0.0078125 has an exact 5 in the 7th decimal: Spark's
+    F.round (HALF_UP) gives 0.007813 while Python's built-in round
+    (half-even) gives 0.007812 — the reference helper must take Spark's
+    side or the bit-exact gate has a data-dependent hole."""
+    got = spark.sql(
+        "SELECT round(CAST(1 AS DOUBLE) / 128, 6) AS r"
+    ).first().r
+    assert got == _round6_half_up(1, 128) == 0.007813
+    assert round(1 / 128, 6) == 0.007812  # the trap this guards against
 
 
 def test_redundant_text_scores_lower(spark):

@@ -216,6 +216,86 @@ def test_hour_index_floors_pre_epoch_timestamps(spark):
         assert got[id_] == us // 3_600_000_000, (id_, got[id_])
 
 
+def test_hour_index_sql_twin_matches_spark_pre_epoch(spark):
+    """DuckDB's integer ``//`` truncates toward zero (verified:
+    (-1800000000)//3600000000 = 0 on DuckDB 1.0), so a bare
+    ``epoch_us(ts) // h`` oracle DIVERGES from Spark's floored hour
+    index on pre-1970 timestamps. hour_index_sql floors explicitly;
+    this pins Spark and DuckDB to the identical value on both sides of
+    the epoch — the case sf fixtures (all post-2020) cannot catch."""
+    from datetime import datetime
+
+    import duckdb
+
+    rows = [
+        (1, datetime(1969, 12, 31, 23, 30)),  # -0.5h: trunc=0, floor=-1
+        (2, datetime(1969, 12, 31, 0, 0)),
+        (3, datetime(1965, 6, 1, 7, 59)),
+        (4, datetime(1970, 1, 1, 0, 30)),
+        (5, datetime(2024, 3, 9, 17, 1)),
+    ]
+    df = spark.createDataFrame(rows, "id: long, ts: timestamp")
+    got_spark = {
+        r.id: r.h
+        for r in df.select("id", L._hour_index("ts").alias("h")).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(id BIGINT, ts TIMESTAMP); "
+        + "INSERT INTO t VALUES "
+        + ",".join(f"({i}, TIMESTAMP '{ts}')" for i, ts in rows)
+    )
+    got_duck = dict(
+        con.execute(
+            f"SELECT id, {L.hour_index_sql('ts')} FROM t"
+        ).fetchall()
+    )
+    assert got_spark == got_duck
+    assert got_spark[1] == -1  # floored, not truncated
+
+
+def test_compaction_extreme_delta_does_not_overflow_stretch_branch(spark):
+    """The stretch branch is chosen from the BASE range, but deltas are
+    not bounded by it: with a narrow base range (~1e3, multiply-safe) and
+    a delta key near 2^62, gridding the raw delta value would overflow
+    (v - vmin) * GRID in int64 — ANSI kills the job, non-ANSI silently
+    wraps to a wrong bucket. The input clamp must land it in the edge
+    bucket instead, on BOTH engines."""
+    from datetime import datetime
+
+    import duckdb
+
+    base = [
+        (i, datetime(2024, 1, 1 + (i % 20), i % 24), 1000 + i)
+        for i in range(1, 41)
+        if i % 10 != 0
+    ]
+    deltas = [
+        (10, datetime(2024, 1, 5, 3), 2**62),  # far above base range
+        (20, datetime(2024, 1, 7, 9), -(2**62)),  # far below
+    ]
+    ev = spark.createDataFrame(
+        base + deltas, "event_id: long, ts: timestamp, user_id: long"
+    )
+    plan = L.zorder_compaction_plan(ev).collect()
+    assert sum(r.delta_rows for r in plan) == 2
+    assert sum(r.base_rows for r in plan) == 36
+    # oracle twin runs the identical clamped formula without erroring
+    from auto_vectordb_spark.plans.parity import REGISTRY
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events(event_id BIGINT, ts TIMESTAMP, user_id BIGINT); "
+        + "INSERT INTO events VALUES "
+        + ",".join(
+            f"({e}, TIMESTAMP '{ts}', {u})" for e, ts, u in base + deltas
+        )
+    )
+    oracle = con.execute(REGISTRY["zorder_compaction_plan"].sql).fetchall()
+    got = sorted((r.z_bucket, r.base_rows, r.delta_rows, r.action) for r in plan)
+    assert got == sorted(tuple(r) for r in oracle)
+
+
 def test_empty_and_null_rows_fail_row_not_job(spark):
     """cleanvec doctrine: NULL key/ts rows are dropped; an empty table
     yields the schema-correct empty stats frame and a zeroed one-row

@@ -369,4 +369,10 @@ def test_global_rank_2m_rows(spark):
     hi = ranked.orderBy(F.desc("v"), F.desc("doc_id")).select("__r").first()
     assert lo[0] == 1 and hi[0] == n
     assert ranked.where(F.col("__n") != n).count() == 0
-    spark.catalog.clearCache()  # global_rank persists its reduced input
+    # global_rank contains its cache inside the call (persist/unpersist
+    # around the eager boundary+count collects); calling it must not add
+    # session-lifetime cached frames (other tests may own their caches).
+    sc = spark.sparkContext
+    before = sc._jsc.sc().getPersistentRDDs().size()
+    SCH.global_rank(df, "v", "doc_id").where(F.col("__r") == 1).count()
+    assert sc._jsc.sc().getPersistentRDDs().size() == before, "cache leaked"
