@@ -312,12 +312,144 @@ def zorder_compaction_plan(
     )
 
 
+def zorder_write(
+    events: DataFrame,
+    path: str,
+    x_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_bits: int = 6,
+    payload_cols: tuple[str, ...] = ("event_id",),
+) -> None:
+    """Materialize the z-ordered physical layout :func:`zorder_frame`
+    analyzes: annotate rows with their grid coordinates and z-bucket,
+    then write parquet PARTITIONED BY z_bucket with exactly one file per
+    bucket — the write step of Delta's ``OPTIMIZE ZORDER BY`` expressed
+    as plain repartition + partitionBy.
+
+    ``repartition(z_bucket)`` hash-colocates each bucket into one task
+    (the table's ONE shuffle), and ``partitionBy`` then splits each
+    task's output per bucket directory — yielding 2^bucket_bits files,
+    each covering one 32x32 grid tile, so a rectangle probe prunes at
+    the DIRECTORY level before a single row group is opened
+    (:func:`zorder_probe_scan`). At 100 TB the same plan holds with
+    ``repartitionByRange(z)`` + more files per bucket; one file per
+    bucket here keeps the file arithmetic exactly testable.
+
+    Rows with NULL key or timestamp carry no layout position and fail
+    the row (cleanvec doctrine), like every layout entry.
+    """
+    shift = 2 * GRID_BITS - bucket_bits
+    keep = [F.col(c) for c in payload_cols]
+    ev = events.where(
+        F.col(x_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        *keep,
+        F.col(x_col).cast("long").alias("__x"),
+        _hour_index(ts_col).alias("__y"),
+    )
+    stats = ev.agg(
+        F.min("__x").alias("__xmin"),
+        F.max("__x").alias("__xmax"),
+        F.min("__y").alias("__ymin"),
+        F.max("__y").alias("__ymax"),
+    )
+    g = ev.join(F.broadcast(stats)).select(
+        *keep,
+        F.expr(grid_expr_sql("__x", "__xmin", "__xmax")).alias("xg"),
+        F.expr(grid_expr_sql("__y", "__ymin", "__ymax")).alias("yg"),
+    )
+    out = g.select(
+        *keep,
+        "xg",
+        "yg",
+        F.shiftright(morton16(F.col("xg"), F.col("yg")), shift)
+        .cast("long")
+        .alias("z_bucket"),
+    )
+    out.repartition("z_bucket").write.mode("overwrite").partitionBy(
+        "z_bucket"
+    ).parquet(path)
+
+
+def _py_spread8(v: int) -> int:
+    v &= 0xFF
+    v = (v | (v << 4)) & 0x0F0F
+    v = (v | (v << 2)) & 0x3333
+    v = (v | (v << 1)) & 0x5555
+    return v
+
+
+def probe_buckets(
+    x_range: tuple[int, int], y_range: tuple[int, int], bucket_bits: int = 6
+) -> list[int]:
+    """The z-buckets a rectangle probe must open — the candidate set a
+    min-max/partition-pruned scan enumerates BEFORE touching data. Pure
+    driver-side arithmetic over the probe rectangle's grid cells (≤
+    GRID² iterations of the same Morton kernel the layout was written
+    with), so the pruning decision costs zero cluster work."""
+    shift = 2 * GRID_BITS - bucket_bits
+    return sorted(
+        {
+            (_py_spread8(x) | (_py_spread8(y) << 1)) >> shift
+            for x in range(x_range[0], x_range[1] + 1)
+            for y in range(y_range[0], y_range[1] + 1)
+        }
+    )
+
+
 #: Probe rectangles for the pruning report, in grid cells: an eighth of
 #: each dimension's range, off-center so they do not degenerate to bucket
 #: boundaries. A file layout is graded by how many DISTINCT buckets (files)
 #: contain at least one matching row — the scan cost of the probe.
 PROBE_X = (64, 95)
 PROBE_Y = (160, 191)
+
+
+def zorder_probe_scan(
+    spark,
+    path: str,
+    x_range: tuple[int, int] = PROBE_X,
+    y_range: tuple[int, int] = PROBE_Y,
+    bucket_bits: int = 6,
+    sum_col: str = "event_id",
+) -> DataFrame:
+    """Rectangle probe against a table :func:`zorder_write` materialized:
+    restrict the scan to the probe's candidate z-buckets (partition-
+    directory pruning — the physical realization of what
+    :func:`zorder_pruning_gain` predicts), then apply the exact
+    rectangle row filter and aggregate.
+
+    One row out: matching row count, exact int64 payload sum (the
+    roundtrip-integrity witness), the files the pruned scan opened
+    (candidate buckets present in the table — each bucket is one file by
+    construction), and the table's total file count. The bucket filter
+    is an IN over driver-computed literals, so Spark prunes partition
+    directories at PLANNING time — ``tests/test_layout.py`` asserts the
+    physical ``inputFiles()`` shrink, closing the predict-vs-actual loop.
+
+    The read supplies an explicit schema: an empty table (nothing
+    survived the NULL filter at write time) must still scan as the
+    schema-correct empty frame instead of failing inference.
+    ``files_total`` comes from listing the partition directories —
+    catalog METADATA, not a second data scan (a cluster would ask the
+    metastore/manifest the same question) — so the only table scan in
+    the plan is the pruned one.
+    """
+    import os
+
+    cand = probe_buckets(x_range, y_range, bucket_bits)
+    files_total = len(
+        [d for d in os.listdir(path) if d.startswith("z_bucket=")]
+    )
+    schema = f"{sum_col} long, xg long, yg long, z_bucket long"
+    t = spark.read.schema(schema).parquet(path)
+    pruned = t.where(F.col("z_bucket").isin(cand))
+    in_rect = F.col("xg").between(*x_range) & F.col("yg").between(*y_range)
+    return pruned.agg(
+        F.count(F.when(in_rect, 1)).alias("n_rows"),
+        F.sum(F.when(in_rect, F.col(sum_col))).alias("sum_payload"),
+        F.count_distinct("z_bucket").cast("long").alias("files_scanned"),
+    ).withColumn("files_total", F.lit(files_total).cast("long"))
 
 
 def zorder_pruning_gain(events: DataFrame, **kw) -> DataFrame:

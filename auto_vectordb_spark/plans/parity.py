@@ -61,6 +61,7 @@ from ..operators import profiling as PF
 from ..operators import quality as QL
 from ..operators import relational as R
 from ..operators import schedule as SCH
+from ..operators import snapshots as SNAP
 from ..operators import textstats as TS
 
 TABLES = (
@@ -8548,6 +8549,256 @@ def compression_density_by_source(spark, sf):
 
 
 # =========================================================================
+# Round-10 additions: cross-snapshot incremental decontamination, the
+# materialized z-order write/probe roundtrip, and the one-lineage
+# curation→curriculum→packing manifest.
+# =========================================================================
+
+_NEW_BENCH_LO, _NEW_BENCH_HI = 3, 6  # the "newly released benchmark" slice
+
+
+@_register(
+    "decontaminate_incremental",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_DOC} AS toks FROM documents),
+    shl AS (SELECT doc_id, {SHINGLES3_SQL.format(t='toks')} AS shs FROM tok),
+    ds AS (SELECT DISTINCT doc_id, unnest(shs) AS sh FROM shl),
+    ev AS (SELECT DISTINCT sh FROM ds
+           WHERE doc_id >= {_NEW_BENCH_LO} AND doc_id < {_NEW_BENCH_HI}),
+    hits AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+      FROM ds JOIN ev USING (sh)
+      WHERE doc_id >= {_NEW_BENCH_HI} GROUP BY doc_id
+    )
+    SELECT doc_id, n_shared FROM hits
+    """,
+    doc="Cross-snapshot incremental decontamination: a NEWLY released "
+    "benchmark (doc_id in [3,6), arriving after the corpus snapshot) "
+    "probes the corpus' PERSISTED shingle index — the entry builds the "
+    "index (snapshots.shingle_index), round-trips it through parquet, and "
+    "probes the STORED table (snapshots.decontaminate_probe), so the corpus "
+    "is never re-read or re-shingled. Inverse direction of "
+    "dedup_incremental (there new data probes a benchmark-era LSH index; "
+    "here a new benchmark probes a corpus-era index); same "
+    "persist-the-index posture as the reference's idempotent re-index "
+    "(backend/process/elasticsearch_index.py:141). Scale shape: index "
+    "build is one distinct shuffle paid ONCE per corpus snapshot; each "
+    "later benchmark costs one tiny broadcast join against the stored "
+    "scan. Oracle computes the equivalent from-scratch overlap",
+)
+def decontaminate_incremental(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    corpus = t["documents"].filter(F.col("doc_id") >= _NEW_BENCH_HI)
+    new_bench = t["documents"].filter(
+        (F.col("doc_id") >= _NEW_BENCH_LO) & (F.col("doc_id") < _NEW_BENCH_HI)
+    )
+    idx = SNAP.shingle_index(corpus)
+    path = tempfile.mkdtemp(prefix="decontam_index_")
+    idx.write.mode("overwrite").parquet(path)
+    stored = spark.read.schema(idx.schema).parquet(path)
+    return SNAP.decontaminate_probe(stored, new_bench)
+
+
+# Candidate buckets of the standard probe rectangle, frozen as literals —
+# the same driver-side arithmetic zorder_probe_scan runs (layout.py).
+_ZW_CAND = ", ".join(
+    str(b) for b in LAY.probe_buckets(LAY.PROBE_X, LAY.PROBE_Y)
+)
+
+
+@_register(
+    "zorder_write_probe",
+    f"""
+    WITH ev AS (
+      SELECT event_id AS pay, user_id AS __x, {LAY.hour_index_sql('ts')} AS __y
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax FROM ev
+    ),
+    g AS (
+      SELECT pay,
+             {LAY.grid_expr_sql('__x', '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('__y', '__ymin', '__ymax', div='//')} AS yg
+      FROM ev, st
+    ),
+    b AS (
+      SELECT pay, xg, yg, ({LAY.morton_sql('xg', 'yg')} >> 10) AS z_bucket
+      FROM g
+    )
+    SELECT
+      CAST(count(*) FILTER (WHERE xg BETWEEN {LAY.PROBE_X[0]} AND {LAY.PROBE_X[1]}
+                              AND yg BETWEEN {LAY.PROBE_Y[0]} AND {LAY.PROBE_Y[1]})
+           AS BIGINT) AS n_rows,
+      CAST(sum(pay) FILTER (WHERE xg BETWEEN {LAY.PROBE_X[0]} AND {LAY.PROBE_X[1]}
+                              AND yg BETWEEN {LAY.PROBE_Y[0]} AND {LAY.PROBE_Y[1]})
+           AS BIGINT) AS sum_payload,
+      CAST(count(DISTINCT CASE WHEN z_bucket IN ({_ZW_CAND})
+                               THEN z_bucket END) AS BIGINT) AS files_scanned,
+      CAST(count(DISTINCT z_bucket) AS BIGINT) AS files_total
+    FROM b
+    """,
+    doc="Materialized z-order roundtrip: events are WRITTEN in the "
+    "z-ordered physical layout (layout.zorder_write: one hash shuffle on "
+    "the 64-value bucket key, parquet partitioned by z_bucket, one file "
+    "per 32x32 grid tile), then a rectangle probe re-reads ONLY the "
+    "candidate bucket directories (driver-computed literal IN -> "
+    "partition pruning at planning time) and row-filters the exact "
+    "rectangle — closing the loop zorder_pruning_gain only predicts "
+    "(tests assert the physical inputFiles() shrink). Output: matching "
+    "rows, exact int64 payload sum (roundtrip-integrity witness), files "
+    "opened by the pruned scan, total files. Oracle recomputes all four "
+    "from the raw table with the identical grid/Morton formulas",
+)
+def zorder_write_probe(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    path = tempfile.mkdtemp(prefix="zorder_table_")
+    LAY.zorder_write(t["events"], path)
+    return LAY.zorder_probe_scan(spark, path)
+
+
+@_register(
+    "curation_curriculum_packs",
+    f"""
+    WITH survivors0 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    keep AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS kid
+        FROM survivors0
+      ) WHERE doc_id = kid
+    ),
+    survivors AS (SELECT doc_id, text FROM keep),
+    {_QUALITY_CTE},
+    kept AS (
+      SELECT doc_id, n_tokens, quality FROM q WHERE quality >= 0.5
+    ),
+    staged AS (
+      SELECT doc_id, n_tokens, quality,
+             ntile(4) OVER (ORDER BY quality, doc_id) AS stage
+      FROM kept
+    ),
+    packed AS (
+      SELECT stage, n_tokens, quality,
+             sum(n_tokens) OVER (
+               PARTITION BY stage
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM staged
+    )
+    SELECT CAST(stage AS INT) AS stage,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT (cum - n_tokens) // 512) AS BIGINT) AS n_packs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           min(quality) AS q_lo,
+           max(quality) AS q_hi
+    FROM packed GROUP BY 1
+    """,
+    doc="The end-to-end curation→schedule manifest as ONE attested "
+    "lineage (snapshots.curriculum_pack_manifest): exact-dup keep-one "
+    "(one md5-key window) → quality gate >= 0.5 (map-only score) → "
+    "4-stage curriculum over the exact distributed rank "
+    "(schedule.global_rank — no global sort) → per-stage ~512-token "
+    "sequence packing (the training_pack_bins formula, partitioned by "
+    "stage). Chains the individually-verified pieces a pretraining "
+    "data build runs between raw corpus and data loader — the "
+    "examples/curation_pipeline.py walkthrough as one auditable "
+    "relation. Output per stage: docs, packs, token budget, quality "
+    "range",
+)
+def curation_curriculum_packs(spark, sf):
+    t = load_views(spark, sf)
+    return SNAP.curriculum_pack_manifest(t["documents"])
+
+
+@_register(
+    "snapshot_diff",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+      WHERE doc_id % 7 <> 0 AND doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN text || '::v2' ELSE text END) AS h
+      FROM documents
+      WHERE doc_id % 5 <> 0 AND doc_id IS NOT NULL AND text IS NOT NULL
+    ),
+    j AS (
+      SELECT CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n USING (doc_id)
+    )
+    SELECT status, count(*) AS n_docs FROM j GROUP BY status
+    """,
+    doc="Corpus snapshot compare (snapshots.snapshot_diff) — the "
+    "dataset-versioning report between two crawls: added / removed / "
+    "changed / unchanged document counts, Delta-history / Iceberg-"
+    "snapshot-diff semantics. Snapshots are simulated deterministically "
+    "(old = id%7!=0; new = id%5!=0 with id%11==0 texts mutated). Diff "
+    "travels as (id, md5) only — ~48 bytes/row through the full-outer "
+    "sort-merge join, never document bodies — which is what makes a "
+    "100 TB snapshot compare an id-shuffle, not a corpus copy",
+)
+def snapshot_diff(spark, sf):
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit("::v2"))
+        ).otherwise(F.col("text")),
+    )
+    return SNAP.snapshot_diff(old, new)
+
+
+@_register(
+    "split_leakage_audit",
+    f"""
+    WITH {_MINHASH_PAIRS_CTE},
+    sp AS (
+      SELECT doc_id AS sid,
+             CASE WHEN {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 0
+                  WHEN {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 95 THEN 1
+                  ELSE 2 END AS rk
+      FROM documents WHERE doc_id IS NOT NULL
+    ),
+    lab AS (
+      SELECT least(a.rk, b.rk) AS lo, greatest(a.rk, b.rk) AS hi
+      FROM pairs p JOIN sp a ON p.id_a = a.sid JOIN sp b ON p.id_b = b.sid
+    )
+    SELECT CASE lo WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_lo,
+           CASE hi WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_hi,
+           count(*) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+    doc="Train/val/test near-dup leakage audit (snapshots.split_leakage_audit): "
+    "MinHash-LSH candidate pairs grouped by the unordered split pair of "
+    "their endpoints, under the registry's deterministic 90/5/5 hash-mod "
+    "assignment (dataset_split_counts). Cross-split rows are the "
+    "memorization hazard a held-out metric silently absorbs; the audit is "
+    "the verified banded pair graph (bucket-local join, never N²) + two "
+    "relabel joins on the pair endpoints + one short-key groupBy — the "
+    "standard pre-training-split gate at any corpus size",
+)
+def split_leakage_audit(spark, sf):
+    t = load_views(spark, sf)
+    return SNAP.split_leakage_audit(t["documents"])
+
+
+# =========================================================================
 # Driver-attestation rotation
 # =========================================================================
 #
@@ -8567,56 +8818,56 @@ def compression_density_by_source(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "events_hourly",
-    "events_json_extract",
-    "events_moving_avg",
-    "streaming_ingest_e2e",
-    "hybrid_fusion_ab",
-    "events_ntile",
-    "hard_negative_mining",
-    "bitext_margin_mining",
-    "ann_recall_eval",
-    "ngram_novelty",
     "dedup_ngram_containment",
-    "neardup_levenshtein_pairs",
-    "knn_maxp_docs",
-    "semantic_decontaminate",
-    "hybrid_search",
-    "decontaminate_docs",
-    "cluster_assign",
-    "dedup_span_removal",
-    "substring_dup_spans",
-    "dedup_apply_keep_one",
-    "knn_pq_adc",
-    "cluster_profile",
-    "p6_dim_normalize",
-    "pq_encode",
-    "dedup_apply_keep_best",
-    "knn_filtered",
-    "semantic_search_e2e",
-    "rerank_hybrid",
-    "sql_similarity_topk",
-    "staging_lifecycle",
-    "embedding_quantize_int8",
-    "knn_int8_topk",
-    "cluster_kmeans_lloyd",
-    "embedding_outliers",
-    "domain_rebalance_uniform",
-    "mmr_rerank",
-    "semdedup_pairs",
-    "streaming_hourly",
-    "dedup_exact",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
     "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "knn_exact_cosine",
-    "knn_exact_dot",
-    "pipeline_parse_pages",
-    "knn_blas_topk",
-    "dedup_embedding_blas_exact",
-    "training_set_build",
+    "dedup_simhash",
+    "zorder_layout_stats",
+    "zorder_pruning_gain",
+    "zorder_compaction_plan",
+    "curriculum_stages",
+    "curriculum_interleaved_shards",
+    "decontaminate_incremental",
+    "zorder_write_probe",
+    "curation_curriculum_packs",
+    "snapshot_diff",
+    "split_leakage_audit",
+    "hybrid_rrf",
+    "dedup_components",
+    "dedup_incremental",
+    "dsir_importance_weights",
+    "bigram_lm_nll",
+    "attribution_pairs",
+    "knn_binary_topk",
+    "knn_matryoshka_16",
+    "embedding_dim_stats",
+    "source_overlap",
+    "neardup_pair_profile",
+    "dup_cluster_histogram",
+    "knn_cascade_rerank",
+    "dedup_sentences_crossdoc",
+    "dedup_sentence_removal",
+    "rag_context_pack",
+    "embedding_gram_matrix",
+    "quality_calibration",
+    "doc_embedding_mean_pool",
+    "cluster_silhouette",
+    "ccnet_perplexity_buckets",
+    "a2_counts_by_group",
+    "anti_join_customers",
+    "cube_counts",
+    "embed_documents",
+    "merge_upsert",
+    "multimodal_features",
+    "o1_sort_limit",
+    "p1_filter_eq",
+    "p3_a1_distinct",
+    "p4_delete_by_ids",
+    "percentile_chars",
+    "q4_semi_join",
+    "set_ops",
+    "topk_per_group",
+    "asof_join_attribution",
+    "f10_embedding_parse",
 ]
 
 

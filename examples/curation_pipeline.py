@@ -131,6 +131,36 @@ def main(sf_dir: str) -> None:
             f"{r['sum_tokens']} tokens, {r['n_langs']} langs"
         )
 
+    # 6. Round-10 additions: the whole chain above as ONE attested lineage,
+    #    the z-order layout actually written and probed, and a new
+    #    benchmark decontaminated against the persisted corpus index
+    import tempfile
+
+    from auto_vectordb_spark.operators import snapshots as SN
+
+    for r in sorted(
+        SN.curriculum_pack_manifest(docs).collect(), key=lambda r: -r["stage"]
+    ):
+        print(
+            f"manifest stage {r['stage']}: {r['n_docs']} docs -> "
+            f"{r['n_packs']} packs of ~512 tokens ({r['sum_tokens']} total), "
+            f"quality [{r['q_lo']:.3f}, {r['q_hi']:.3f}]"
+        )
+    zdir = tempfile.mkdtemp(prefix="example_ztable_")
+    L.zorder_write(events, zdir)
+    pr = L.zorder_probe_scan(spark, zdir).first()
+    print(
+        f"materialized z-order: rectangle probe opened {pr['files_scanned']}"
+        f"/{pr['files_total']} files for {pr['n_rows']} rows"
+    )
+    idx = SN.shingle_index(docs.filter(F.col("doc_id") >= 6))
+    idir = tempfile.mkdtemp(prefix="example_shidx_")
+    idx.write.mode("overwrite").parquet(idir)
+    stored = spark.read.schema(idx.schema).parquet(idir)
+    new_bench = docs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 6))
+    n_flagged = SN.decontaminate_probe(stored, new_bench).count()
+    print(f"new benchmark vs persisted index: {n_flagged} corpus docs flagged")
+
     spark.stop()
 
 

@@ -306,3 +306,63 @@ def test_empty_and_null_rows_fail_row_not_job(spark):
     assert L.zorder_bucket_stats(ev).count() == 0
     r = L.zorder_pruning_gain(ev).first()
     assert r.n_rows == 0 and r.files_total == 0 and r.z_rect_probe == 0
+
+
+def test_probe_buckets_matches_brute_force():
+    """The driver-side candidate enumeration must equal the set of buckets
+    any matching row could land in — brute force over the rectangle."""
+    for xr, yr in [((64, 95), (160, 191)), ((0, 7), (0, 7)), ((250, 255), (0, 255))]:
+        want = sorted(
+            {py_morton16(x, y) >> 10 for x in range(xr[0], xr[1] + 1) for y in range(yr[0], yr[1] + 1)}
+        )
+        assert L.probe_buckets(xr, yr) == want
+
+
+def test_zorder_write_probe_scan_prunes_physically(spark, tmp_path):
+    """The loop-closer: zorder_pruning_gain PREDICTS file counts; the
+    written table must actually deliver them — the pruned scan's physical
+    inputFiles() must shrink to the candidate directories, and the probe
+    aggregates must equal recomputing over the raw frame."""
+    from auto_vectordb_spark.plans.parity import load_views
+
+    t = load_views(spark, SF)
+    path = str(tmp_path / "ztable")
+    L.zorder_write(t["events"], path)
+    full = spark.read.schema(
+        "event_id long, xg long, yg long, z_bucket long"
+    ).parquet(path)
+    n_files_full = len(full.inputFiles())
+    cand = L.probe_buckets(L.PROBE_X, L.PROBE_Y)
+    pruned = full.where(F.col("z_bucket").isin(cand))
+    pruned.collect()
+    # inputFiles() ignores partition filters (it lists the relation); the
+    # physical evidence is the executed scan node: the bucket IN must land
+    # in PartitionFilters (directory-level, planning-time) and the
+    # post-execution numFiles metric must shrink to the candidate set.
+    plan = pruned._jdf.queryExecution().executedPlan()
+    scan = plan.collectLeaves().head()
+    n_files_read = scan.metrics().apply("numFiles").value()
+    assert "PartitionFilters: [" in plan.toString()
+    assert n_files_read <= len(cand) < n_files_full
+    r = L.zorder_probe_scan(spark, path).first()
+    assert r.files_total == n_files_full
+    assert r.files_scanned == n_files_read
+    # probe aggregates equal recomputation over the annotated frame
+    g = L.zorder_frame(t["events"])
+    want = g.where(
+        F.col("xg").between(*L.PROBE_X) & F.col("yg").between(*L.PROBE_Y)
+    ).count()
+    assert r.n_rows == want
+
+
+def test_zorder_write_probe_empty_table(spark, tmp_path):
+    """Nothing survives the NULL filter: the write yields a fileless table
+    and the probe must return the schema-correct zero row, not fail."""
+    ev = spark.createDataFrame(
+        [(1, None, None)], "event_id: long, user_id: long, ts: timestamp"
+    )
+    path = str(tmp_path / "zempty")
+    L.zorder_write(ev, path)
+    r = L.zorder_probe_scan(spark, path).first()
+    assert r.n_rows == 0 and r.files_total == 0 and r.files_scanned == 0
+    assert r.sum_payload is None

@@ -64,6 +64,10 @@ SINGLE_PARTITION_OK = frozenset(
         "zorder_pruning_gain",
         # 1-row BASE min-max aggregate broadcast into the frozen-grid map
         "zorder_compaction_plan",
+        # the write-side 4-value min-max aggregate + the final 1-row probe
+        # report over <=64 bucket partials; the pruned scan itself is
+        # partition-parallel
+        "zorder_write_probe",
         # events_ntile's aggregates, via schedule.global_rank: 1-row
         # boundary sketch + ~32-row prefix-offset table (both broadcast)
         "curriculum_stages",

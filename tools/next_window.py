@@ -361,6 +361,18 @@ def main() -> None:
         for n in group:
             if n not in window and len(window) < WINDOW:
                 window.append(n)
+    # The driver samples the FIRST 50 queries() entries no matter what, so
+    # an under-full window just hands positions N..50 to registration
+    # order. Make them deliberate instead: pad with extra sentinels from
+    # the fresh-green pool, OLDEST green row first — those attestations
+    # are the ones most in need of re-confirmation (contract: the window
+    # is always exactly WINDOW names, tests/test_entry_contract.py).
+    if len(window) < WINDOW:
+        by_oldest = sorted(
+            (n for n in fresh_green if n not in window),
+            key=lambda n: (green_round[n], n),
+        )
+        window.extend(by_oldest[: WINDOW - len(window)])
     backlog = [n for n in [*never, *stale] if n not in window]
 
     print(
