@@ -433,13 +433,19 @@ def zorder_probe_scan(
     ``files_total`` comes from listing the partition directories —
     catalog METADATA, not a second data scan (a cluster would ask the
     metastore/manifest the same question) — so the only table scan in
-    the plan is the pruned one.
+    the plan is the pruned one. The listing goes through the Hadoop
+    FileSystem API, so any URI the write accepted (local, hdfs://,
+    s3a://) lists the same way — ``os.listdir`` would bind the probe to
+    the local filesystem the docstring's 100 TB posture rules out.
     """
-    import os
-
     cand = probe_buckets(x_range, y_range, bucket_bits)
-    files_total = len(
-        [d for d in os.listdir(path) if d.startswith("z_bucket=")]
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files_total = sum(
+        1
+        for st in fs.listStatus(jpath)
+        if st.getPath().getName().startswith("z_bucket=")
     )
     schema = f"{sum_col} long, xg long, yg long, z_bucket long"
     t = spark.read.schema(schema).parquet(path)

@@ -57,73 +57,68 @@ def global_rank(
     with a NULL value or NULL id have no place in a total order and fail
     the row (cleanvec doctrine).
 
-    Scale shape: TWO eager driver-sized collects at call time — the
-    1-row boundary sketch and the ~n_buckets-row bucket counts — then
-    the returned frame is ONE hash shuffle on the range key with the
-    boundaries and prefix offsets inlined as literals (whole-stage
-    codegen; no broadcast joins, no driver data beyond n_buckets rows).
-    The eager phase persists the reduced input across its two passes and
-    UNPERSISTS before returning — cache lifetime is contained inside the
-    call, nothing leaks into the session (the r9 version parked a cached
-    frame per call forever). Freezing the sampled boundaries as literals
-    also makes the bucketing provably identical between the counting
-    pass and the ranking pass — approx_percentile's sampling can no
-    longer disagree with itself across recomputations.
+    Scale shape: ONE eager 1-row collect at call time (the
+    approx_percentile boundary sketch, frozen into the bucket expression
+    as literals — safe to freeze because boundary placement affects only
+    bucket BALANCE, never rank correctness), then the returned frame is
+    one hash shuffle on the range key: per-bucket row_number windows,
+    per-bucket counts that RIDE that same window's exchange+sort
+    (``max(__lr)`` — reused, not recomputed), the prefix offsets reduced
+    through a ~n_buckets-row aggregate, and one broadcast join back.
+    Counts and offsets are computed INSIDE the consumer's action, so the
+    ranks are self-consistent by construction even if the underlying
+    source changes or is non-deterministic between call and action —
+    stale boundaries can only unbalance buckets, never corrupt ranks
+    (the literal-frozen-counts variant this replaces corrupted silently
+    there). Nothing is persisted: no cache outlives the call (the r9
+    version parked a cached frame per call forever), and the only
+    driver-sized data anywhere is the boundary row and the broadcast
+    offsets table.
     """
     rows = df.where(
         F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
-    # The eager phase scans the reduced input twice (boundaries, counts)
-    # — persist across the pair, release before returning (the SCALE.md
-    # "persist the reduced artifact" discipline, now leak-free). The
-    # consumer's action recomputes the reduced projection once more;
-    # net scans are unchanged vs r9 (the windowed-count pass is gone).
-    rows.persist()
-    try:
-        bvals = rows.agg(
-            F.expr(
-                f"approx_percentile({value_col}, "
-                f"array({','.join(str(q) for q in qs)}))"
-            ).alias("__b")
-        ).first()["__b"]
-        boundaries = list(bvals) if bvals is not None else []
-        bkt = sum(
-            (
-                F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
-                for b in boundaries
-            ),
-            start=F.lit(0),
-        )
-        counts = {
-            r["__bkt"]: r["__cnt"]
-            for r in rows.groupBy(bkt.alias("__bkt"))
-            .agg(F.count("*").alias("__cnt"))
-            .collect()
-        }
-    finally:
-        rows.unpersist()
-    n_total = sum(counts.values())
-    # Exact prefix offsets for EVERY bucket id (absent buckets contribute
-    # 0), inlined as a literal CASE chain — a missing key cannot exist.
-    offs, acc = {}, 0
-    for b in range(n_buckets):
-        offs[b] = acc
-        acc += counts.get(b, 0)
-    off_expr = F.lit(0).cast("long")
-    for b, o in offs.items():
-        if o:
-            off_expr = F.when(F.col("__bkt") == b, F.lit(o).cast("long")).otherwise(
-                off_expr
-            )
+    bvals = rows.agg(
+        F.expr(
+            f"approx_percentile({value_col}, "
+            f"array({','.join(str(q) for q in qs)}))"
+        ).alias("__b")
+    ).first()["__b"]
+    boundaries = list(bvals) if bvals is not None else []
+    bkt = sum(
+        (
+            F.when(F.col(value_col) > F.lit(b), 1).otherwise(0)
+            for b in boundaries
+        ),
+        start=F.lit(0),
+    )
     w = Window.partitionBy("__bkt").orderBy(value_col, id_col)
+    loc = rows.withColumn("__bkt", bkt).withColumn(
+        "__lr", F.row_number().over(w).cast("long")
+    )
+    # Per-bucket counts as max(__lr) — the groupBy reuses the window's
+    # exchange AND sort, so the expensive upstream projection is computed
+    # once per action, not per branch (the reason r9 persisted).
+    counts = loc.groupBy("__bkt").agg(F.max("__lr").alias("__cnt"))
+    offsets = counts.agg(
+        F.sort_array(F.collect_list(F.struct("__bkt", "__cnt"))).alias("a")
+    ).select(
+        F.explode(
+            F.expr(
+                "transform(a, (e, i) -> struct(e.__bkt AS __bkt, "
+                "aggregate(slice(a, 1, i), CAST(0 AS BIGINT), "
+                "(acc, x) -> acc + x.__cnt) AS __off))"
+            )
+        ).alias("e"),
+        F.expr(
+            "aggregate(a, CAST(0 AS BIGINT), (acc, x) -> acc + x.__cnt)"
+        ).alias("__n"),
+    ).select("e.__bkt", "e.__off", "__n")
     return (
-        rows.withColumn("__bkt", bkt)
-        .withColumn("__n", F.lit(n_total).cast("long"))
-        .withColumn(
-            "__r", F.row_number().over(w).cast("long") + off_expr
-        )
-        .drop("__bkt")
+        loc.join(F.broadcast(offsets), "__bkt")
+        .withColumn("__r", F.col("__lr") + F.col("__off"))
+        .drop("__bkt", "__lr", "__off")
     )
 
 

@@ -150,29 +150,23 @@ def split_leakage_audit(
 
     Split assignment is the registry's deterministic 90/5/5 hash-mod on
     the doc key (dataset_split_counts) — a pure row-local expression, so
-    the audit composes as: the verified banded pair graph
+    each pair endpoint's split is COMPUTED from the id carried in the
+    pair row itself: the audit is the verified banded pair graph
     (dedup.minhash_lsh_pairs — join within LSH buckets only, never N²) +
-    one relabel of each pair endpoint + a short-key groupBy. Output one
-    row per unordered split pair (split_lo <= split_hi in train < val <
-    test order): within-split rows are the harmless baseline, cross-split
-    rows are the leakage a group-aware splitter (split by URL/domain, or
-    by near-dup component id from dedup.connected_components) would
-    drive to zero.
+    map-side relabel expressions + a short-key groupBy. No join against
+    a corpus-sized split table exists anywhere in the plan — relabeling
+    by join would shuffle the whole corpus twice for information the id
+    already encodes. Output one row per unordered split pair
+    (split_lo <= split_hi in train < val < test order): within-split
+    rows are the harmless baseline, cross-split rows are the leakage a
+    group-aware splitter (split by URL/domain, or by near-dup component
+    id from dedup.connected_components) would drive to zero.
     """
     from .dedup import minhash_lsh_pairs
 
-    h = H.stable_hash60(F.col(id_col).cast("string")) % 100
-    rank = F.when(h < 90, 0).when(h < 95, 1).otherwise(2)
-    splits = docs.where(F.col(id_col).isNotNull()).select(
-        F.col(id_col).alias("__sid"), rank.alias("__rank")
-    )
-    pairs = minhash_lsh_pairs(docs, id_col, text_col)
-    labeled = (
-        pairs.join(splits.withColumnRenamed("__sid", "id_a"), "id_a")
-        .withColumnRenamed("__rank", "__ra")
-        .join(splits.withColumnRenamed("__sid", "id_b"), "id_b")
-        .withColumnRenamed("__rank", "__rb")
-    )
+    def rank(c):
+        h = H.stable_hash60(c.cast("string")) % 100
+        return F.when(h < 90, 0).when(h < 95, 1).otherwise(2)
 
     def name(c):
         return (
@@ -181,10 +175,11 @@ def split_leakage_audit(
             .otherwise(F.lit("test"))
         )
 
-    lo = F.least(F.col("__ra"), F.col("__rb"))
-    hi = F.greatest(F.col("__ra"), F.col("__rb"))
+    pairs = minhash_lsh_pairs(docs, id_col, text_col)
+    ra, rb = rank(F.col("id_a")), rank(F.col("id_b"))
+    lo, hi = F.least(ra, rb), F.greatest(ra, rb)
     return (
-        labeled.select(name(lo).alias("split_lo"), name(hi).alias("split_hi"))
+        pairs.select(name(lo).alias("split_lo"), name(hi).alias("split_hi"))
         .groupBy("split_lo", "split_hi")
         .agg(F.count("*").alias("n_pairs"))
     )

@@ -8768,17 +8768,18 @@ def snapshot_diff(spark, sf):
     "split_leakage_audit",
     f"""
     WITH {_MINHASH_PAIRS_CTE},
-    sp AS (
-      SELECT doc_id AS sid,
-             CASE WHEN {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 0
-                  WHEN {H.stable_hash60_sql('CAST(doc_id AS VARCHAR)')} % 100 < 95 THEN 1
-                  ELSE 2 END AS rk
-      FROM documents WHERE doc_id IS NOT NULL
+    rk AS (
+      -- each endpoint's 90/5/5 split rank computed ONCE (a threshold
+      -- edit must not be able to desynchronize least/greatest copies)
+      SELECT CASE WHEN {H.stable_hash60_sql('CAST(id_a AS VARCHAR)')} % 100 < 90 THEN 0
+                  WHEN {H.stable_hash60_sql('CAST(id_a AS VARCHAR)')} % 100 < 95 THEN 1
+                  ELSE 2 END AS ra,
+             CASE WHEN {H.stable_hash60_sql('CAST(id_b AS VARCHAR)')} % 100 < 90 THEN 0
+                  WHEN {H.stable_hash60_sql('CAST(id_b AS VARCHAR)')} % 100 < 95 THEN 1
+                  ELSE 2 END AS rb
+      FROM pairs
     ),
-    lab AS (
-      SELECT least(a.rk, b.rk) AS lo, greatest(a.rk, b.rk) AS hi
-      FROM pairs p JOIN sp a ON p.id_a = a.sid JOIN sp b ON p.id_b = b.sid
-    )
+    lab AS (SELECT least(ra, rb) AS lo, greatest(ra, rb) AS hi FROM rk)
     SELECT CASE lo WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_lo,
            CASE hi WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_hi,
            count(*) AS n_pairs
@@ -8788,10 +8789,12 @@ def snapshot_diff(spark, sf):
     "MinHash-LSH candidate pairs grouped by the unordered split pair of "
     "their endpoints, under the registry's deterministic 90/5/5 hash-mod "
     "assignment (dataset_split_counts). Cross-split rows are the "
-    "memorization hazard a held-out metric silently absorbs; the audit is "
-    "the verified banded pair graph (bucket-local join, never N²) + two "
-    "relabel joins on the pair endpoints + one short-key groupBy — the "
-    "standard pre-training-split gate at any corpus size",
+    "memorization hazard a held-out metric silently absorbs. Because the "
+    "split is a pure function of the id, each endpoint is relabeled by a "
+    "MAP-SIDE expression on the pair row itself — the plan is the "
+    "verified banded pair graph (bucket-local join, never N²) + one "
+    "short-key groupBy, with no join against a corpus-sized split table "
+    "anywhere — the standard pre-training-split gate at any corpus size",
 )
 def split_leakage_audit(spark, sf):
     t = load_views(spark, sf)

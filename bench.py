@@ -279,7 +279,8 @@ def run_ab(ref: str) -> None:
                 check=True, capture_output=True, text=True, env=env, cwd=tree,
             ).stdout
             payload = _parse_bench_stdout(out)
-            assert payload is not None, f"{label} rep emitted no bench line"
+            if payload is None:  # not assert: must survive python -O
+                raise RuntimeError(f"{label} rep emitted no bench line")
             runs[label].append(payload)
             print(
                 json.dumps(
@@ -291,12 +292,17 @@ def run_ab(ref: str) -> None:
             k: round(statistics.median(p["value"] for p in v), 3)
             for k, v in runs.items()
         }
+        # per-rep totals capped in the STDOUT line so a many-rep overnight
+        # run cannot outgrow the tail-capture budget after hours of work
+        # (the full series always lives in BENCH_AB.json); the asserts are
+        # explicit raises so `python -O` cannot strip the contract.
+        cap = 24
         verdict = {
             "metric": "headline_suite_ab",
             "ref": sha,
             "reps": reps,
-            "ref_runs": [p["value"] for p in runs["ref"]],
-            "head_runs": [p["value"] for p in runs["head"]],
+            "ref_runs": [p["value"] for p in runs["ref"]][:cap],
+            "head_runs": [p["value"] for p in runs["head"]][:cap],
             "ref_median": med["ref"],
             "head_median": med["head"],
             "head_over_ref": round(med["head"] / med["ref"], 3) if med["ref"] else None,
@@ -304,13 +310,18 @@ def run_ab(ref: str) -> None:
         }
         detail = {
             **verdict,
+            "ref_runs": [p["value"] for p in runs["ref"]],
+            "head_runs": [p["value"] for p in runs["head"]],
             "ref_queries": [p.get("queries") for p in runs["ref"]],
             "head_queries": [p.get("queries") for p in runs["head"]],
         }
         with open(os.path.join(repo, "BENCH_AB.json"), "w") as f:
             f.write(json.dumps(detail) + "\n")
         line = json.dumps(verdict)
-        assert len(line) <= MAX_FINAL_LINE
+        if len(line) > MAX_FINAL_LINE:
+            raise RuntimeError(
+                f"A/B verdict line {len(line)} chars exceeds capture budget"
+            )
         print(line)
     finally:
         subprocess.run(
@@ -345,7 +356,13 @@ def _emit(compact: dict, detail: dict) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) >= 3 and sys.argv[1] == "--ab":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--ab":
+        # fail fast on a missing ref: falling through to main() would run
+        # the full ~10-min suite and truncate-write BENCH_DETAIL.json —
+        # the exact clobber --ab exists to avoid
+        if len(sys.argv) < 3:
+            print("usage: bench.py --ab <git-ref>", file=sys.stderr)
+            sys.exit(2)
         run_ab(sys.argv[2])
     else:
         main()

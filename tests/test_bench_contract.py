@@ -136,15 +136,17 @@ def test_parse_bench_stdout_takes_last_value_line():
 
 def test_ab_final_line_fits_driver_capture():
     """The A/B verdict line must respect the same tail-capture budget as
-    the normal final line."""
+    the normal final line — including at the 24-rep stdout cap (the full
+    series goes to BENCH_AB.json; the line truncates past the cap so an
+    overnight many-rep run cannot fail AFTER hours of work)."""
     verdict = {
         "metric": "headline_suite_ab",
         "ref": "0123abc",
-        "reps": 5,
-        "ref_runs": [99.999] * 5,
-        "head_runs": [99.999] * 5,
-        "ref_median": 99.999,
-        "head_median": 99.999,
+        "reps": 999,
+        "ref_runs": [999.999] * 24,
+        "head_runs": [999.999] * 24,
+        "ref_median": 999.999,
+        "head_median": 999.999,
         "head_over_ref": 1.0,
         "sf": 0.1,
     }

@@ -376,3 +376,63 @@ def test_global_rank_2m_rows(spark):
     before = sc._jsc.sc().getPersistentRDDs().size()
     SCH.global_rank(df, "v", "doc_id").where(F.col("__r") == 1).count()
     assert sc._jsc.sc().getPersistentRDDs().size() == before, "cache leaked"
+
+
+def test_snapshot_diff_2m_rows(spark):
+    """Snapshot compare at 2M ids/side: the plan must be one full-outer
+    join on (id, hash) — no broadcast of a corpus-sized side, no
+    cartesian — and the status accounting must be exact."""
+    from auto_vectordb_spark.operators.snapshots import snapshot_diff
+
+    n = 2_000_000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    # new snapshot: drop ids % 10 == 0, change ids % 7 == 0, add n..n+1000
+    new = (
+        base.where(F.col("doc_id") % 10 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            spark.range(n, n + 1000).select(
+                F.col("id").alias("doc_id"), F.lit("fresh").alias("text")
+            )
+        )
+    )
+    got = {r.status: r.n_docs for r in snapshot_diff(base, new).collect()}
+    assert got["added"] == 1000
+    assert got["removed"] == n // 10
+    # changed = ids % 7 == 0 and % 10 != 0
+    assert got["changed"] == sum(1 for i in range(0, n, 7) if i % 10 != 0)
+    assert sum(got.values()) == n + 1000
+    plan = snapshot_diff(base, new)._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_write_probe_1m_rows(spark, tmp_path):
+    """Materialized z-order at 1M rows: exactly one file per populated
+    bucket, probe aggregates consistent, physical scan pruned."""
+    from auto_vectordb_spark.operators import layout as L
+
+    ev = _synth_events(spark, 1_000_000)
+    path = str(tmp_path / "zscale")
+    L.zorder_write(ev, path)
+    import os
+
+    dirs = [d for d in os.listdir(path) if d.startswith("z_bucket=")]
+    files = [
+        f
+        for d in dirs
+        for f in os.listdir(os.path.join(path, d))
+        if f.endswith(".parquet")
+    ]
+    assert len(dirs) <= 64 and len(files) == len(dirs)  # one file per bucket
+    r = L.zorder_probe_scan(spark, path).first()
+    assert r.files_total == len(dirs)
+    assert 0 < r.files_scanned <= len(L.probe_buckets(L.PROBE_X, L.PROBE_Y))
