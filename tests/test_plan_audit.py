@@ -72,6 +72,8 @@ SINGLE_PARTITION_OK = frozenset(
         # boundary sketch + ~32-row prefix-offset table (both broadcast)
         "curriculum_stages",
         "curriculum_interleaved_shards",
+        # same global_rank offsets aggregate inside the e2e chain
+        "curation_curriculum_packs",
         "rerank_hybrid",
         # 1-row grand-total aggregate over the ≤16-row per-shard table
         "shard_skew_report",
