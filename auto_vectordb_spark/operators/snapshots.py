@@ -185,6 +185,61 @@ def split_leakage_audit(
     )
 
 
+def split_leakage_groupaware(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The fix :func:`split_leakage_audit` recommends, as the same
+    auditable relation: assign train/val/test by the near-dup COMPONENT
+    id (dedup.connected_components over the LSH pair graph) instead of
+    the document id, so every near-duplicate family lands in ONE split
+    and cross-split leakage is zero BY CONSTRUCTION.
+
+    Output schema matches the audit exactly — (split_lo, split_hi,
+    n_pairs) with both endpoints' splits computed INDEPENDENTLY (each
+    endpoint relabeled through its own component lookup), so the
+    all-diagonal result is demonstrated, not assumed: every pair's
+    endpoints share a component, the component is the split key,
+    therefore split_lo == split_hi on every row. Run the audit and this
+    side by side to show the before/after.
+
+    Scale shape: the pair graph and its component table are dup-graph
+    sized (pairs, not corpus); two equi-joins relabel the endpoints and
+    one short-key groupBy reduces. The corpus itself is touched only by
+    the shared shingle→minhash pipeline.
+    """
+    from .dedup import connected_components, minhash_lsh_pairs
+
+    def rank(c):
+        h = H.stable_hash60(c.cast("string")) % 100
+        return F.when(h < 90, 0).when(h < 95, 1).otherwise(2)
+
+    def name(c):
+        return (
+            F.when(c == 0, F.lit("train"))
+            .when(c == 1, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    pairs = minhash_lsh_pairs(docs, id_col, text_col)
+    comps = connected_components(pairs)
+    ca = comps.select(
+        F.col("doc_id").alias("id_a"), F.col("component_id").alias("__ca")
+    )
+    cb = comps.select(
+        F.col("doc_id").alias("id_b"), F.col("component_id").alias("__cb")
+    )
+    labeled = pairs.join(ca, "id_a").join(cb, "id_b")
+    ra, rb = rank(F.col("__ca")), rank(F.col("__cb"))
+    lo, hi = F.least(ra, rb), F.greatest(ra, rb)
+    return (
+        labeled.select(name(lo).alias("split_lo"), name(hi).alias("split_hi"))
+        .groupBy("split_lo", "split_hi")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def curriculum_pack_manifest(
     docs: DataFrame,
     quality_min: float = 0.5,

@@ -8801,6 +8801,45 @@ def split_leakage_audit(spark, sf):
     return SNAP.split_leakage_audit(t["documents"])
 
 
+@_register(
+    "split_leakage_groupaware",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE},
+    rk AS (
+      -- each endpoint relabeled INDEPENDENTLY through its own component
+      -- lookup, so the all-diagonal result is demonstrated, not assumed
+      SELECT CASE WHEN {H.stable_hash60_sql('CAST(ca.component_id AS VARCHAR)')} % 100 < 90 THEN 0
+                  WHEN {H.stable_hash60_sql('CAST(ca.component_id AS VARCHAR)')} % 100 < 95 THEN 1
+                  ELSE 2 END AS ra,
+             CASE WHEN {H.stable_hash60_sql('CAST(cb.component_id AS VARCHAR)')} % 100 < 90 THEN 0
+                  WHEN {H.stable_hash60_sql('CAST(cb.component_id AS VARCHAR)')} % 100 < 95 THEN 1
+                  ELSE 2 END AS rb
+      FROM pairs p
+      JOIN comps ca ON p.id_a = ca.doc_id
+      JOIN comps cb ON p.id_b = cb.doc_id
+    ),
+    lab AS (SELECT least(ra, rb) AS lo, greatest(ra, rb) AS hi FROM rk)
+    SELECT CASE lo WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_lo,
+           CASE hi WHEN 0 THEN 'train' WHEN 1 THEN 'val' ELSE 'test' END AS split_hi,
+           count(*) AS n_pairs
+    FROM lab GROUP BY 1, 2
+    """,
+    doc="Group-aware split assignment (snapshots.split_leakage_groupaware) "
+    "— the fix split_leakage_audit recommends, emitted as the SAME "
+    "auditable relation: splits keyed on the near-dup component id "
+    "(connected_components over the LSH pair graph), so every "
+    "near-duplicate family lands in one split and every output row has "
+    "split_lo == split_hi — zero cross-split leakage by construction, "
+    "demonstrated by relabeling each pair endpoint independently. "
+    "Dup-graph-sized joins only; the corpus is touched once by the "
+    "shared shingle→minhash pipeline",
+)
+def split_leakage_groupaware(spark, sf):
+    t = load_views(spark, sf)
+    return SNAP.split_leakage_groupaware(t["documents"])
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================
@@ -8834,6 +8873,7 @@ _ATTEST_WINDOW = [
     "curation_curriculum_packs",
     "snapshot_diff",
     "split_leakage_audit",
+    "split_leakage_groupaware",
     "hybrid_rrf",
     "dedup_components",
     "dedup_incremental",
@@ -8870,7 +8910,6 @@ _ATTEST_WINDOW = [
     "set_ops",
     "topk_per_group",
     "asof_join_attribution",
-    "f10_embedding_parse",
 ]
 
 

@@ -158,3 +158,23 @@ def test_curriculum_pack_manifest_empty_and_dirty(spark):
     )
     rep = SN.curriculum_pack_manifest(dirty).collect()
     assert sum(r.n_docs for r in rep) == 1  # only the clean row survives
+
+
+def test_group_aware_splits_have_zero_leakage(spark):
+    """Keyed on the component id, every near-dup family lands in one
+    split: the relation must be all-diagonal, and its pair total must
+    equal the id-keyed audit's (same pair graph, different key)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank today"
+    )
+    rows = [(i, base + (f" tail{i}" if i % 3 == 0 else "")) for i in range(1, 40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grouped = SN.split_leakage_groupaware(docs).collect()
+    assert grouped, "fixture must produce near-dup candidates"
+    assert all(r.split_lo == r.split_hi for r in grouped)
+    audit_total = sum(
+        r.n_pairs for r in SN.split_leakage_audit(docs).collect()
+    )
+    assert sum(r.n_pairs for r in grouped) == audit_total
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert SN.split_leakage_groupaware(empty).count() == 0
