@@ -8860,56 +8860,56 @@ def split_leakage_groupaware(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "dedup_ngram_containment",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "zorder_layout_stats",
-    "zorder_pruning_gain",
-    "zorder_compaction_plan",
-    "curriculum_stages",
-    "curriculum_interleaved_shards",
-    "decontaminate_incremental",
-    "zorder_write_probe",
-    "curation_curriculum_packs",
-    "snapshot_diff",
-    "split_leakage_audit",
-    "split_leakage_groupaware",
-    "hybrid_rrf",
     "dedup_components",
-    "dedup_incremental",
-    "dsir_importance_weights",
-    "bigram_lm_nll",
-    "attribution_pairs",
-    "knn_binary_topk",
-    "knn_matryoshka_16",
-    "embedding_dim_stats",
-    "source_overlap",
-    "neardup_pair_profile",
-    "dup_cluster_histogram",
-    "knn_cascade_rerank",
-    "dedup_sentences_crossdoc",
-    "dedup_sentence_removal",
-    "rag_context_pack",
-    "embedding_gram_matrix",
-    "quality_calibration",
-    "doc_embedding_mean_pool",
-    "cluster_silhouette",
-    "ccnet_perplexity_buckets",
-    "a2_counts_by_group",
-    "anti_join_customers",
-    "cube_counts",
-    "embed_documents",
-    "merge_upsert",
-    "multimodal_features",
-    "o1_sort_limit",
-    "p1_filter_eq",
-    "p3_a1_distinct",
-    "p4_delete_by_ids",
-    "percentile_chars",
-    "q4_semi_join",
-    "set_ops",
-    "topk_per_group",
-    "asof_join_attribution",
+    "dedup_embedding_blas_exact",
+    "dedup_embedding_cosine",
+    "f10_embedding_parse",
+    "graph_degree_histogram",
+    "grouping_sets_docs",
+    "q12_shipmode_priority",
+    "q13_custdist",
+    "q16_supplier_variety",
+    "q21_waiting_suppliers",
+    "range_join_context",
+    "bigram_counts",
+    "catalog_ddl_roundtrip",
+    "event_transitions",
+    "events_cohort_retention",
+    "jsonl_roundtrip",
+    "multimodal_audio_windows",
+    "multimodal_frame_sample",
+    "orc_roundtrip",
+    "part_unpivot",
+    "scd2_user_states",
+    "set_ops_union_intersect",
+    "stratified_sample_docs",
+    "training_pack_bins",
+    "vocab_top_terms",
+    "basket_pair_lift",
+    "bm25_topk",
+    "dataset_split_counts",
+    "deterministic_sample",
+    "graph_pagerank",
+    "ingest_chunks",
+    "lateral_topn_per_nation",
+    "phrase_match",
+    "sample_exact_n_per_lang",
+    "text_nfc_normalize",
+    "cooccurrence_pmi",
+    "curation_funnel",
+    "events_pivot",
+    "events_recency_volume",
+    "events_sessionize",
+    "events_user_gaps",
+    "events_value_rank_stats",
+    "having_big_orders",
+    "join_broadcast_part",
+    "maxsim_late_interaction",
+    "oov_rate_by_lang",
+    "prf_query_expansion",
+    "q10_returned_revenue_topk",
+    "q11_value_share",
+    "q14_promo_share",
 ]
 
 
