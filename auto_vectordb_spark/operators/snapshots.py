@@ -206,8 +206,16 @@ def split_leakage_groupaware(
 
     Scale shape: the pair graph and its component table are dup-graph
     sized (pairs, not corpus); two equi-joins relabel the endpoints and
-    one short-key groupBy reduces. The corpus itself is touched only by
-    the shared shingle→minhash pipeline.
+    one short-key groupBy reduces. The corpus pays its shingle→minhash
+    pipeline exactly ONCE: the pair graph is eagerly localCheckpointed
+    before fan-out, because it has TWO consumers — connected_components
+    (whose probe-collect would otherwise materialize the lineage once)
+    and the endpoint relabel joins (which would re-derive the whole
+    corpus pipeline a second time; the r10 verdict measured the
+    double-compute at ~2× this entry's dominant stage). The checkpoint
+    holds dup-graph-sized data only, and the relabeled plan reads the
+    materialized RDD, not parquet (test-pinned: zero corpus scans in the
+    executed plan of the returned relation).
     """
     from .dedup import connected_components, minhash_lsh_pairs
 
@@ -222,7 +230,7 @@ def split_leakage_groupaware(
             .otherwise(F.lit("test"))
         )
 
-    pairs = minhash_lsh_pairs(docs, id_col, text_col)
+    pairs = minhash_lsh_pairs(docs, id_col, text_col).localCheckpoint(eager=True)
     comps = connected_components(pairs)
     ca = comps.select(
         F.col("doc_id").alias("id_a"), F.col("component_id").alias("__ca")

@@ -178,3 +178,21 @@ def test_group_aware_splits_have_zero_leakage(spark):
     assert sum(r.n_pairs for r in grouped) == audit_total
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert SN.split_leakage_groupaware(empty).count() == 0
+
+
+def test_group_aware_split_pays_one_corpus_pass(spark, tables):
+    """r10 verdict #2/#4: the pair graph has TWO consumers
+    (connected_components and the endpoint relabel joins) and used to be
+    derived twice — the full corpus shingle→minhash pipeline re-ran for
+    the relabel. The fix eagerly localCheckpoints the pair graph, so the
+    returned relation's executed plan reads the materialized RDD and
+    contains ZERO scans of the corpus parquet: the one corpus pass
+    happened at checkpoint time, before fan-out."""
+    df = SN.split_leakage_groupaware(tables["documents"])
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Scan parquet" not in plan, (
+        "relabel side re-derives the corpus pipeline — pair-graph "
+        "checkpoint lost"
+    )
