@@ -1,7 +1,7 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS]. Prints ONE compact FINAL JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
- "queries_median": {...}, "value_median": ..., "runs": [...], "sf": ...}
+ "queries_run1": {...}, "value_run1": ..., "runs": [...], "sf": ...}
 
 The round-8 self-attribution telemetry (``runs_detail``: per-repeat query
 times, wall/offset, pre/post /proc/loadavg + MemAvailable) is written to a
@@ -21,12 +21,13 @@ sessionization, text quality scoring.
 
 Measurement notes: each query is timed once per repeat after an sf0.001
 warm pass and a pre-query System.gc() (hygiene documented inline).
-``value``/``queries`` keep the FROZEN single-run semantics of rounds 1-3
-(repeat #1) for cross-round comparability with BASELINE.md; since round 4
-the suite additionally runs $SPARK_GRAFT_REPEATS total repeats (default 3)
-and reports per-query MEDIANS (``queries_median``, ``value_median`` = sum
-of medians) plus every raw per-repeat total (``runs``) — the artifact
-carries its own noise bound. Every repeat starts cold
+Since round 11 ``value``/``queries`` ARE the per-query medians over
+$SPARK_GRAFT_REPEATS total repeats (default 3) — the driver-facing number
+is the defensible one on a ±20-30%-band host, closing the run-1-noise
+adjudication loop for good (r10 verdict #3). Rounds 1-10 emitted run-1 as
+``value``; that channel is preserved verbatim as ``value_run1``/
+``queries_run1`` for cross-round comparability, and every raw per-repeat
+total still lands in ``runs`` — the artifact carries its own noise bound. Every repeat starts cold
 (``spark.catalog.clearCache()``) so entries that persist() intermediates
 can't hand later repeats a warm cache, and a wall-clock budget
 ($SPARK_GRAFT_BENCH_BUDGET, default 600 s) skips remaining repeats rather
@@ -193,17 +194,28 @@ def main() -> None:
 
 
 def _compact_payload(all_runs: list[dict[str, float]], sf: float) -> dict:
-    """The frozen driver-facing shape — run-1 semantics + medians, NO detail."""
+    """The driver-facing shape — MEDIAN channel + run-1 telemetry, NO detail.
+
+    Convention change (round 11, r10 verdict #3/next-round #5): ``value``/
+    ``queries`` are now the per-query MEDIANS over completed repeats (the
+    defensible number on a host whose per-rep band is ±20-30%), so a
+    round-over-round delta inside the band never again needs a manual A/B
+    adjudication. The r1-r10 run-1 semantics stay available verbatim as
+    ``value_run1``/``queries_run1`` for comparability with BENCH_r01-r10
+    (whose ``value`` was run-1); BASELINE.md documents both conventions.
+    A/B children run with SPARK_GRAFT_REPEATS=1, where median == run-1, so
+    --ab semantics are unchanged.
+    """
     medians = {
         name: round(statistics.median(r[name] for r in all_runs), 3) for name in HEADLINE
     }
     return {
         "metric": "headline_suite_total",
-        "value": round(sum(all_runs[0].values()), 3),
+        "value": round(sum(medians.values()), 3),
         "unit": "sec",
-        "queries": all_runs[0],
-        "value_median": round(sum(medians.values()), 3),
-        "queries_median": medians,
+        "queries": medians,
+        "value_run1": round(sum(all_runs[0].values()), 3),
+        "queries_run1": all_runs[0],
         "runs": [round(sum(r.values()), 3) for r in all_runs],
         "sf": sf,
     }

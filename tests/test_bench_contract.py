@@ -71,10 +71,30 @@ def test_final_line_fits_driver_capture_window():
 def test_compact_payload_has_frozen_keys_and_no_detail():
     p = bench._compact_payload(_worst_case_runs(), sf=0.1)
     assert set(p) == {
-        "metric", "value", "unit", "queries", "value_median",
-        "queries_median", "runs", "sf",
+        "metric", "value", "unit", "queries", "value_run1",
+        "queries_run1", "runs", "sf",
     }
     assert "runs_detail" not in p
+
+
+def test_value_is_median_channel_and_run1_is_preserved():
+    """Round-11 convention: the driver-facing ``value``/``queries`` are the
+    per-query medians; the r1-r10 run-1 semantics live on verbatim as
+    ``value_run1``/``queries_run1`` (BASELINE.md documents both)."""
+    runs = [
+        {name: 1.0 for name in bench.HEADLINE},
+        {name: 5.0 for name in bench.HEADLINE},  # noisy middle repeat
+        {name: 1.2 for name in bench.HEADLINE},
+    ]
+    p = bench._compact_payload(runs, sf=0.1)
+    n = len(bench.HEADLINE)
+    assert p["value"] == round(1.2 * n, 3)  # sum of per-query medians
+    assert p["queries"] == {name: 1.2 for name in bench.HEADLINE}
+    assert p["value_run1"] == round(1.0 * n, 3)
+    assert p["queries_run1"] == runs[0]
+    # single-repeat invocation (the A/B child mode): median == run-1
+    p1 = bench._compact_payload(runs[:1], sf=0.1)
+    assert p1["value"] == p1["value_run1"]
 
 
 def test_emit_prints_compact_last_and_sidecars_detail(tmp_path, capsys, monkeypatch):
