@@ -1,0 +1,441 @@
+"""Physical-layout MAINTENANCE: executing the z-order decisions layout.py
+plans — incremental compaction APPLY and the range-chunked production
+write shape.
+
+layout.py ends at decisions: ``zorder_compaction_plan`` says which buckets
+to rewrite, ``zorder_write`` materializes the teaching-shape layout (one
+file per hash bucket). This module closes the decide→act gap the r10
+round's ``zorder_write_probe`` closed for predict→scan:
+
+* :func:`zorder_compaction_apply` EXECUTES a compaction plan against a
+  materialized z-order table — rewrite-marked buckets are merged with
+  their deltas and rewritten in place (dynamic partition overwrite),
+  defer-marked deltas land in a small side table — and
+  :func:`compaction_report` attests the post-compaction STORED state
+  (the analogue of Delta's incremental ``OPTIMIZE`` execute step /
+  Iceberg's rewrite-data-files action; same idempotent re-index posture
+  as the reference's ES rebuild, reference
+  backend/process/elasticsearch_index.py:141).
+* :func:`zorder_write_ranged` is the 100 TB write shape
+  ``zorder_write``'s own docstring defers to: contiguous z-RANGE chunks
+  (exact ntile over the distributed rank — deterministic where
+  ``repartitionByRange``'s sampled boundaries are not, so the layout is
+  cross-engine attestable), rows sorted by z within each file, and
+  :func:`zorder_probe_ranged` prunes on per-file column BOUNDS (footer
+  statistics — the metadata a lakehouse manifest serves), not partition
+  directories.
+
+Separate module by design: layout.py's analysis entries keep their
+attestations when maintenance evolves (tools/next_window.py fingerprints
+at file granularity — module boundaries ARE the staleness blast radius).
+
+Scale shapes (details per docstring): the apply step shuffles ONLY the
+rewritten buckets plus the delta batch — deferred buckets' files are not
+read, not rewritten, not even listed; the ranged write is one range-key
+shuffle (global_rank) + one 16-value hash shuffle; the ranged probe's
+pruning decision is pure metadata (driver-side interval intersection
+against per-file bounds) before any row is read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .layout import (
+    GRID_BITS,
+    PROBE_X,
+    PROBE_Y,
+    _hour_index,
+    _py_spread8,
+    grid_expr_sql,
+    morton16,
+    zorder_compaction_plan,
+    zorder_write,
+)
+from .schedule import global_rank, ntile_expr
+
+_MAIN_SCHEMA = "{pay} long, xg long, yg long, z_bucket long"
+
+
+def _clean(events: DataFrame, id_col: str, x_col: str, ts_col: str) -> DataFrame:
+    """NULL key/timestamp/id rows carry no layout position and fail the
+    row (cleanvec doctrine), exactly as every layout.py entry."""
+    return events.where(
+        F.col(x_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+    )
+
+
+def zorder_compaction_apply(
+    spark,
+    events: DataFrame,
+    main_path: str,
+    side_path: str,
+    id_col: str = "event_id",
+    x_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_bits: int = 6,
+    delta_mod: int = 10,
+    rewrite_pct: int = 10,
+) -> DataFrame:
+    """Execute the incremental z-order maintenance cycle end-to-end and
+    return the plan that was applied: write the BASE layout
+    (:func:`layout.zorder_write` of the non-delta rows), decide per
+    bucket (:func:`layout.zorder_compaction_plan` — rewrite when delta
+    pressure exceeds ``rewrite_pct``% of base rows or the bucket is
+    all-new, else defer), then ACT on the decision:
+
+    - **rewrite** buckets: the bucket's stored main-table rows are read
+      back, merged with the bucket's delta rows (mapped onto the FROZEN
+      base grid, clamped — identical arithmetic to the plan, so a row
+      can never be planned into one bucket and applied into another),
+      and the bucket's partition is atomically replaced via dynamic
+      partition overwrite — one new file per rewritten bucket;
+    - **defer** buckets: the delta rows land in a small SIDE table
+      partitioned the same way (the delta "rides in a side file until
+      pressure accumulates", as the plan's contract says); the bucket's
+      main file is not read, not rewritten, not listed.
+
+    The merged rewrite set is eagerly ``localCheckpoint``ed before the
+    overwrite: the write targets the same path the merge reads, and the
+    checkpoint (a) materializes the read before the first file is
+    replaced — the self-overwrite hazard — and (b) is exactly the
+    read-then-write a compactor pays anyway: rewrite cost is
+    proportional to the REWRITTEN buckets plus the delta batch, never
+    the table (at 100 TB a table format would commit the same new files
+    via a metadata swap instead of directory overwrite; the shuffle and
+    I/O shape is identical).
+
+    The base/delta split is the plan's deterministic stand-in
+    (``id % delta_mod == 0`` = the delta batch); production callers
+    pre-tag arrivals. Empty base ⇒ empty plan ⇒ nothing applied (an
+    initial write, not a compaction) — mirrored from the plan's
+    contract.
+    """
+    ev = _clean(events, id_col, x_col, ts_col)
+    base = ev.where(F.pmod(F.col(id_col), F.lit(delta_mod)) != 0)
+    zorder_write(
+        base,
+        main_path,
+        x_col=x_col,
+        ts_col=ts_col,
+        bucket_bits=bucket_bits,
+        payload_cols=(id_col,),
+    )
+    plan = zorder_compaction_plan(
+        events,
+        id_col=id_col,
+        x_col=x_col,
+        ts_col=ts_col,
+        bucket_bits=bucket_bits,
+        delta_mod=delta_mod,
+        rewrite_pct=rewrite_pct,
+    ).localCheckpoint(eager=True)  # one decide pass; two action consumers
+
+    # Delta rows mapped onto the FROZEN base grid, clamped into it —
+    # byte-identical arithmetic to zorder_compaction_plan's bucket
+    # assignment (layout.py documents the input-clamp overflow guard).
+    shift = 2 * GRID_BITS - bucket_bits
+    delta = ev.where(F.pmod(F.col(id_col), F.lit(delta_mod)) == 0).select(
+        F.col(id_col),
+        F.col(x_col).cast("long").alias("__x"),
+        _hour_index(ts_col).alias("__y"),
+    )
+    base_stats = base.select(
+        F.col(x_col).cast("long").alias("__bx"),
+        _hour_index(ts_col).alias("__by"),
+    ).agg(
+        F.min("__bx").alias("__xmin"),
+        F.max("__bx").alias("__xmax"),
+        F.min("__by").alias("__ymin"),
+        F.max("__by").alias("__ymax"),
+    )
+    dg = (
+        delta.join(F.broadcast(base_stats))
+        .where(F.col("__xmin").isNotNull())
+        .select(
+            id_col,
+            F.expr(
+                grid_expr_sql(
+                    "least(greatest(__x, __xmin), __xmax)", "__xmin", "__xmax"
+                )
+            ).alias("xg"),
+            F.expr(
+                grid_expr_sql(
+                    "least(greatest(__y, __ymin), __ymax)", "__ymin", "__ymax"
+                )
+            ).alias("yg"),
+        )
+    )
+    dz = dg.select(
+        id_col,
+        "xg",
+        "yg",
+        F.shiftright(morton16(F.col("xg"), F.col("yg")), shift)
+        .cast("long")
+        .alias("z_bucket"),
+    )
+
+    rewrite_buckets = F.broadcast(
+        plan.where(F.col("action") == "rewrite").select("z_bucket")
+    )
+    defer_buckets = F.broadcast(
+        plan.where(F.col("action") == "defer").select("z_bucket")
+    )
+
+    schema = _MAIN_SCHEMA.format(pay=id_col)
+    stored = spark.read.schema(schema).parquet(main_path)
+    merged = (
+        stored.join(rewrite_buckets, "z_bucket", "left_semi")
+        .unionByName(
+            dz.join(rewrite_buckets, "z_bucket", "left_semi").select(
+                "z_bucket", id_col, "xg", "yg"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.select(id_col, "xg", "yg", "z_bucket").repartition(
+            "z_bucket"
+        ).write.mode("overwrite").partitionBy("z_bucket").parquet(main_path)
+    finally:
+        spark.conf.set(mode_key, prev)
+
+    dz.join(defer_buckets, "z_bucket", "left_semi").select(
+        id_col, "xg", "yg", "z_bucket"
+    ).repartition("z_bucket").write.mode("overwrite").partitionBy(
+        "z_bucket"
+    ).parquet(side_path)
+    return plan
+
+
+def compaction_report(
+    spark,
+    main_path: str,
+    side_path: str,
+    plan: DataFrame,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Post-compaction attestation relation, computed from the STORED
+    tables (never from the source events — the whole point is that the
+    storage now IS the truth): per bucket, the applied action, rows in
+    the main table, rows riding in the side table, and the exact int64
+    payload sum across both (the roundtrip-integrity witness: main ∪
+    side must carry every surviving row exactly once).
+
+    Expected invariants, oracle-attested: ``main_rows = base_rows +
+    delta_rows`` for rewritten buckets (the merge absorbed the delta),
+    ``main_rows = base_rows`` and ``side_rows = delta_rows`` for
+    deferred ones (the main file untouched). Two short scans reduced by
+    a ≤2^bucket_bits-key groupBy + a broadcast join of the plan — the
+    report never shuffles row data. Reads supply explicit schemas so an
+    empty table (or a side table no defer bucket ever wrote) scans as
+    the schema-correct empty frame.
+    """
+    schema = _MAIN_SCHEMA.format(pay=id_col)
+
+    def per_bucket(path: str, n_col: str, s_col: str) -> DataFrame:
+        return (
+            spark.read.schema(schema)
+            .parquet(path)
+            .groupBy("z_bucket")
+            .agg(
+                F.count("*").alias(n_col),
+                F.sum(id_col).alias(s_col),
+            )
+        )
+
+    main = per_bucket(main_path, "main_rows", "__sm")
+    side = per_bucket(side_path, "side_rows", "__ss")
+    return (
+        main.join(side, "z_bucket", "left_outer")
+        .join(F.broadcast(plan.select("z_bucket", "action")), "z_bucket")
+        .select(
+            "z_bucket",
+            "action",
+            "main_rows",
+            F.coalesce("side_rows", F.lit(0)).cast("long").alias("side_rows"),
+            (F.col("__sm") + F.coalesce("__ss", F.lit(0)))
+            .cast("long")
+            .alias("sum_payload"),
+        )
+    )
+
+
+# =========================================================================
+# Range-chunked z-order write — the 100 TB shape — and its
+# footer-statistics probe.
+# =========================================================================
+
+
+def zorder_write_ranged(
+    events: DataFrame,
+    path: str,
+    n_files: int = 16,
+    x_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> None:
+    """Materialize the z-ordered layout as ``n_files`` contiguous z-RANGE
+    chunks — the production shape :func:`layout.zorder_write`'s docstring
+    defers to (``repartitionByRange(z) + sortWithinPartitions(z)``), with
+    one deliberate substitution: the chunk boundaries come from the EXACT
+    distributed rank (schedule.global_rank + the bit-identical ntile
+    formula) instead of ``repartitionByRange``'s sampled
+    RangePartitioner. Sampling is nondeterministic across input splits;
+    the exact ntile makes the physical layout a pure function of the
+    data, so per-file bounds are cross-engine attestable (the DuckDB
+    oracle recomputes them with a plain ``ntile() OVER (ORDER BY z)``)
+    and equal-frequency by construction — every file within one row of
+    the same size, where hash buckets inherit the data's skew.
+
+    Files hold CONTIGUOUS, sorted z-runs (``sortWithinPartitions`` keeps
+    row-group statistics tight inside each file), so a z-interval probe
+    prunes on per-file min-max bounds — :func:`zorder_probe_ranged` —
+    without any partition-directory convention. The ``z_file`` output
+    partitioning exists only to pin one-file-per-chunk determinism for
+    the attestation; the probe never consults it.
+
+    Plan: one NULL-filtering scan + 4-value min-max broadcast (grid),
+    one range-key shuffle (global_rank's bucket exchange), one
+    ``n_files``-value hash shuffle into writer tasks. NULL key/timestamp
+    rows fail the row (cleanvec doctrine).
+    """
+    ev = _clean(events, id_col, x_col, ts_col).select(
+        F.col(id_col),
+        F.col(x_col).cast("long").alias("__x"),
+        _hour_index(ts_col).alias("__y"),
+    )
+    stats = ev.agg(
+        F.min("__x").alias("__xmin"),
+        F.max("__x").alias("__xmax"),
+        F.min("__y").alias("__ymin"),
+        F.max("__y").alias("__ymax"),
+    )
+    g = ev.join(F.broadcast(stats)).select(
+        id_col,
+        F.expr(grid_expr_sql("__x", "__xmin", "__xmax")).alias("xg"),
+        F.expr(grid_expr_sql("__y", "__ymin", "__ymax")).alias("yg"),
+    )
+    z = g.select(
+        id_col, "xg", "yg", morton16(F.col("xg"), F.col("yg")).alias("z")
+    )
+    ranked = global_rank(z, "z", id_col)
+    chunked = ranked.withColumn(
+        "z_file", ntile_expr("__r", "__n", n_files).cast("long")
+    ).drop("__r", "__n")
+    chunked.select(id_col, "xg", "yg", "z", "z_file").repartition(
+        "z_file"
+    ).sortWithinPartitions("z").write.mode("overwrite").partitionBy(
+        "z_file"
+    ).parquet(path)
+
+
+def probe_z_intervals(
+    x_range: tuple[int, int], y_range: tuple[int, int]
+) -> list[tuple[int, int]]:
+    """The rectangle probe's z-values compressed into maximal contiguous
+    [lo, hi] intervals — pure driver-side arithmetic (≤ GRID² Morton
+    evaluations), the metadata-only first step of a stats-pruned scan.
+    An aligned power-of-two rectangle compresses to few intervals (the
+    standard 32×32 probe tile is exactly one)."""
+    zs = sorted(
+        {
+            _py_spread8(x) | (_py_spread8(y) << 1)
+            for x in range(x_range[0], x_range[1] + 1)
+            for y in range(y_range[0], y_range[1] + 1)
+        }
+    )
+    out: list[tuple[int, int]] = []
+    for v in zs:
+        if out and v == out[-1][1] + 1:
+            out[-1] = (out[-1][0], v)
+        else:
+            out.append((v, v))
+    return out
+
+
+def file_z_bounds(spark, path: str) -> list[tuple[str, int, int]]:
+    """Per-file [min(z), max(z)] from parquet FOOTER statistics —
+    metadata, never a data scan. Listing goes through the Hadoop
+    FileSystem API (URI-agnostic); the footer read uses pyarrow on the
+    listed paths, which is the local stand-in for what a lakehouse
+    manifest (Iceberg/Delta per-file column bounds) serves at scale —
+    the pruning DECISION consumes only (path, lo, hi) triples either
+    way. Sorted by file path for deterministic downstream math."""
+    import pyarrow.parquet as pq
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files: list[str] = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        p = it.next().getPath()
+        if p.getName().endswith(".parquet"):
+            files.append(p.toUri().getPath())
+    out = []
+    for f in sorted(files):
+        md = pq.ParquetFile(f).metadata
+        zi = md.schema.to_arrow_schema().get_field_index("z")
+        los, his = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(zi).statistics
+            if st is not None and st.has_min_max:
+                los.append(st.min)
+                his.append(st.max)
+        if los:
+            out.append((f, min(los), max(his)))
+    return out
+
+
+def zorder_probe_ranged(
+    spark,
+    path: str,
+    x_range: tuple[int, int] = PROBE_X,
+    y_range: tuple[int, int] = PROBE_Y,
+) -> DataFrame:
+    """Rectangle probe against a :func:`zorder_write_ranged` table,
+    pruned by FILE STATISTICS: the probe's z-intervals (driver
+    arithmetic) are intersected with each file's footer [min(z), max(z)]
+    — a file is opened only if its bounds overlap an interval, which is
+    exactly the decision a lakehouse manifest scan or parquet row-group
+    pruning makes. ``files_scanned`` is that physical count, attested
+    against the oracle's logical recomputation from per-chunk bounds —
+    the predict→actual loop for the ranged layout.
+
+    The data scan reads ONLY the intersecting files (explicit pruned
+    file list — metadata decided before any row is read), applies the
+    exact rectangle row filter, and reduces to one row: matching count,
+    exact int64 payload sum (roundtrip-integrity witness), files
+    scanned, files total. An empty table (or a probe no file overlaps)
+    aggregates over the schema-correct empty frame instead of failing.
+    """
+    iv = probe_z_intervals(x_range, y_range)
+    bounds = file_z_bounds(spark, path)
+    hit = [
+        f
+        for (f, lo, hi) in bounds
+        if any(hi >= a and lo <= b for (a, b) in iv)
+    ]
+    schema = "event_id long, xg long, yg long, z long"
+    t = (
+        spark.read.schema(schema).parquet(*hit)
+        if hit
+        else spark.createDataFrame([], schema)
+    )
+    in_rect = F.col("xg").between(*x_range) & F.col("yg").between(*y_range)
+    return t.agg(
+        F.count(F.when(in_rect, 1)).alias("n_rows"),
+        F.sum(F.when(in_rect, F.col("event_id"))).alias("sum_payload"),
+    ).select(
+        "n_rows",
+        "sum_payload",
+        F.lit(len(hit)).cast("long").alias("files_scanned"),
+        F.lit(len(bounds)).cast("long").alias("files_total"),
+    )
