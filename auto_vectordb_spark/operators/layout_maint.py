@@ -267,6 +267,79 @@ def compaction_report(
     )
 
 
+def zorder_compacted_probe(
+    spark,
+    main_path: str,
+    side_path: str,
+    x_range: tuple[int, int] = PROBE_X,
+    y_range: tuple[int, int] = PROBE_Y,
+    bucket_bits: int = 6,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Rectangle probe against a COMPACTED table — the read path a
+    deferred-delta layout actually serves: the pruned main scan (candidate
+    z-buckets only, partition-directory pruning at planning time, exactly
+    :func:`layout.zorder_probe_scan`'s shape) UNIONED with the pruned
+    side-table scan (the deferred deltas, same bucket arithmetic, tiny).
+    This attests that deferring a bucket's delta never loses it from a
+    query: n_rows / sum_payload over the rectangle must equal the
+    pre-compaction answer, while the scan still opens only
+    candidate-bucket files in BOTH tables.
+
+    ``files_scanned`` counts candidate-bucket files opened across main +
+    side (each bucket is one file per table by construction);
+    ``files_total`` counts both tables' files — metadata listings via the
+    Hadoop FileSystem API, never a data scan. Explicit schemas keep empty
+    tables (or a side table no defer bucket wrote) scanning as the
+    schema-correct empty frame.
+    """
+    from .layout import probe_buckets
+
+    cand = probe_buckets(x_range, y_range, bucket_bits)
+    jvm = spark._jvm
+
+    def exists(path: str) -> bool:
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+
+    def n_dirs(path: str) -> int:
+        if not exists(path):
+            return 0
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return sum(
+            1
+            for st in fs.listStatus(jpath)
+            if st.getPath().getName().startswith("z_bucket=")
+        )
+
+    schema = _MAIN_SCHEMA.format(pay=id_col)
+
+    def pruned(path: str, tag: str) -> DataFrame:
+        # a side table no defer cycle ever wrote is a valid state of the
+        # layout, not an error: probe main alone (schema-correct empty)
+        t = (
+            spark.read.schema(schema).parquet(path)
+            if exists(path)
+            else spark.createDataFrame([], schema)
+        )
+        return t.where(F.col("z_bucket").isin(cand)).withColumn(
+            "__t", F.lit(tag)
+        )
+
+    both = pruned(main_path, "m").unionByName(pruned(side_path, "s"))
+    in_rect = F.col("xg").between(*x_range) & F.col("yg").between(*y_range)
+    return both.agg(
+        F.count(F.when(in_rect, 1)).alias("n_rows"),
+        F.sum(F.when(in_rect, F.col(id_col))).alias("sum_payload"),
+        F.count_distinct("__t", "z_bucket").cast("long").alias("files_scanned"),
+    ).withColumn(
+        "files_total",
+        F.lit(n_dirs(main_path) + n_dirs(side_path)).cast("long"),
+    )
+
+
 # =========================================================================
 # Range-chunked z-order write — the 100 TB shape — and its
 # footer-statistics probe.

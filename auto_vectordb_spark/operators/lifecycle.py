@@ -135,3 +135,40 @@ def split_assignment_manifest(
         .otherwise(F.lit("test"))
     )
     return keyed.select(id_col, "group_key", split.alias("split"))
+
+
+def split_manifest_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Consume :func:`split_assignment_manifest` the way a training build
+    does — join it back to the corpus and account per split: documents,
+    distinct near-dup groups, and the exact token budget (the number the
+    packing step divides into context windows). The ~90/5/5 doc ratio is
+    only approximate here BY DESIGN: whole groups move together, so the
+    split sizes inherit group-size variance — this relation is where that
+    tradeoff becomes measurable (the price of zero leakage is a lumpier
+    split).
+
+    One map-side token count riding the manifest's own corpus join, then
+    a 3-key groupBy — consuming the manifest adds no shuffle beyond what
+    producing it already paid.
+    """
+    from ..functions.text import tokenize
+
+    m = split_assignment_manifest(docs, id_col, text_col)
+    toks = docs.where(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col), F.size(tokenize(F.col(text_col))).alias("__nt")
+    )
+    return (
+        m.join(toks, id_col)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("group_key").cast("long").alias("n_groups"),
+            F.sum("__nt").cast("long").alias("sum_tokens"),
+        )
+    )

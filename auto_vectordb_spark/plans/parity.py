@@ -56,6 +56,8 @@ from ..operators import hybrid as HY
 from ..operators import infodensity as ID
 from ..operators import knn as KNN
 from ..operators import layout as LAY
+from ..operators import layout_maint as LM
+from ..operators import lifecycle as LC
 from ..operators import pq as PQ
 from ..operators import profiling as PF
 from ..operators import quality as QL
@@ -8838,6 +8840,361 @@ def split_leakage_audit(spark, sf):
 def split_leakage_groupaware(spark, sf):
     t = load_views(spark, sf)
     return SNAP.split_leakage_groupaware(t["documents"])
+
+
+# =========================================================================
+# Round-11 additions: the decide→act closures — compaction APPLY against
+# a materialized z-order table, the ranged (100 TB-shape) z-order write
+# probed by footer statistics, incremental snapshot dedup against the
+# previous snapshot's PERSISTED artifacts, and the consumable group-aware
+# split manifest whose audit is split_leakage_groupaware.
+# =========================================================================
+
+
+@_register(
+    "zorder_compaction_apply",
+    f"""
+    WITH ev AS (
+      SELECT event_id AS pay, user_id AS __x, {LAY.hour_index_sql('ts')} AS __y,
+             (event_id % 10 = 0) AS __is_delta
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax
+      FROM ev WHERE NOT __is_delta
+    ),
+    g AS (
+      SELECT pay, __is_delta,
+             {LAY.grid_expr_sql('least(greatest(__x, __xmin), __xmax)',
+                                '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('least(greatest(__y, __ymin), __ymax)',
+                                '__ymin', '__ymax', div='//')} AS yg
+      FROM ev, st WHERE __xmin IS NOT NULL
+    ),
+    b AS (
+      SELECT pay, __is_delta, ({LAY.morton_sql('xg', 'yg')} >> 10) AS z_bucket
+      FROM g
+    ),
+    plan AS (
+      SELECT z_bucket,
+             count(*) FILTER (WHERE NOT __is_delta) AS base_rows,
+             count(*) FILTER (WHERE __is_delta) AS delta_rows,
+             sum(pay) AS sum_payload
+      FROM b GROUP BY 1
+    ),
+    rep AS (
+      SELECT z_bucket, base_rows, delta_rows, sum_payload,
+             CASE WHEN base_rows = 0 OR delta_rows * 100 >= base_rows * 10
+                  THEN 'rewrite' ELSE 'defer' END AS action
+      FROM plan
+    )
+    SELECT CAST(z_bucket AS BIGINT) AS z_bucket, action,
+           CAST(base_rows + CASE WHEN action = 'rewrite' THEN delta_rows
+                                 ELSE 0 END AS BIGINT) AS main_rows,
+           CAST(CASE WHEN action = 'defer' THEN delta_rows ELSE 0 END
+                AS BIGINT) AS side_rows,
+           CAST(sum_payload AS BIGINT) AS sum_payload
+    FROM rep
+    """,
+    doc="Compaction decide→act closure (layout_maint.zorder_compaction_apply "
+    "+ compaction_report): the base layout is WRITTEN (zorder_write), the "
+    "incremental plan decided (zorder_compaction_plan), and then EXECUTED — "
+    "rewrite-marked buckets merge their deltas and are atomically replaced "
+    "via dynamic partition overwrite (one new file per rewritten bucket, "
+    "deferred buckets' files provably untouched — test-pinned by write-job "
+    "uuid), defer-marked deltas ride a small side table. The report is "
+    "computed from the STORED tables (storage is the truth after a "
+    "compaction): per bucket, action, main rows, side rows, exact int64 "
+    "payload sum across both (main ∪ side carries every survivor exactly "
+    "once). Rewrite cost is proportional to rewritten buckets + the delta "
+    "batch, never the table — the Delta incremental-OPTIMIZE / Iceberg "
+    "rewrite-data-files execute step; same idempotent re-index posture as "
+    "the reference (backend/process/elasticsearch_index.py:141). Oracle "
+    "recomputes the post-compaction state from the raw events with the "
+    "identical frozen-grid arithmetic",
+)
+def zorder_compaction_apply(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    main = tempfile.mkdtemp(prefix="zca_main_")
+    side = tempfile.mkdtemp(prefix="zca_side_")
+    plan = LM.zorder_compaction_apply(spark, t["events"], main, side)
+    return LM.compaction_report(spark, main, side, plan)
+
+
+@_register(
+    "zorder_compacted_probe",
+    f"""
+    WITH ev AS (
+      SELECT event_id AS pay, user_id AS __x, {LAY.hour_index_sql('ts')} AS __y,
+             (event_id % 10 = 0) AS __is_delta
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax
+      FROM ev WHERE NOT __is_delta
+    ),
+    g AS (
+      SELECT pay, __is_delta,
+             {LAY.grid_expr_sql('least(greatest(__x, __xmin), __xmax)',
+                                '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('least(greatest(__y, __ymin), __ymax)',
+                                '__ymin', '__ymax', div='//')} AS yg
+      FROM ev, st WHERE __xmin IS NOT NULL
+    ),
+    b AS (
+      SELECT pay, __is_delta, xg, yg,
+             ({LAY.morton_sql('xg', 'yg')} >> 10) AS z_bucket
+      FROM g
+    ),
+    act AS (
+      SELECT z_bucket,
+             CASE WHEN count(*) FILTER (WHERE NOT __is_delta) = 0
+                    OR count(*) FILTER (WHERE __is_delta) * 100
+                       >= count(*) FILTER (WHERE NOT __is_delta) * 10
+                  THEN 'rewrite' ELSE 'defer' END AS action
+      FROM b GROUP BY 1
+    ),
+    placed AS (
+      -- which physical table each row landed in after the apply:
+      -- main = base rows + rewritten deltas; side = deferred deltas
+      SELECT b.pay, b.xg, b.yg, b.z_bucket,
+             CASE WHEN b.__is_delta AND a.action = 'defer'
+                  THEN 's' ELSE 'm' END AS t
+      FROM b JOIN act a USING (z_bucket)
+    ),
+    pruned AS (
+      SELECT * FROM placed WHERE z_bucket IN ({_ZW_CAND})
+    )
+    SELECT
+      CAST(count(*) FILTER (WHERE xg BETWEEN {LAY.PROBE_X[0]} AND {LAY.PROBE_X[1]}
+                              AND yg BETWEEN {LAY.PROBE_Y[0]} AND {LAY.PROBE_Y[1]})
+           AS BIGINT) AS n_rows,
+      CAST(sum(pay) FILTER (WHERE xg BETWEEN {LAY.PROBE_X[0]} AND {LAY.PROBE_X[1]}
+                              AND yg BETWEEN {LAY.PROBE_Y[0]} AND {LAY.PROBE_Y[1]})
+           AS BIGINT) AS sum_payload,
+      CAST(count(DISTINCT (t, z_bucket)) AS BIGINT) AS files_scanned,
+      (SELECT CAST(count(DISTINCT (t, z_bucket)) AS BIGINT) FROM placed)
+        AS files_total
+    FROM pruned
+    """,
+    doc="Query path over the COMPACTED layout "
+    "(layout_maint.zorder_compacted_probe): after zorder_compaction_apply, "
+    "the rectangle probe reads the pruned MAIN scan (candidate z-bucket "
+    "directories only — planning-time partition pruning) unioned with the "
+    "pruned SIDE scan (the deferred deltas, same bucket arithmetic), "
+    "attesting that deferring a bucket's delta never loses it from a "
+    "query: n_rows/sum_payload equal the pre-compaction answer "
+    "(zorder_write_probe's numbers), while files_scanned counts only "
+    "candidate-bucket files across both tables. The oracle recomputes "
+    "row placement (main vs side) from the plan's own rewrite/defer rule "
+    "and prunes logically — physical layout attested equal to the "
+    "logical placement",
+)
+def zorder_compacted_probe(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    main = tempfile.mkdtemp(prefix="zcp_main_")
+    side = tempfile.mkdtemp(prefix="zcp_side_")
+    LM.zorder_compaction_apply(spark, t["events"], main, side)
+    return LM.zorder_compacted_probe(spark, main, side)
+
+
+_RANGED_FILES = 16
+# The standard probe rectangle's z-values as maximal contiguous intervals,
+# frozen as literals — the same driver-side arithmetic zorder_probe_ranged
+# runs before touching metadata (the aligned 32x32 tile is one interval).
+_RANGED_IV = ", ".join(
+    f"({lo}, {hi})" for lo, hi in LM.probe_z_intervals(LAY.PROBE_X, LAY.PROBE_Y)
+)
+
+
+@_register(
+    "zorder_ranged_probe",
+    f"""
+    WITH ev AS (
+      SELECT event_id AS pay, user_id AS __x, {LAY.hour_index_sql('ts')} AS __y
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax FROM ev
+    ),
+    g AS (
+      SELECT pay,
+             {LAY.grid_expr_sql('__x', '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('__y', '__ymin', '__ymax', div='//')} AS yg
+      FROM ev, st
+    ),
+    zt AS (
+      SELECT pay, xg, yg, {LAY.morton_sql('xg', 'yg')} AS z FROM g
+    ),
+    r AS (
+      SELECT z, ntile({_RANGED_FILES}) OVER (ORDER BY z, pay) AS z_file
+      FROM zt
+    ),
+    f AS (SELECT z_file, min(z) AS zlo, max(z) AS zhi FROM r GROUP BY 1),
+    iv(lo, hi) AS (VALUES {_RANGED_IV}),
+    sc AS (
+      SELECT CAST(count(*) AS BIGINT) AS files_scanned FROM f
+      WHERE EXISTS (SELECT 1 FROM iv WHERE f.zhi >= iv.lo AND f.zlo <= iv.hi)
+    )
+    SELECT
+      CAST(count(*) FILTER (WHERE xg BETWEEN {LAY.PROBE_X[0]} AND {LAY.PROBE_X[1]}
+                              AND yg BETWEEN {LAY.PROBE_Y[0]} AND {LAY.PROBE_Y[1]})
+           AS BIGINT) AS n_rows,
+      CAST(sum(pay) FILTER (WHERE xg BETWEEN {LAY.PROBE_X[0]} AND {LAY.PROBE_X[1]}
+                              AND yg BETWEEN {LAY.PROBE_Y[0]} AND {LAY.PROBE_Y[1]})
+           AS BIGINT) AS sum_payload,
+      (SELECT files_scanned FROM sc) AS files_scanned,
+      (SELECT CAST(count(*) AS BIGINT) FROM f) AS files_total
+    FROM zt
+    """,
+    doc="The 100 TB z-order write shape, attested: events written as "
+    f"{_RANGED_FILES} CONTIGUOUS z-range chunks (exact ntile over the "
+    "distributed rank — deterministic and equal-frequency where "
+    "repartitionByRange's sampled boundaries are neither; "
+    "layout_maint.zorder_write_ranged), rows sorted by z within each "
+    "file, then a rectangle probe pruned by per-file FOOTER statistics "
+    "(layout_maint.zorder_probe_ranged): the probe's z-intervals intersect "
+    "each file's [min(z), max(z)] — the decision a lakehouse manifest or "
+    "parquet row-group pruning makes — and only intersecting files are "
+    "read. files_scanned is the PHYSICAL pruned count from the real "
+    "footers, attested against the oracle's logical recomputation from "
+    "per-chunk bounds (ntile OVER (ORDER BY z)); per-file bound tightness "
+    "is test-pinned (tests/test_layout_maint.py)",
+)
+def zorder_ranged_probe(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    path = tempfile.mkdtemp(prefix="zrw_")
+    LM.zorder_write_ranged(t["events"], path, n_files=_RANGED_FILES)
+    return LM.zorder_probe_ranged(spark, path)
+
+
+@_register(
+    "dedup_snapshot_incremental",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id
+    )
+    """,
+    doc="Incremental SNAPSHOT dedup (lifecycle.snapshot_dedup_incremental): "
+    f"a new batch (doc_id >= {_INCR_SPLIT}) is deduped against the previous "
+    "snapshot's TWO persisted artifacts — the MinHash bucket table AND its "
+    "pair graph, both round-tripped through parquet inside the entry — and "
+    "the keep-one survivor set of the UNION is returned: pairs(union) = "
+    "stored pairs ∪ incremental probe, so components + min-id keep-one "
+    "equal a from-scratch apply_dedup of the union (the oracle computes "
+    "exactly that from scratch). Only the batch is re-shingled; the old "
+    "corpus is never re-read — the lifecycle analogue of "
+    "decontaminate_incremental, closing dedup_incremental's remaining gap "
+    "(it attested the PAIRS; this attests the survivor DECISION). Same "
+    "persist-the-index posture as the reference's idempotent re-index "
+    "(backend/process/elasticsearch_index.py:141)",
+)
+def dedup_snapshot_incremental(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    old = t["documents"].filter(F.col("doc_id") < _INCR_SPLIT)
+    new = t["documents"].filter(F.col("doc_id") >= _INCR_SPLIT)
+    buckets = DD.minhash_bucket_table(old)
+    pairs = DD.minhash_lsh_pairs(old).select("id_a", "id_b")
+    bpath = tempfile.mkdtemp(prefix="snap_buckets_")
+    ppath = tempfile.mkdtemp(prefix="snap_pairs_")
+    buckets.write.mode("overwrite").parquet(bpath)
+    pairs.write.mode("overwrite").parquet(ppath)
+    stored_b = spark.read.schema(buckets.schema).parquet(bpath)
+    stored_p = spark.read.schema(pairs.schema).parquet(ppath)
+    return LC.snapshot_dedup_incremental(old, new, stored_b, stored_p).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@_register(
+    "split_assignment",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE},
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id
+      WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN {H.stable_hash60_sql('CAST(group_key AS VARCHAR)')} % 100 < 90
+                THEN 'train'
+                WHEN {H.stable_hash60_sql('CAST(group_key AS VARCHAR)')} % 100 < 95
+                THEN 'val' ELSE 'test' END AS split
+    FROM keyed
+    """,
+    doc="The consumable group-aware split manifest "
+    "(lifecycle.split_assignment_manifest): one row per clean document "
+    "with its near-dup group key (component id from the LSH pair graph, "
+    "own id for singletons) and the registry's deterministic 90/5/5 "
+    "hash-mod split applied to the GROUP key — the actual (doc_id, split) "
+    "table whose audit is the all-diagonal split_leakage_groupaware "
+    "relation (that entry proves the property; this one is what a "
+    "training build joins against). Corpus pays one shingle→minhash pass "
+    "+ one id-keyed join against the dup-graph-sized component table; "
+    "assignment is a pure function of (pair graph, ids) — stable across "
+    "engines, runs, partitionings, retries",
+)
+def split_assignment(spark, sf):
+    t = load_views(spark, sf)
+    return LC.split_assignment_manifest(t["documents"])
+
+
+@_register(
+    "split_manifest_counts",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE},
+    {_COMPONENTS_CTE},
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS group_key,
+             CAST(len({_TOKS_DOC}) AS BIGINT) AS nt
+      FROM documents d LEFT JOIN comps c ON c.doc_id = d.doc_id
+      WHERE d.doc_id IS NOT NULL AND d.text IS NOT NULL
+    ),
+    lab AS (
+      SELECT *,
+             CASE WHEN {H.stable_hash60_sql('CAST(group_key AS VARCHAR)')} % 100 < 90
+                  THEN 'train'
+                  WHEN {H.stable_hash60_sql('CAST(group_key AS VARCHAR)')} % 100 < 95
+                  THEN 'val' ELSE 'test' END AS split
+      FROM keyed
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(count(DISTINCT group_key) AS BIGINT) AS n_groups,
+           CAST(sum(nt) AS BIGINT) AS sum_tokens
+    FROM lab GROUP BY 1
+    """,
+    doc="Consuming the group-aware manifest the way a training build does "
+    "(lifecycle.split_manifest_counts): per split — documents, distinct "
+    "near-dup groups, exact token budget (the number the packing step "
+    "divides into context windows). Makes the group-aware tradeoff "
+    "measurable: whole near-dup families move together, so the doc ratio "
+    "is only ~90/5/5 — the price of zero cross-split leakage is a lumpier "
+    "split. One map-side token count riding the manifest's corpus join + "
+    "a 3-key groupBy; consuming the manifest adds no shuffle beyond "
+    "producing it",
+)
+def split_manifest_counts(spark, sf):
+    t = load_views(spark, sf)
+    return LC.split_manifest_counts(t["documents"])
 
 
 # =========================================================================

@@ -155,6 +155,47 @@ def test_apply_empty_and_dirty(spark, tmp_path):
     assert sum(r.main_rows + r.side_rows for r in rep2) == 2
 
 
+def test_compacted_probe_equals_precompaction_answer(spark, events, applied):
+    """Deferring a bucket's delta must never lose it from a query: the
+    compacted read path (pruned main ∪ pruned side) must return the same
+    rectangle answer as a fresh single-table z-order write of the same
+    events — and scan only candidate-bucket files in both tables."""
+    import tempfile
+
+    from auto_vectordb_spark.operators import layout as LAY
+
+    main, side, plan = applied
+    got = LM.zorder_compacted_probe(spark, main, side).first()
+    fresh = tempfile.mkdtemp(prefix="fresh_")
+    LAY.zorder_write(_clean_events(events), fresh)
+    want = LAY.zorder_probe_scan(spark, fresh).first()
+    assert got.n_rows == want.n_rows
+    assert got.sum_payload == want.sum_payload
+    # file accounting: candidate buckets present across main+side; total
+    # is both tables' directory counts
+    n_defer_side = len(
+        [r for r in plan.collect() if r.action == "defer" and r.delta_rows > 0]
+    )
+    assert got.files_total == want.files_total + n_defer_side
+    assert got.files_scanned <= got.files_total
+
+
+def test_compacted_probe_missing_side_table(spark, events, tmp_path):
+    """A probe before any defer cycle ran (side path absent) must scan
+    main only, not crash — the explicit-schema/exists contract."""
+    import tempfile
+
+    from auto_vectordb_spark.operators import layout as LAY
+
+    main = tempfile.mkdtemp(prefix="only_main_")
+    LAY.zorder_write(_clean_events(events), main)
+    missing = str(tmp_path / "never_written")
+    got = LM.zorder_compacted_probe(spark, main, missing).first()
+    want = LAY.zorder_probe_scan(spark, main).first()
+    assert (got.n_rows, got.sum_payload) == (want.n_rows, want.sum_payload)
+    assert got.files_total == want.files_total
+
+
 def test_probe_z_intervals_compresses_exactly():
     # the standard aligned 32x32 tile is one contiguous z-run of 1024
     iv = LM.probe_z_intervals(LM.PROBE_X, LM.PROBE_Y)

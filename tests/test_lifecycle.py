@@ -134,6 +134,33 @@ def test_manifest_audit_is_all_diagonal(spark, docs):
     assert crossing.count() == 0
 
 
+def test_manifest_counts_reconcile(spark, docs):
+    """Per-split accounting must cover every clean doc once, its token
+    sum must equal the corpus total, and group counts must partition the
+    distinct group keys (groups never straddle splits)."""
+    from auto_vectordb_spark.functions.text import tokenize
+
+    rows = LC.split_manifest_counts(docs).collect()
+    clean = docs.where(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    assert sum(r.n_docs for r in rows) == clean.count()
+    total_tokens = clean.select(
+        F.sum(F.size(tokenize(F.col("text"))))
+    ).first()[0]
+    assert sum(r.sum_tokens for r in rows) == total_tokens
+    n_groups = (
+        LC.split_assignment_manifest(docs)
+        .select("group_key")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_groups for r in rows) == n_groups
+    # the split is still roughly 90/5/5 by docs (group lumpiness allowed)
+    by = {r.split: r.n_docs for r in rows}
+    assert by["train"] > by.get("val", 0) and by["train"] > by.get("test", 0)
+
+
 def test_manifest_empty_and_dirty(spark):
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert LC.split_assignment_manifest(empty).count() == 0

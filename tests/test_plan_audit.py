@@ -68,6 +68,9 @@ SINGLE_PARTITION_OK = frozenset(
         # report over <=64 bucket partials; the pruned scan itself is
         # partition-parallel
         "zorder_write_probe",
+        # same shape for the ranged layout: the final 1-row probe report
+        # over per-file partials; the stats-pruned scan is file-parallel
+        "zorder_ranged_probe",
         # events_ntile's aggregates, via schedule.global_rank: 1-row
         # boundary sketch + ~32-row prefix-offset table (both broadcast)
         "curriculum_stages",
