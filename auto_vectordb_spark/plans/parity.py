@@ -9217,9 +9217,20 @@ def split_manifest_counts(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "dedup_components",
-    "dedup_embedding_blas_exact",
     "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_incremental",
+    "zorder_compaction_apply",
+    "zorder_compacted_probe",
+    "zorder_ranged_probe",
+    "dedup_snapshot_incremental",
+    "split_assignment",
+    "split_manifest_counts",
+    "decontaminate_incremental",
+    "curation_curriculum_packs",
+    "snapshot_diff",
+    "split_leakage_audit",
+    "split_leakage_groupaware",
     "f10_embedding_parse",
     "graph_degree_histogram",
     "grouping_sets_docs",
@@ -9256,17 +9267,6 @@ _ATTEST_WINDOW = [
     "curation_funnel",
     "events_pivot",
     "events_recency_volume",
-    "events_sessionize",
-    "events_user_gaps",
-    "events_value_rank_stats",
-    "having_big_orders",
-    "join_broadcast_part",
-    "maxsim_late_interaction",
-    "oov_rate_by_lang",
-    "prf_query_expansion",
-    "q10_returned_revenue_topk",
-    "q11_value_share",
-    "q14_promo_share",
 ]
 
 
