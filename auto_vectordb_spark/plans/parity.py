@@ -9197,6 +9197,140 @@ def split_manifest_counts(spark, sf):
     return LC.split_manifest_counts(t["documents"])
 
 
+# Incremental view maintenance (operators/incremental.py): persisted
+# aggregate state + per-batch merge, attested equal to the from-scratch
+# recompute — the derived-table pattern an ingest pipeline runs per cycle
+# because recomputing a 100 TB rollup per batch is the unaffordable path.
+# The batch boundary is a time cutoff (the only boundary ingest has);
+# rows that cannot be ordered against it (NULL ts) ride with the delta so
+# merged-vs-from-scratch equality holds on ANY input, dirty included.
+_IVM_CUTOFF = "2024-01-16 00:00:00"
+
+
+def _ivm_split(events):
+    cut = F.lit(_IVM_CUTOFF).cast("timestamp")
+    old = events.where(F.col("ts") < cut)
+    new = events.where(F.coalesce(F.col("ts") >= cut, F.lit(True)))
+    return old, new
+
+
+@_register(
+    "rollup_incremental",
+    EVENTS_HOURLY_SQL,
+    doc="Incremental aggregate maintenance (incremental.rollup_merge): the "
+    f"hourly rollup state of events before {_IVM_CUTOFF} is PERSISTED to "
+    "parquet carrying exact int64 cent-quantized partials (never display "
+    "doubles — integer addition is the merge monoid, so batch boundaries, "
+    "merge order and retries cannot move a bit), then the later batch is "
+    "aggregated ALONE and merged: one hash shuffle over state + delta "
+    "rollup rows, the historical raw events never reread. Oracle is the "
+    "from-scratch events_hourly recompute over everything — merged == "
+    "recomputed is the entire contract of incremental view maintenance",
+)
+def rollup_incremental(spark, sf):
+    import tempfile
+
+    from ..operators import incremental as IC
+
+    t = load_views(spark, sf)
+    old, new = _ivm_split(t["events"])
+    state = IC.hourly_rollup(old)
+    path = tempfile.mkdtemp(prefix="rollup_state_")
+    state.write.mode("overwrite").parquet(path)
+    stored = spark.read.schema(state.schema).parquet(path)
+    return IC.rollup_finalize(IC.rollup_merge(stored, new))
+
+
+@_register(
+    "topk_incremental",
+    """
+    WITH ranked AS (
+      SELECT c.c_mktsegment, o.o_orderkey, round(o.o_totalprice, 2) AS o_totalprice,
+             row_number() OVER (
+               PARTITION BY c.c_mktsegment
+               ORDER BY round(o.o_totalprice, 2) DESC, o.o_orderkey ASC
+             ) AS rn
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM ranked WHERE rn <= 3
+    """,
+    doc="Bounded-state rank maintenance (incremental.topk_merge): the "
+    "per-segment top-3 of the existing orders is the persisted state (k "
+    "rows per group FOREVER — state size fixed by groups × k, not ingest "
+    "volume); a delta batch (o_orderkey % 10 = 0) is ranked alone, "
+    "unioned, re-ranked over ≤2k rows per group. Correct because top-k "
+    "under a total order (price desc, key asc) is a merge monoid: "
+    "topk(topk(A) ∪ topk(B)) = topk(A ∪ B). Oracle recomputes the "
+    "from-scratch topk_per_group relation",
+)
+def topk_incremental(spark, sf):
+    from ..operators import incremental as IC
+
+    t = load_views(spark, sf)
+    j = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+    old = j.where(F.pmod(F.col("o_orderkey"), F.lit(10)) != 0)
+    new = j.where(F.pmod(F.col("o_orderkey"), F.lit(10)) == 0)
+    args = (["c_mktsegment"], "o_totalprice", 3, "o_orderkey")
+    state = IC.topk_state(old, *args[:3], tie_break=args[3])
+    return IC.topk_merge(state, new, *args[:3], tie_break=args[3])
+
+
+@_register(
+    "sessionize_incremental",
+    """
+    WITH clean AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    lagged AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM clean
+    ),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Stateful-session maintenance (incremental.session_merge): per-user "
+    "session state (sessions, events, first/last ts — the 4 scalars a "
+    "Structured Streaming applyInPandasWithState sessionizer keeps per "
+    f"key) is computed per batch at the {_IVM_CUTOFF} boundary and MERGED: "
+    "sessions add except a user whose boundary gap is within the 30-min "
+    "timeout has the straddling sessions STITCHED into one — the "
+    "non-additive step that makes sessionization the interesting merge "
+    "(chaining attested: merge(merge(s1,s2),s3) = one-shot, "
+    "tests/test_incremental.py). One full-outer hash join of two "
+    "state-sized tables; raw history never resessionized. Oracle is the "
+    "from-scratch events_sessionize recompute",
+)
+def sessionize_incremental(spark, sf):
+    from ..operators import incremental as IC
+
+    t = load_views(spark, sf)
+    old, new = _ivm_split(t["events"])
+    merged = IC.session_merge(IC.session_state(old), IC.session_state(new))
+    return merged.select("user_id", "n_sessions", "n_events")
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================
