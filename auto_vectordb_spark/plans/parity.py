@@ -9360,6 +9360,9 @@ _ATTEST_WINDOW = [
     "dedup_snapshot_incremental",
     "split_assignment",
     "split_manifest_counts",
+    "rollup_incremental",
+    "topk_incremental",
+    "sessionize_incremental",
     "decontaminate_incremental",
     "curation_curriculum_packs",
     "snapshot_diff",
@@ -9398,9 +9401,6 @@ _ATTEST_WINDOW = [
     "sample_exact_n_per_lang",
     "text_nfc_normalize",
     "cooccurrence_pmi",
-    "curation_funnel",
-    "events_pivot",
-    "events_recency_volume",
 ]
 
 
