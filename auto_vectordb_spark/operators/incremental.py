@@ -17,7 +17,7 @@ because its state is a provable merge monoid:
   maintenance: top-k with a total order (score desc, id asc) satisfies
   ``topk(topk(A) ∪ topk(B)) = topk(A ∪ B)``, so the state is k rows per
   group forever, no matter how many batches merged in.
-* :func:`session_state` / :func:`session_merge` — the one non-trivial
+* :func:`session_state` / :func:`session_merge` — the first non-trivial
   case: sessionization state does NOT merge by addition — sessions can
   STITCH across the batch boundary. Per-user state is 4 scalars
   (sessions, events, first/last timestamp); the merge subtracts one
@@ -25,6 +25,12 @@ because its state is a provable merge monoid:
   the per-key state a Structured Streaming
   ``applyInPandasWithState`` sessionizer carries — expressed as a batch
   merge so the algebra itself is oracle-attestable.
+* :func:`scd2_state` / :func:`scd2_merge` — the CDC upsert: SCD-2
+  validity islands concatenate across the boundary except that a
+  same-state run straddling it COALESCES (the open "current" row either
+  extends or is closed by the first new state change — exactly what a
+  warehouse dimension-table merge does per batch). State is bounded by
+  state CHANGES, never events.
 
 Composition lives in its own module (staleness blast radius: see
 MEMORY / tools/blast_radius.py). Reference scope note: the reference
@@ -142,6 +148,140 @@ def topk_merge(
     bounded_delta = topk_state(delta, group_cols, score_col, k, tie_break)
     return topk_state(
         state.unionByName(bounded_delta), group_cols, score_col, k, tie_break
+    )
+
+
+def scd2_state(events: DataFrame) -> DataFrame:
+    """Per-user SCD-2 island state over ONE batch: consecutive same-type
+    event runs collapsed to (user_id, state, vf, n_events, ord) via the
+    gaps-and-islands double row_number (the scd2_user_states algebra),
+    with ``ord`` NORMALIZED to a contiguous per-user 1..k — the contract
+    :func:`scd2_merge` needs to locate each batch's first and last
+    island, and what keeps merge outputs themselves mergeable (chaining).
+    State size is bounded by the number of STATE CHANGES, not events —
+    the dimension-table shape a CDC pipeline upserts. NULL user/ts rows
+    carry no state information and fail the row (cleanvec doctrine)."""
+    from pyspark.sql.window import Window
+
+    ev = events.where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_st = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w_all).alias("rn"),
+        F.row_number().over(w_st).alias("rns"),
+    )
+    isl = o.groupBy(
+        "user_id",
+        F.col("event_type").alias("state"),
+        (F.col("rn") - F.col("rns")).alias("__grp"),
+    ).agg(
+        F.min("ts").alias("vf"),
+        F.count("*").alias("n_events"),
+        F.min("rn").alias("__ord0"),
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("__ord0")
+    return isl.select(
+        "user_id",
+        "state",
+        "vf",
+        "n_events",
+        F.row_number().over(w_seq).cast("long").alias("ord"),
+    )
+
+
+def scd2_merge(older: DataFrame, newer: DataFrame) -> DataFrame:
+    """CDC upsert of SCD-2 island state: merge two batches' islands where
+    every ``older`` event precedes every ``newer`` event per user (the
+    time-cutoff batch boundary). Islands concatenate in order — EXCEPT
+    that a user whose last old island and first new island carry the SAME
+    state has them COALESCED into one run (event counts add, valid-from
+    stays the old island's): the upsert a warehouse dimension table runs
+    per batch, where an open current row either extends or is closed by
+    the first new state change. Output is normalized state again
+    (contiguous ord), so batches chain: merge(merge(s1,s2),s3) equals
+    one-shot :func:`scd2_state` over the union (test-pinned, exact-
+    boundary cases included).
+
+    Three joins, all keyed on user_id over ISLAND tables (state-sized —
+    bounded by state changes, never by events); raw history is never
+    re-read, which is what makes per-batch dimension maintenance
+    affordable when the fact stream is 100 TB."""
+    from pyspark.sql.window import Window
+
+    om = older.groupBy("user_id").agg(F.max("ord").alias("__mo"))
+    # stitch decision from the PRE-offset batches: last old island (ord ==
+    # max) vs first new island (ord == 1), same state => coalesce
+    bl = older.join(om, "user_id").where(F.col("ord") == F.col("__mo"))
+    nf = newer.where(F.col("ord") == 1).select(
+        "user_id",
+        F.col("state").alias("__ns"),
+        F.col("n_events").alias("__nn"),
+    )
+    stitch = (
+        bl.join(nf, "user_id")
+        .where(F.col("state") == F.col("__ns"))
+        .select("user_id", F.col("ord").alias("__so"), "__nn")
+    )
+    old_adj = older.join(
+        stitch, ["user_id"], "left_outer"
+    ).select(
+        "user_id",
+        "state",
+        "vf",
+        (
+            F.col("n_events")
+            + F.when(
+                F.col("__so") == F.col("ord"), F.col("__nn")
+            ).otherwise(F.lit(0))
+        ).alias("n_events"),
+        "ord",
+    )
+    new_adj = (
+        newer.join(om, "user_id", "left_outer")
+        .join(stitch.select("user_id", F.lit(1).alias("__st")), "user_id", "left_outer")
+        # a stitched user's first new island was absorbed into the old run
+        .where(F.col("__st").isNull() | (F.col("ord") > 1))
+        .select(
+            "user_id",
+            "state",
+            "vf",
+            "n_events",
+            (F.col("ord") + F.coalesce("__mo", F.lit(0).cast("long"))).alias("ord"),
+        )
+    )
+    merged = old_adj.unionByName(new_adj)
+    w_seq = Window.partitionBy("user_id").orderBy("ord")
+    return merged.select(
+        "user_id",
+        "state",
+        "vf",
+        "n_events",
+        F.row_number().over(w_seq).cast("long").alias("ord"),
+    )
+
+
+def scd2_finalize(state: DataFrame) -> DataFrame:
+    """Display edge: the scd2_user_states relation — validity intervals
+    with valid_to = next island's valid_from (NULL = current row)."""
+    from pyspark.sql.window import Window
+
+    w_seq = Window.partitionBy("user_id").orderBy("ord")
+    return state.select(
+        "user_id",
+        "state",
+        F.date_format("vf", "yyyy-MM-dd HH:mm:ss").alias("valid_from_s"),
+        F.date_format(F.lead("vf").over(w_seq), "yyyy-MM-dd HH:mm:ss").alias(
+            "valid_to_s"
+        ),
+        "n_events",
     )
 
 

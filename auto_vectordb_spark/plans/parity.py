@@ -9331,6 +9331,58 @@ def sessionize_incremental(spark, sf):
     return merged.select("user_id", "n_sessions", "n_events")
 
 
+@_register(
+    "scd2_incremental",
+    """
+    WITH clean AS (
+      SELECT user_id, event_id, ts, event_type FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    o AS (
+      SELECT user_id, event_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             row_number() OVER (
+               PARTITION BY user_id, event_type ORDER BY ts, event_id
+             ) AS rns
+      FROM clean
+    ),
+    isl AS (
+      SELECT user_id, event_type AS state, min(ts) AS vf,
+             count(*) AS n_events, min(rn) AS ord
+      FROM o GROUP BY user_id, event_type, rn - rns
+    )
+    SELECT user_id, state,
+           strftime(vf, '%Y-%m-%d %H:%M:%S') AS valid_from_s,
+           strftime(
+             lead(vf) OVER (PARTITION BY user_id ORDER BY ord),
+             '%Y-%m-%d %H:%M:%S'
+           ) AS valid_to_s,
+           n_events
+    FROM isl
+    """,
+    doc="SCD-2 dimension maintenance as a CDC upsert "
+    "(incremental.scd2_merge): each batch's validity islands are computed "
+    f"alone at the {_IVM_CUTOFF} boundary, then MERGED — islands "
+    "concatenate in order except a same-state run straddling the boundary "
+    "COALESCES (the open current row either extends or is closed by the "
+    "first new state change, event counts adding, valid-from kept) — "
+    "exactly what a warehouse dimension-table merge does per batch. State "
+    "is bounded by state CHANGES, never events; three user-keyed joins "
+    "over island tables, raw history never re-read. Chaining "
+    "(merge(merge(s1,s2),s3) = one-shot) and exact-boundary stitch/close "
+    "cases are test-pinned (tests/test_incremental.py). Oracle is the "
+    "from-scratch scd2_user_states recompute",
+)
+def scd2_incremental(spark, sf):
+    from ..operators import incremental as IC
+
+    t = load_views(spark, sf)
+    old, new = _ivm_split(t["events"])
+    return IC.scd2_finalize(
+        IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
+    )
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================
@@ -9363,6 +9415,7 @@ _ATTEST_WINDOW = [
     "rollup_incremental",
     "topk_incremental",
     "sessionize_incremental",
+    "scd2_incremental",
     "decontaminate_incremental",
     "curation_curriculum_packs",
     "snapshot_diff",
@@ -9400,7 +9453,6 @@ _ATTEST_WINDOW = [
     "phrase_match",
     "sample_exact_n_per_lang",
     "text_nfc_normalize",
-    "cooccurrence_pmi",
 ]
 
 

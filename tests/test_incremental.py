@@ -158,6 +158,84 @@ def test_session_stitch_boundary_cases(spark):
     assert m2[(9,)].n_sessions == 1 and m2[(9,)].n_events == 1
 
 
+def _scd2_rows(df):
+    return sorted(
+        (r.user_id, r.state, r.valid_from_s, r.valid_to_s, r.n_events)
+        for r in df.collect()
+    )
+
+
+def test_scd2_merge_equals_from_scratch(spark, events):
+    old = events.where(F.col("ts") < CUTOFF)
+    new = events.where(F.col("ts") >= CUTOFF)
+    merged = IC.scd2_finalize(
+        IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
+    )
+    want = IC.scd2_finalize(IC.scd2_state(events))
+    assert _scd2_rows(merged) == _scd2_rows(want)
+
+
+def test_scd2_merge_chains_across_batches(spark, events):
+    c1, c2 = "2024-01-11 00:00:00", "2024-01-21 00:00:00"
+    b1 = events.where(F.col("ts") < c1)
+    b2 = events.where((F.col("ts") >= c1) & (F.col("ts") < c2))
+    b3 = events.where(F.col("ts") >= c2)
+    chained = IC.scd2_finalize(
+        IC.scd2_merge(
+            IC.scd2_merge(IC.scd2_state(b1), IC.scd2_state(b2)),
+            IC.scd2_state(b3),
+        )
+    )
+    want = IC.scd2_finalize(IC.scd2_state(events))
+    assert _scd2_rows(chained) == _scd2_rows(want)
+
+
+def test_scd2_stitch_boundary_cases(spark):
+    """Same state straddling the boundary coalesces into ONE island with
+    the old valid_from; a state change at the boundary closes the open
+    row at the first new island's valid_from. One-sided users pass."""
+    old = spark.createDataFrame(
+        [
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 1, "view", "2024-01-01 10:05:00"),
+            (3, 2, "view", "2024-01-01 10:00:00"),
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    new = spark.createDataFrame(
+        [
+            (4, 1, "view", "2024-01-01 11:00:00"),   # same state: coalesce
+            (5, 1, "click", "2024-01-01 11:30:00"),
+            (6, 2, "click", "2024-01-01 11:00:00"),  # state change: close
+        ],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.user_id, r.state): r
+        for r in IC.scd2_finalize(
+            IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
+        ).collect()
+    }
+    # user 1: ONE view island (3 events, old vf, closed by click), then click
+    assert got[(1, "view")].n_events == 3
+    assert got[(1, "view")].valid_from_s == "2024-01-01 10:00:00"
+    assert got[(1, "view")].valid_to_s == "2024-01-01 11:30:00"
+    assert got[(1, "click")].valid_to_s is None
+    # user 2: view closed at the boundary click
+    assert got[(2, "view")].valid_to_s == "2024-01-01 11:00:00"
+    assert got[(2, "click")].n_events == 1
+    # one-sided user passes through
+    only_new = spark.createDataFrame(
+        [(9, 9, "view", "2024-01-01 00:00:00")],
+        "event_id long, user_id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    empty = spark.createDataFrame([], only_new.schema)
+    m = IC.scd2_finalize(
+        IC.scd2_merge(IC.scd2_state(empty), IC.scd2_state(only_new))
+    ).collect()
+    assert len(m) == 1 and m[0].n_events == 1 and m[0].valid_to_s is None
+
+
 def test_session_state_dirty_rows_fail_row(spark):
     dirty = spark.createDataFrame(
         [
