@@ -436,3 +436,109 @@ def test_zorder_write_probe_1m_rows(spark, tmp_path):
     r = L.zorder_probe_scan(spark, path).first()
     assert r.files_total == len(dirs)
     assert 0 < r.files_scanned <= len(L.probe_buckets(L.PROBE_X, L.PROBE_Y))
+
+
+def test_compaction_apply_1m_rows(spark, tmp_path):
+    """Compaction decide→act at 1M rows: the apply's cost is proportional
+    to the rewritten buckets + delta (defer files untouched — still the
+    initial write's one file per bucket), and the post-compaction stored
+    state accounts for every clean row exactly once."""
+    import os
+
+    from auto_vectordb_spark.operators import layout_maint as LM
+
+    ev = _synth_events(spark, 1_000_000)
+    main, side = str(tmp_path / "cmain"), str(tmp_path / "cside")
+    plan = LM.zorder_compaction_apply(spark, ev, main, side)
+    rep = LM.compaction_report(spark, main, side, plan)
+    totals = rep.agg(
+        F.sum(F.col("main_rows") + F.col("side_rows")).alias("rows"),
+    ).first()
+    assert totals.rows == 1_000_000
+    # one file per bucket in main, before AND after the partial overwrite
+    dirs = [d for d in os.listdir(main) if d.startswith("z_bucket=")]
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(main, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, d
+
+
+def test_ranged_write_1m_rows(spark, tmp_path):
+    """Ranged z-order at 1M rows: 16 equal-frequency contiguous files
+    (exact ntile — sizes within 1), footer bounds non-overlapping, and
+    the standard probe opens a strict subset of the files."""
+    from auto_vectordb_spark.operators import layout_maint as LM
+
+    ev = _synth_events(spark, 1_000_000)
+    path = str(tmp_path / "ranged")
+    LM.zorder_write_ranged(ev, path, n_files=16)
+    bounds = sorted(LM.file_z_bounds(spark, path), key=lambda t: t[1])
+    assert len(bounds) == 16
+    for (_, _, hi_a), (_, lo_b, _) in zip(bounds, bounds[1:]):
+        assert hi_a <= lo_b
+    t = spark.read.parquet(path)
+    sizes = [
+        r.n for r in t.groupBy("z_file").agg(F.count("*").alias("n")).collect()
+    ]
+    assert max(sizes) - min(sizes) <= 1
+    r = LM.zorder_probe_ranged(spark, path).first()
+    assert 0 < r.files_scanned < r.files_total == 16
+
+
+def test_session_merge_2m_rows(spark):
+    """Session-state merge at 2M rows / 100k users: merged state equals
+    one-shot sessionization, compared DISTRIBUTED (anti-join count, no
+    driver collect of the 100k-row state)."""
+    from auto_vectordb_spark.operators import incremental as IC
+
+    ev = _synth_events(spark, 2_000_000)
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.coalesce(F.col("ts") >= cut, F.lit(True)))
+    merged = IC.session_merge(IC.session_state(old), IC.session_state(new))
+    want = IC.session_state(ev)
+    cols = ["user_id", "n_sessions", "n_events", "first_ts", "last_ts"]
+    assert merged.count() == want.count() == N_USERS
+    assert (
+        merged.select(cols).exceptAll(want.select(cols)).count() == 0
+    )
+
+
+def test_scd2_merge_1m_rows(spark):
+    """SCD-2 island merge at 1M rows: merged dimension equals the
+    from-scratch gaps-and-islands rebuild, compared distributed."""
+    from auto_vectordb_spark.operators import incremental as IC
+
+    ev = _synth_events(spark, 1_000_000).withColumn(
+        "event_type", (F.abs(F.xxhash64("event_id", F.lit(2))) % 4).cast("string")
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.coalesce(F.col("ts") >= cut, F.lit(True)))
+    merged = IC.scd2_finalize(
+        IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
+    )
+    want = IC.scd2_finalize(IC.scd2_state(ev))
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
+
+
+def test_rollup_merge_5m_rows(spark):
+    """Additive rollup merge at 5M rows: int64 partials make the merge
+    bit-exact against the from-scratch rollup — zero differing keys,
+    compared distributed."""
+    from auto_vectordb_spark.operators import incremental as IC
+
+    ev = _synth_events(spark, 5_000_000).withColumn(
+        "event_type", (F.col("event_id") % 5).cast("string")
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.coalesce(F.col("ts") >= cut, F.lit(True)))
+    merged = IC.rollup_merge(IC.hourly_rollup(old), new)
+    want = IC.hourly_rollup(ev)
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
