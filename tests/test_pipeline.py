@@ -276,3 +276,27 @@ def test_quickstart_example_runs(tmp_path):
         timeout=600,
     )
     assert proc.returncode == 0, f"quickstart failed:\n{proc.stderr[-4000:]}"
+
+
+def test_lifecycle_example_runs():
+    """examples/lifecycle_maintenance.py must execute one full ingest
+    cycle (incremental dedup → manifest consumption → IVM merges →
+    compaction apply + compacted probe). Subprocess for the same reason
+    as quickstart: the example stops its session at the end."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    example = (
+        Path(__file__).resolve().parents[1]
+        / "examples"
+        / "lifecycle_maintenance.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, str(example), "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"lifecycle example failed:\n{proc.stderr[-4000:]}"
+    assert "rectangle probe over compacted table" in proc.stdout
