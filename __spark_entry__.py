@@ -33,16 +33,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query.
 
-    The 9 entries absent here are genuinely non-oracle-able: probabilistic
+    The 10 entries absent here are genuinely non-oracle-able: probabilistic
     recall (ann_ivf/ann_lsh/knn_ivf_pq, dedup_embedding_blas/_lsh — sign-LSH
     or centroid bucketing; recall gates in tests/test_ann.py and
     tests/test_dedup.py), engine-specific sketches (approx_distinct_users,
     events_wau_hll — HLL register layouts differ per engine), an
     argmax-collect loop RE2 can't replay (bpe_train_merges — lookaround
     regexp rewrites; batched-vs-sequential identity gated in
-    tests/test_tokenizer.py), or trained-model inference
+    tests/test_tokenizer.py), trained-model inference
     (quality_classifier_score — MLlib L-BFGS; held-out AUC gate in
-    tests/test_curation.py). Deterministic fixed-iteration algorithms
+    tests/test_curation.py), or a C-library byte count DuckDB does not
+    expose (compression_density_by_source — zlib; bit-exact kernel gate in
+    tests/test_infodensity.py). Deterministic fixed-iteration algorithms
     (pagerank, Lloyd k-means, greedy MMR) ARE oracle-paired, via unrolled
     MATERIALIZED-CTE chains in plans/parity.py.
     """
