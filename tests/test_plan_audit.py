@@ -71,6 +71,13 @@ SINGLE_PARTITION_OK = frozenset(
         # same shape for the ranged layout: the final 1-row probe report
         # over per-file partials; the stats-pruned scan is file-parallel
         "zorder_ranged_probe",
+        # and for the compacted read path: the final 1-row report over
+        # ≤ 2×candidate-bucket partials (main + side); both pruned scans
+        # are partition-parallel. AQE sometimes plans the tiny final agg
+        # without the exchange, so the targeted audit can pass while the
+        # full-suite run (different table state) funnels — whitelisted
+        # for the provably-small input, not the lucky plan
+        "zorder_compacted_probe",
         # events_ntile's aggregates, via schedule.global_rank: 1-row
         # boundary sketch + ~32-row prefix-offset table (both broadcast)
         "curriculum_stages",
