@@ -267,6 +267,88 @@ def compaction_report(
     )
 
 
+def zorder_compaction_cycle2(
+    spark,
+    main_path: str,
+    side_path: str,
+    rewrite_pct: int = 10,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The NEXT maintenance cycle — what makes deferral honest: a
+    deferred delta is not dropped work, it is pressure ACCUMULATING in
+    the side table until this cycle absorbs it. Decide from STORED
+    bucket-level counts only (two tiny aggregates — no grid arithmetic,
+    no row data moved for the decision): a bucket whose side rows exceed
+    ``rewrite_pct``% of its main rows (or with no main rows) is
+    rewritten — its main partition replaced by main ∪ side via dynamic
+    partition overwrite — and its rows REMOVED from the side table; the
+    rest keep riding. Returns the post-cycle report in the
+    :func:`compaction_report` shape, with ``action`` = this cycle's
+    decision (``noop`` for buckets with no deferred rows).
+
+    Same cost contract as cycle 1: I/O proportional to the rewritten
+    buckets plus the side table, never the main table. Chaining this
+    entry after :func:`zorder_compaction_apply` attests the full
+    defer→accumulate→rewrite loop: cycle 1 proves deferral loses
+    nothing, cycle 2 proves deferred data eventually lands in the main
+    layout — content equality with a from-scratch rewrite is test-pinned
+    at both points.
+    """
+    schema = _MAIN_SCHEMA.format(pay=id_col)
+    main = spark.read.schema(schema).parquet(main_path)
+    side = spark.read.schema(schema).parquet(side_path)
+    m_cnt = main.groupBy("z_bucket").agg(F.count("*").alias("__m"))
+    s_cnt = side.groupBy("z_bucket").agg(F.count("*").alias("__s"))
+    plan2 = (
+        m_cnt.join(s_cnt, "z_bucket", "full_outer")
+        .select(
+            "z_bucket",
+            F.coalesce("__m", F.lit(0)).cast("long").alias("__m"),
+            F.coalesce("__s", F.lit(0)).cast("long").alias("__s"),
+        )
+        .select(
+            "z_bucket",
+            "__m",
+            "__s",
+            F.when(F.col("__s") == 0, F.lit("noop"))
+            .when(
+                (F.col("__m") == 0)
+                | (F.col("__s") * 100 >= F.col("__m") * rewrite_pct),
+                F.lit("rewrite"),
+            )
+            .otherwise(F.lit("defer"))
+            .alias("action"),
+        )
+        .localCheckpoint(eager=True)  # one decide pass; three consumers
+    )
+    rewrite2 = F.broadcast(
+        plan2.where(F.col("action") == "rewrite").select("z_bucket")
+    )
+    merged = (
+        main.join(rewrite2, "z_bucket", "left_semi")
+        .unionByName(side.join(rewrite2, "z_bucket", "left_semi"))
+        .localCheckpoint(eager=True)
+    )
+    remaining = side.join(rewrite2, "z_bucket", "left_anti").localCheckpoint(
+        eager=True
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        merged.select(id_col, "xg", "yg", "z_bucket").repartition(
+            "z_bucket"
+        ).write.mode("overwrite").partitionBy("z_bucket").parquet(main_path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    remaining.select(id_col, "xg", "yg", "z_bucket").repartition(
+        "z_bucket"
+    ).write.mode("overwrite").partitionBy("z_bucket").parquet(side_path)
+    return compaction_report(
+        spark, main_path, side_path, plan2, id_col=id_col
+    )
+
+
 def zorder_compacted_probe(
     spark,
     main_path: str,

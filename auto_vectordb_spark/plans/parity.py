@@ -9006,6 +9006,88 @@ def zorder_compacted_probe(spark, sf):
     return LM.zorder_compacted_probe(spark, main, side)
 
 
+@_register(
+    "zorder_compaction_cycle2",
+    f"""
+    WITH ev AS (
+      SELECT event_id AS pay, user_id AS __x, {LAY.hour_index_sql('ts')} AS __y,
+             (event_id % 10 = 0) AS __is_delta
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_id IS NOT NULL
+    ),
+    st AS (
+      SELECT min(__x) AS __xmin, max(__x) AS __xmax,
+             min(__y) AS __ymin, max(__y) AS __ymax
+      FROM ev WHERE NOT __is_delta
+    ),
+    g AS (
+      SELECT pay, __is_delta,
+             {LAY.grid_expr_sql('least(greatest(__x, __xmin), __xmax)',
+                                '__xmin', '__xmax', div='//')} AS xg,
+             {LAY.grid_expr_sql('least(greatest(__y, __ymin), __ymax)',
+                                '__ymin', '__ymax', div='//')} AS yg
+      FROM ev, st WHERE __xmin IS NOT NULL
+    ),
+    b AS (
+      SELECT pay, __is_delta, ({LAY.morton_sql('xg', 'yg')} >> 10) AS z_bucket
+      FROM g
+    ),
+    plan AS (
+      SELECT z_bucket,
+             count(*) FILTER (WHERE NOT __is_delta) AS base_rows,
+             count(*) FILTER (WHERE __is_delta) AS delta_rows,
+             sum(pay) AS sum_payload
+      FROM b GROUP BY 1
+    ),
+    c1 AS (
+      SELECT z_bucket, sum_payload,
+             base_rows + CASE WHEN base_rows = 0
+                                OR delta_rows * 100 >= base_rows * 10
+                              THEN delta_rows ELSE 0 END AS m1,
+             CASE WHEN base_rows = 0 OR delta_rows * 100 >= base_rows * 10
+                  THEN 0 ELSE delta_rows END AS s1
+      FROM plan
+    ),
+    c2 AS (
+      SELECT z_bucket, sum_payload, m1, s1,
+             CASE WHEN s1 = 0 THEN 'noop'
+                  WHEN m1 = 0 OR s1 * 100 >= m1 * 5 THEN 'rewrite'
+                  ELSE 'defer' END AS action
+      FROM c1
+    )
+    SELECT CAST(z_bucket AS BIGINT) AS z_bucket, action,
+           CAST(m1 + CASE WHEN action = 'rewrite' THEN s1 ELSE 0 END
+                AS BIGINT) AS main_rows,
+           CAST(CASE WHEN action = 'defer' THEN s1 ELSE 0 END
+                AS BIGINT) AS side_rows,
+           CAST(sum_payload AS BIGINT) AS sum_payload
+    FROM c2
+    """,
+    doc="The defer→accumulate→rewrite loop closed "
+    "(layout_maint.zorder_compaction_cycle2): after cycle 1 defers "
+    "low-pressure deltas to the side table, a SECOND maintenance cycle at "
+    "a tighter budget (5%) decides from STORED bucket-level counts only "
+    "(two tiny aggregates — no grid arithmetic, no row data moved to "
+    "decide), absorbs the buckets whose accumulated side pressure now "
+    "clears the bar (main partition replaced by main ∪ side, rows REMOVED "
+    "from the side table), and leaves the rest riding. This attests that "
+    "deferral is honest — deferred data eventually lands in the main "
+    "layout — and that the cycle converges (an identical third cycle "
+    "rewrites nothing, test-pinned). I/O proportional to rewritten "
+    "buckets + side table, never the main table. Oracle recomputes both "
+    "cycles' placement from the raw events with the identical frozen-grid "
+    "arithmetic and thresholds",
+)
+def zorder_compaction_cycle2(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    main = tempfile.mkdtemp(prefix="zc2_main_")
+    side = tempfile.mkdtemp(prefix="zc2_side_")
+    LM.zorder_compaction_apply(spark, t["events"], main, side)
+    return LM.zorder_compaction_cycle2(spark, main, side, rewrite_pct=5)
+
+
 _RANGED_FILES = 16
 # The standard probe rectangle's z-values as maximal contiguous intervals,
 # frozen as literals — the same driver-side arithmetic zorder_probe_ranged
@@ -9408,6 +9490,7 @@ _ATTEST_WINDOW = [
     "dedup_incremental",
     "zorder_compaction_apply",
     "zorder_compacted_probe",
+    "zorder_compaction_cycle2",
     "zorder_ranged_probe",
     "dedup_snapshot_incremental",
     "split_assignment",
@@ -9452,7 +9535,6 @@ _ATTEST_WINDOW = [
     "lateral_topn_per_nation",
     "phrase_match",
     "sample_exact_n_per_lang",
-    "text_nfc_normalize",
 ]
 
 

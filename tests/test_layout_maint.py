@@ -155,6 +155,43 @@ def test_apply_empty_and_dirty(spark, tmp_path):
     assert sum(r.main_rows + r.side_rows for r in rep2) == 2
 
 
+def test_cycle2_absorbs_accumulated_pressure(spark, events, tmp_path):
+    """The defer→accumulate→rewrite loop: cycle 2 at a tighter budget
+    (5%) must absorb deferred buckets whose pressure sits in [5%, 10%),
+    keep the rest riding, leave no content behind, and converge — an
+    immediate third cycle at the same budget rewrites nothing."""
+    main, side = str(tmp_path / "m"), str(tmp_path / "s")
+    plan1 = LM.zorder_compaction_apply(spark, events, main, side)
+    rep2 = LM.zorder_compaction_cycle2(spark, main, side, rewrite_pct=5)
+    rows2 = {r.z_bucket: r for r in rep2.collect()}
+    p1 = {r.z_bucket: r for r in plan1.collect()}
+    assert set(rows2) == set(p1)
+    for b, r in rows2.items():
+        if p1[b].action == "rewrite":  # cycle-1 rewrites have no side left
+            assert r.action == "noop" and r.side_rows == 0
+        elif r.action == "rewrite":  # absorbed this cycle
+            assert r.side_rows == 0
+            assert r.main_rows == p1[b].base_rows + p1[b].delta_rows
+            assert p1[b].delta_rows * 100 >= p1[b].base_rows * 5
+        elif p1[b].delta_rows == 0:  # deferred with nothing riding
+            assert r.action == "noop" and r.side_rows == 0
+        else:  # still riding
+            assert r.action == "defer"
+            assert r.side_rows == p1[b].delta_rows
+            assert p1[b].delta_rows * 100 < p1[b].base_rows * 5
+    # content completeness survives the second rewrite
+    schema = "event_id long, xg long, yg long, z_bucket long"
+    stored = spark.read.schema(schema).parquet(main).unionByName(
+        spark.read.schema(schema).parquet(side)
+    )
+    want = _clean_events(events).count()
+    assert stored.count() == want
+    assert stored.select("event_id").distinct().count() == want
+    # convergence: an identical third cycle has nothing left to rewrite
+    rep3 = LM.zorder_compaction_cycle2(spark, main, side, rewrite_pct=5)
+    assert not [r for r in rep3.collect() if r.action == "rewrite"]
+
+
 def test_compacted_probe_equals_precompaction_answer(spark, events, applied):
     """Deferring a bucket's delta must never lose it from a query: the
     compacted read path (pruned main ∪ pruned side) must return the same
