@@ -9485,56 +9485,56 @@ def scd2_incremental(spark, sf):
 # the window cannot drift from the generator silently.
 
 _ATTEST_WINDOW = [
-    "dedup_embedding_cosine",
     "dedup_exact",
     "dedup_incremental",
-    "zorder_compaction_apply",
-    "zorder_compacted_probe",
-    "zorder_compaction_cycle2",
-    "zorder_ranged_probe",
-    "dedup_snapshot_incremental",
-    "split_assignment",
-    "split_manifest_counts",
-    "rollup_incremental",
-    "topk_incremental",
-    "sessionize_incremental",
-    "scd2_incremental",
-    "decontaminate_incremental",
-    "curation_curriculum_packs",
-    "snapshot_diff",
-    "split_leakage_audit",
-    "split_leakage_groupaware",
-    "f10_embedding_parse",
-    "graph_degree_histogram",
-    "grouping_sets_docs",
-    "q12_shipmode_priority",
-    "q13_custdist",
-    "q16_supplier_variety",
-    "q21_waiting_suppliers",
-    "range_join_context",
-    "bigram_counts",
-    "catalog_ddl_roundtrip",
-    "event_transitions",
-    "events_cohort_retention",
-    "jsonl_roundtrip",
-    "multimodal_audio_windows",
-    "multimodal_frame_sample",
-    "orc_roundtrip",
-    "part_unpivot",
-    "scd2_user_states",
-    "set_ops_union_intersect",
-    "stratified_sample_docs",
-    "training_pack_bins",
-    "vocab_top_terms",
-    "basket_pair_lift",
-    "bm25_topk",
-    "dataset_split_counts",
-    "deterministic_sample",
-    "graph_pagerank",
-    "ingest_chunks",
-    "lateral_topn_per_nation",
-    "phrase_match",
-    "sample_exact_n_per_lang",
+    "dedup_minhash_lsh_pairs",
+    "text_nfc_normalize",
+    "cooccurrence_pmi",
+    "curation_funnel",
+    "events_pivot",
+    "events_recency_volume",
+    "events_sessionize",
+    "events_user_gaps",
+    "events_value_rank_stats",
+    "having_big_orders",
+    "join_broadcast_part",
+    "maxsim_late_interaction",
+    "oov_rate_by_lang",
+    "prf_query_expansion",
+    "q10_returned_revenue_topk",
+    "q11_value_share",
+    "q14_promo_share",
+    "q2_cheapest_supplier",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "q6_revenue_filter",
+    "q7_bination_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "rollup_counts",
+    "sequence_packing",
+    "shard_skew_report",
+    "skew_salted_join",
+    "source_length_percentiles",
+    "table_profile",
+    "term_drift_by_source",
+    "token_entropy",
+    "vocab_growth_curve",
+    "window_running_revenue",
+    "corpus_report",
+    "csv_roundtrip",
+    "events_dau_wau",
+    "events_funnel",
+    "events_session_window",
+    "events_sliding_windows",
+    "fertility_by_lang",
+    "gopher_rules",
+    "keyword_tfidf_topk",
+    "more_like_this",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
 ]
 
 
