@@ -1,0 +1,188 @@
+"""Retraction merges: absorbing DELETES into persisted aggregate state.
+
+operators/incremental.py carries the insert-only half of incremental view
+maintenance — state + delta-batch merges attested equal to a from-scratch
+recompute. Production pipelines also receive the other sign: GDPR
+erasure requests and late-arriving corrections arrive as a batch of
+REMOVALS that must be absorbed into the same derived tables without the
+full recompute. This module carries that half, one function per state
+class, because the algebra splits cleanly in two:
+
+* :func:`rollup_state_r` / :func:`rollup_retract` — additive aggregates
+  are a GROUP (not just a monoid): every partial has an exact inverse, so
+  a retraction is a merge of NEGATED partials. The one subtlety is
+  nullability: ``sum`` ignores NULLs, so inverting it exactly requires
+  the state to also carry the count of NON-NULL measure rows (``n_vals``)
+  — without it, a group whose surviving rows are all-NULL would finalize
+  to 0 instead of NULL. Retract-capable rollup state therefore carries
+  (n_events, n_vals, sum_cents); groups whose n_events reaches zero are
+  dropped, exactly as a from-scratch recompute would never emit them.
+* :func:`topk_retract` — bounded top-k state is NOT invertible: evicting
+  a state row leaves a hole the k-row state cannot refill from itself
+  (the k+1-th row was discarded at build time). The correct policy is a
+  tombstone-aware REFILL: only groups where a tombstone actually hits a
+  state row are re-ranked, from the base table pruned to those groups
+  (semi-join — partition-pruned when the base is stored partitioned by
+  the group key); every other group's state passes through untouched.
+  A tombstone below the current cut can never change top-k, so the
+  affected-group set is exact, not conservative.
+* :func:`scd2_retract` — SCD-2 islands are also non-invertible: deleting
+  the events of a middle island can COALESCE its neighbours (same state
+  on both sides), which cannot be derived from the island table alone.
+  Same refill policy: rebuild only the affected users from the base
+  event history pruned to them; untouched users pass through.
+
+Separate module by design (staleness blast radius: incremental.py holds
+four fresh attestations; see MEMORY / tools/blast_radius.py). Reference
+scope note: the reference's point delete is P4
+(backend/process/postgres.py:365-400, delete-by-ids); this module is
+that operation composed with derived state — part of the
+training-data-pipeline extension surface (SURVEY.md step 8).
+
+Scale shapes: the rollup retract is one hash shuffle over state +
+retract-batch rollup rows; the top-k refill probes the base for affected
+GROUPS only (the semi-join key is the state's own group key, so a
+group-partitioned base prunes to the touched partitions); the SCD-2
+rebuild reads the base history for affected USERS only. No path ever
+re-reads the full raw history — the entire point of keeping state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .incremental import _cents, scd2_state, topk_state
+
+
+def rollup_state_r(events: DataFrame) -> DataFrame:
+    """Retract-capable hourly rollup state: (window_start, event_type,
+    n_events, n_vals, sum_cents). Identical to incremental.hourly_rollup
+    plus ``n_vals`` — the count of non-NULL measure rows, the extra
+    integer that makes the state an exact GROUP element (see module
+    docstring: without it, all-NULL-survivor groups finalize wrong)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count("value").alias("n_vals"),
+            F.sum(_cents(F.col("value"))).alias("sum_cents"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:00").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "n_vals",
+            "sum_cents",
+        )
+    )
+
+
+def _rollup_add(state: DataFrame, delta_state: DataFrame) -> DataFrame:
+    return (
+        state.unionByName(delta_state)
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("n_vals").alias("n_vals"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+def rollup_merge_r(stored: DataFrame, delta_events: DataFrame) -> DataFrame:
+    """Insert-side merge of the retract-capable state (the
+    incremental.rollup_merge algebra over the 3-partial shape)."""
+    return _rollup_add(stored, rollup_state_r(delta_events))
+
+
+def rollup_retract(stored: DataFrame, retract_events: DataFrame) -> DataFrame:
+    """Absorb a batch of REMOVALS (CDC delete records / GDPR erasure —
+    the deleted rows' images, which is how a changefeed delivers deletes)
+    into the persisted rollup: aggregate the retract batch alone, NEGATE
+    its integer partials, and merge. Exact because int64 partials form a
+    group under addition. Groups whose n_events reaches zero are dropped
+    — a from-scratch recompute of the surviving rows never emits them.
+    Requires retract_events ⊆ the rows the state was built from (the CDC
+    contract); one hash shuffle over state + retract-rollup rows, the
+    historical raw events never reread."""
+    neg = rollup_state_r(retract_events).select(
+        "window_start",
+        "event_type",
+        (-F.col("n_events")).alias("n_events"),
+        (-F.col("n_vals")).alias("n_vals"),
+        (-F.col("sum_cents")).alias("sum_cents"),
+    )
+    return _rollup_add(stored, neg).where(F.col("n_events") > 0)
+
+
+def rollup_finalize_r(state: DataFrame) -> DataFrame:
+    """Display edge: cents → double sum_value, NULL when no surviving row
+    carried a value (n_vals = 0) — bit-matching the from-scratch sum."""
+    return state.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.when(
+            F.col("n_vals") > 0, F.col("sum_cents").cast("double") / 100
+        ).alias("sum_value"),
+    )
+
+
+def topk_retract(
+    state: DataFrame,
+    base: DataFrame,
+    tombstones: DataFrame,
+    group_cols: list[str],
+    score_col: str,
+    k: int,
+    tie_break: str,
+) -> DataFrame:
+    """Tombstone-aware top-k maintenance: ``tombstones`` carries
+    (group_cols…, tie_break) keys of deleted base rows. A tombstone below
+    the current cut cannot change top-k, so the AFFECTED groups are
+    exactly those where a tombstone hits a state row; only those are
+    re-ranked, from the base pruned to them (semi-join on the group key —
+    partition-pruned when the base is stored partitioned by it) minus the
+    tombstoned rows. Untouched groups pass through without consulting the
+    base at all (test-pinned via a poison-row probe,
+    tests/test_retraction.py). A group whose surviving base rows run out
+    refills short (or disappears) — exactly the from-scratch answer."""
+    key = [*group_cols, tie_break]
+    affected = (
+        state.join(tombstones.select(*key), key, "left_semi")
+        .select(*group_cols)
+        .distinct()
+    )
+    survivors = base.join(affected, group_cols, "left_semi").join(
+        tombstones.select(*key), key, "left_anti"
+    )
+    refill = topk_state(survivors, group_cols, score_col, k, tie_break)
+    untouched = state.join(affected, group_cols, "left_anti")
+    return untouched.unionByName(refill)
+
+
+def scd2_retract(
+    state: DataFrame, base_events: DataFrame, deleted: DataFrame
+) -> DataFrame:
+    """Absorb event-level deletions (late-arriving corrections / GDPR)
+    into SCD-2 island state: island tables are not invertible — removing
+    a middle island's events can COALESCE its neighbours — so the policy
+    is an affected-user rebuild: users named in ``deleted`` (user_id,
+    event_id) are re-derived from the base history pruned to them (one
+    semi-join) minus the deleted events; every other user's state passes
+    through untouched (test-pinned via a poison-row probe). A user whose
+    events are all deleted disappears, as a from-scratch recompute would
+    have it. ``ord`` is per-user, so rebuilt and untouched rows need no
+    renumbering to remain valid mergeable state."""
+    affected = deleted.select("user_id").distinct()
+    survivors = base_events.join(affected, "user_id", "left_semi").join(
+        deleted.select("user_id", "event_id"),
+        ["user_id", "event_id"],
+        "left_anti",
+    )
+    rebuilt = scd2_state(survivors)
+    untouched = state.join(affected, "user_id", "left_anti")
+    return untouched.unionByName(rebuilt)

@@ -1,0 +1,286 @@
+"""operators/retraction.py — delete/retraction merges attested equal to
+a from-scratch recompute over the surviving rows.
+
+The defining algebra per family: rollup partials form a GROUP (negated
+partials merge exactly, emptied groups drop, all-NULL-survivor groups
+finalize to NULL — the n_vals subtlety); top-k and SCD-2 are
+non-invertible, so the refill/rebuild must (a) equal from-scratch and
+(b) provably touch ONLY affected groups/users — pinned here with poison
+rows planted in the base for untouched groups: if the operator consulted
+the base for them, the poison would surface in the output.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from auto_vectordb_spark.operators import incremental as IC
+from auto_vectordb_spark.operators import retraction as RT
+from auto_vectordb_spark.plans.parity import load_views
+
+SF = "/root/testdata/sf0.001"
+
+CUTOFF = "2024-01-16 00:00:00"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_views(spark, SF)["events"]
+
+
+def _rows(df, key_cols):
+    return {tuple(r[c] for c in key_cols): r for r in df.collect()}
+
+
+# ---------------------------------------------------------------- rollup
+
+
+def test_rollup_retract_equals_from_scratch(spark, events, tmp_path):
+    """Persist state for the old batch, merge the new batch, retract a
+    GDPR user set — equals the from-scratch rollup of survivors."""
+    old = events.where(F.col("ts") < CUTOFF)
+    new = events.where(F.col("ts") >= CUTOFF)
+    deleted = events.where(F.pmod(F.col("user_id"), F.lit(37)) == 0)
+    state = RT.rollup_state_r(old)
+    path = str(tmp_path / "rollup_state_r")
+    state.write.parquet(path)
+    stored = spark.read.schema(state.schema).parquet(path)
+    got = _rows(
+        RT.rollup_finalize_r(
+            RT.rollup_retract(RT.rollup_merge_r(stored, new), deleted)
+        ),
+        ["window_start", "event_type"],
+    )
+    survivors = events.where(
+        ~F.coalesce(F.pmod(F.col("user_id"), F.lit(37)) == 0, F.lit(False))
+    )
+    want = _rows(
+        RT.rollup_finalize_r(RT.rollup_state_r(survivors)),
+        ["window_start", "event_type"],
+    )
+    assert set(got) == set(want) and len(want) > 0
+    for k in want:
+        assert got[k].n_events == want[k].n_events
+        assert got[k].sum_value == want[k].sum_value  # int64 partials: exact
+
+
+def test_rollup_retract_drops_emptied_group_and_nulls_sum(spark):
+    """Two crafted groups: one fully deleted (must vanish — from-scratch
+    never emits it), one whose surviving rows are all NULL-valued (sum
+    must finalize to NULL, not 0 — the n_vals case)."""
+    schema = "event_id long, user_id long, ts string, event_type string, value double"
+    base = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00", "gone", 5.0),
+            (2, 1, "2024-01-01 10:30:00", "gone", 7.0),
+            (3, 2, "2024-01-01 10:00:00", "mix", 9.0),
+            (4, 2, "2024-01-01 10:30:00", "mix", None),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    deleted = base.where(F.col("event_id").isin(1, 2, 3))
+    got = _rows(
+        RT.rollup_finalize_r(
+            RT.rollup_retract(RT.rollup_state_r(base), deleted)
+        ),
+        ["window_start", "event_type"],
+    )
+    assert set(got) == {("2024-01-01 10:00", "mix")}
+    r = got[("2024-01-01 10:00", "mix")]
+    assert r.n_events == 1 and r.sum_value is None
+
+
+def test_rollup_retract_chains_with_merge(spark, events):
+    """retract(merge(retract(s, d1), b2), d2) == from-scratch — the
+    output is itself retract-capable state."""
+    old = events.where(F.col("ts") < CUTOFF)
+    new = events.where(F.col("ts") >= CUTOFF)
+    d1 = old.where(F.pmod(F.col("event_id"), F.lit(11)) == 0)
+    d2 = new.where(F.pmod(F.col("event_id"), F.lit(13)) == 0)
+    chained = RT.rollup_retract(
+        RT.rollup_merge_r(
+            RT.rollup_retract(RT.rollup_state_r(old), d1), new
+        ),
+        d2,
+    )
+    survivors = events.where(
+        ~(
+            ((F.col("ts") < CUTOFF) & (F.pmod(F.col("event_id"), F.lit(11)) == 0))
+            | ((F.col("ts") >= CUTOFF) & (F.pmod(F.col("event_id"), F.lit(13)) == 0))
+        )
+    )
+    got = _rows(
+        RT.rollup_finalize_r(chained), ["window_start", "event_type"]
+    )
+    want = _rows(
+        RT.rollup_finalize_r(RT.rollup_state_r(survivors)),
+        ["window_start", "event_type"],
+    )
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].n_events, got[k].sum_value) == (
+            want[k].n_events,
+            want[k].sum_value,
+        )
+
+
+# ----------------------------------------------------------------- top-k
+
+
+def _topk_inputs(spark):
+    t = load_views(spark, SF)
+    return (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+def test_topk_retract_equals_from_scratch(spark):
+    j = _topk_inputs(spark)
+    args = (["c_mktsegment"], "o_totalprice", 3, "o_orderkey")
+    state = IC.topk_state(j, *args[:3], tie_break=args[3])
+    tombs = j.where(F.pmod(F.col("o_orderkey"), F.lit(7)) == 0).select(
+        "c_mktsegment", "o_orderkey"
+    )
+    got = RT.topk_retract(state, j, tombs, *args[:3], tie_break=args[3])
+    survivors = j.where(F.pmod(F.col("o_orderkey"), F.lit(7)) != 0)
+    want = IC.topk_state(survivors, *args[:3], tie_break=args[3])
+    key = lambda df: sorted(
+        (r.c_mktsegment, r.o_orderkey, r.o_totalprice) for r in df.collect()
+    )
+    assert key(got) == key(want)
+    per_group = got.groupBy("c_mktsegment").count().collect()
+    assert all(r["count"] <= 3 for r in per_group)
+
+
+def test_topk_retract_touches_only_affected_groups(spark):
+    """Poison proof: group B's base contains a row that WOULD enter the
+    top-k if B were re-ranked from base, but B's state predates it and no
+    tombstone touches B — so B's (stale-by-construction) state must pass
+    through verbatim. Also: tombstone below the cut in A2 is a no-op."""
+    schema = "g string, id long, score double"
+    state = spark.createDataFrame(
+        [("A", 1, 9.0), ("A", 2, 8.0), ("B", 10, 5.0), ("B", 11, 4.0)],
+        schema,
+    )
+    base = spark.createDataFrame(
+        [
+            ("A", 1, 9.0),
+            ("A", 2, 8.0),
+            ("A", 3, 7.0),  # A's refill candidate
+            ("B", 10, 5.0),
+            ("B", 11, 4.0),
+            ("B", 99, 100.0),  # poison: surfaces only if B consults base
+        ],
+        schema,
+    )
+    tombs = spark.createDataFrame([("A", 1)], "g string, id long")
+    got = {
+        (r.g, r.id): r.score
+        for r in RT.topk_retract(
+            state, base, tombs, ["g"], "score", 2, "id"
+        ).collect()
+    }
+    assert got == {("A", 2): 8.0, ("A", 3): 7.0, ("B", 10): 5.0, ("B", 11): 4.0}
+    # tombstone below the cut: id 3 not in state -> nothing changes
+    tombs2 = spark.createDataFrame([("A", 3)], "g string, id long")
+    got2 = {
+        (r.g, r.id)
+        for r in RT.topk_retract(
+            state, base, tombs2, ["g"], "score", 2, "id"
+        ).collect()
+    }
+    assert got2 == {("A", 1), ("A", 2), ("B", 10), ("B", 11)}
+
+
+def test_topk_retract_short_refill_and_emptied_group(spark):
+    schema = "g string, id long, score double"
+    state = spark.createDataFrame([("A", 1, 9.0), ("A", 2, 8.0)], schema)
+    base = spark.createDataFrame([("A", 1, 9.0), ("A", 2, 8.0)], schema)
+    # delete one of two -> refill short (1 row < k)
+    tombs = spark.createDataFrame([("A", 1)], "g string, id long")
+    got = RT.topk_retract(state, base, tombs, ["g"], "score", 2, "id").collect()
+    assert [(r.g, r.id) for r in got] == [("A", 2)]
+    # delete both -> group disappears
+    tombs2 = spark.createDataFrame([("A", 1), ("A", 2)], "g string, id long")
+    assert (
+        RT.topk_retract(state, base, tombs2, ["g"], "score", 2, "id").count()
+        == 0
+    )
+
+
+# ----------------------------------------------------------------- SCD-2
+
+
+def _scd2_rows(df):
+    return sorted(
+        (r.user_id, r.state, r.valid_from_s, r.valid_to_s, r.n_events)
+        for r in df.collect()
+    )
+
+
+def test_scd2_retract_equals_from_scratch(spark, events):
+    state = IC.scd2_state(events)
+    deleted = events.where(
+        F.pmod(F.col("event_id"), F.lit(101)) == 0
+    ).select("user_id", "event_id")
+    got = IC.scd2_finalize(RT.scd2_retract(state, events, deleted))
+    survivors = events.where(F.pmod(F.col("event_id"), F.lit(101)) != 0)
+    want = IC.scd2_finalize(IC.scd2_state(survivors))
+    assert _scd2_rows(got) == _scd2_rows(want)
+
+
+def test_scd2_retract_coalesces_across_deleted_island(spark):
+    """Delete the middle island's events entirely: the same-state
+    neighbours must coalesce into ONE island — the non-invertible case
+    that forces the affected-user rebuild. The untouched user carries a
+    poison base row (not reflected in state) that must NOT surface."""
+    schema = "event_id long, user_id long, event_type string, ts string"
+    base = spark.createDataFrame(
+        [
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 1, "click", "2024-01-01 11:00:00"),  # middle island
+            (3, 1, "view", "2024-01-01 12:00:00"),
+            (4, 2, "view", "2024-01-01 10:00:00"),
+            (5, 2, "buy", "2024-01-01 13:00:00"),  # poison for user 2
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # state predates event 5 (user 2's poison): one view island only
+    state = IC.scd2_state(base.where(F.col("event_id") != 5))
+    deleted = spark.createDataFrame([(1, 2)], "user_id long, event_id long")
+    got = {
+        (r.user_id, r.state): r
+        for r in IC.scd2_finalize(
+            RT.scd2_retract(state, base, deleted)
+        ).collect()
+    }
+    # user 1: view islands coalesced (2 events, one open row)
+    assert set(got) == {(1, "view"), (2, "view")}
+    assert got[(1, "view")].n_events == 2
+    assert got[(1, "view")].valid_from_s == "2024-01-01 10:00:00"
+    assert got[(1, "view")].valid_to_s is None
+    # user 2 untouched: the poison buy event did NOT surface
+    assert got[(2, "view")].n_events == 1
+
+
+def test_scd2_retract_full_user_delete_disappears(spark):
+    schema = "event_id long, user_id long, event_type string, ts string"
+    base = spark.createDataFrame(
+        [
+            (1, 1, "view", "2024-01-01 10:00:00"),
+            (2, 2, "view", "2024-01-01 10:00:00"),
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = IC.scd2_state(base)
+    deleted = spark.createDataFrame([(1, 1)], "user_id long, event_id long")
+    got = RT.scd2_retract(state, base, deleted).collect()
+    assert [(r.user_id, r.state) for r in got] == [(2, "view")]
