@@ -18,7 +18,11 @@ Scale design
   shape as cluster.assign_centroids). Deterministic codebooks here are
   "subvectors of the ksub lowest-id rows" — the standard seeded-sample
   baseline; :func:`pq_codebooks_kmeans` upgrades them with per-subspace
-  MLlib KMeans without changing any downstream shape.
+  MLlib KMeans without changing any downstream shape. THE PRODUCTION
+  DEFAULT is the trained path at m=16/ksub=256 via the broadcast
+  encode/ADC functions (recall@10 0.82 vs the seed baseline's 0.31 —
+  RECALL.md; gated in tests/test_ann.py): use the seed codebooks only as
+  the oracle-attestable twin.
 * **Search (ADC)**: the per-query distance table (m · ksub doubles) is
   broadcast; scoring a corpus row is ``Σ_j dtable[j][code_j]`` — array
   element_at lookups, no float math over the original vectors, one scan,
@@ -49,7 +53,16 @@ def pq_codebooks_seed(
 ) -> list[list[list[float]]]:
     """codebooks[j][c] = centroid c of subspace j, taken from the ``ksub``
     lowest-id vectors (deterministic seeded-sample training — the oracle
-    twin; collect is ksub rows, tiny by construction)."""
+    twin; collect is ksub rows, tiny by construction).
+
+    .. warning:: BASELINE KNOBS, NOT A PRODUCTION INDEX. Seed codebooks at
+       the default m=4/ksub=16 measure recall@10 ≈ 0.31 on isotropic 64-d
+       data (RECALL.md) — they exist because they are deterministic and
+       SQL-expressible, i.e. cross-engine attestable. Ship
+       :func:`pq_codebooks_kmeans` at m=16/ksub=256 with the broadcast
+       encode/ADC path instead (recall@10 ≈ 0.82, gated >= 0.8 in
+       tests/test_ann.py::test_trained_pq_recall_gate; registry entries
+       knn_pq_adc_trained / knn_ivf_pq_trained)."""
     # train on the ksub lowest-id VALID vectors: a NULL / zero-length /
     # NULL-element embedding among the lowest ids fails the row, not the
     # training run (len(None)/slice-of-None were driver-side TypeErrors),

@@ -9467,6 +9467,56 @@ def scd2_incremental(spark, sf):
 
 
 @_register(
+    "knn_pq_adc_trained",
+    None,  # MLlib-KMeans codebooks are not DuckDB-expressible — rows-only;
+    # recall is gated instead (tests/test_ann.py::test_trained_pq_recall_gate)
+    doc="PQ ADC at the PRODUCTION default knobs (pq.pq_codebooks_kmeans "
+    "m=16, ksub=256 + the broadcast data-driven encode/ADC path): "
+    "recall@10 = 0.82 vs the exact-L2 oracle on this fixture, gated >= 0.8 "
+    "— the path a user should ship, vs the seed-codebook knn_pq_adc entry "
+    "(0.315) which exists because its deterministic codebooks are the "
+    "cross-engine-attestable twin (r11 verdict #3: the weak knobs must not "
+    "be the only registry citizen). Codebooks are data (a few MB "
+    "broadcast); the corpus side reads ONLY the 16-byte code table",
+)
+def knn_pq_adc_trained(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    books = PQ.pq_codebooks_kmeans(emb, m=16, ksub=256)
+    codes = PQ.pq_encode_broadcast(emb, books)
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return PQ.pq_adc_topk_broadcast(queries, codes, books, k=_KNN_K)
+
+
+@_register(
+    "knn_ivf_pq_trained",
+    None,  # rows-only: trained codebooks (see knn_pq_adc_trained)
+    doc="IVF-PQ (IVFADC) at the production default knobs: trained m=16/"
+    "ksub=256 codebooks + nprobe=8 of the 10-centroid coarse index — "
+    "recall@10 = 0.795 here, gated >= 0.75 (the ceiling is the trained "
+    "ADC's 0.82: this fixture is nearly isotropic, so bucket pruning costs "
+    "~0.025 recall; on genuinely clustered data low nprobe suffices — "
+    "RECALL.md). The 100 TB shape: centroid-pruned code partitions, "
+    "distance tables broadcast, corpus floats never read at query time",
+)
+def knn_ivf_pq_trained(spark, sf):
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    centroids = KNN.label_centroids(emb)
+    cells = KNN.ivf_build(emb, centroids).select("vec_id", "centroid_id")
+    books = PQ.pq_codebooks_kmeans(emb, m=16, ksub=256)
+    codes_indexed = PQ.pq_encode_broadcast(emb, books).join(cells, "vec_id")
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return PQ.ivf_pq_topk_broadcast(
+        queries, codes_indexed, centroids, books, k=_KNN_K, nprobe=8
+    )
+
+
+@_register(
     "split_manifest_consumed",
     None,  # placeholder — replaced right below with the twin's SQL
     doc="The production manifest call pattern (manifest."

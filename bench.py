@@ -19,6 +19,15 @@ window top-k (topk_per_group), exact kNN (knn_exact_cosine), BM25, hybrid
 fusion, MinHash-LSH dedup, n-gram Jaccard dedup, embedding near-dup,
 sessionization, text quality scoring.
 
+Round 12 adds a SECOND frozen suite (HEADLINE_V2, r11 verdict #2): one
+representative per post-r4 family — storage compaction apply, footer-stats
+pruned probe, incremental rollup merge + its retraction, SCD-2 merge,
+incremental snapshot dedup, curriculum packing, incremental
+decontamination — timed in the same repeat loop at the same SF and
+reported on separate ``value_v2``/``queries_v2``/``runs_v2`` channels so
+the legacy 14-query channels stay comparable back to r1. BASELINE.md
+carries the v2 baseline row from its first green run (r12).
+
 Measurement notes: each query is timed once per repeat after an sf0.001
 warm pass and a pre-query System.gc() (hygiene documented inline).
 Since round 11 ``value``/``queries`` ARE the per-query medians over
@@ -90,6 +99,25 @@ HEADLINE = [
     "training_set_build",
 ]
 
+# Second suite (round 12, r11 verdict #2): the legacy 14 were frozen around
+# r1-r4 and time <10% of the registry — nothing wall-clocked the engine's
+# actual 100 TB story (storage maintenance, incremental state merges,
+# lifecycle dedup, curation packing). One representative per modern family,
+# same sf, same median convention, reported on SEPARATE channels
+# (value_v2/queries_v2/runs_v2) so the legacy value/queries numbers stay
+# comparable across every prior round. Baseline row recorded in BASELINE.md
+# at the first green run (r12). This set is now frozen too.
+HEADLINE_V2 = [
+    "zorder_compaction_apply",
+    "zorder_ranged_probe",
+    "rollup_incremental",
+    "rollup_incremental_retract",
+    "scd2_incremental",
+    "dedup_snapshot_incremental",
+    "curation_curriculum_packs",
+    "decontaminate_incremental",
+]
+
 
 def _host_telemetry() -> dict:
     """Host-condition snapshot (round-8 self-attribution).
@@ -132,7 +160,7 @@ def main() -> None:
     # SF first so JVM/whole-stage-codegen compilation (several seconds,
     # one-time per plan shape) isn't charged to whichever query runs first.
     warm_dir = "/root/testdata/sf0.001"
-    for name in HEADLINE:
+    for name in [*HEADLINE, *HEADLINE_V2]:
         try:
             REGISTRY[name].spark(spark, warm_dir).count()
         except Exception:
@@ -150,11 +178,12 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "600"))
     t_bench0 = time.perf_counter()
     all_runs: list[dict[str, float]] = []
+    all_runs_v2: list[dict[str, float]] = []
     runs_detail: list[dict] = []
     for _ in range(repeats):
         if all_runs:
             elapsed = time.perf_counter() - t_bench0
-            last = sum(all_runs[-1].values())
+            last = sum(all_runs[-1].values()) + sum(all_runs_v2[-1].values())
             if elapsed + 1.5 * last > budget:
                 break
         # Repeats must be cold-cache: entries that persist() intermediates
@@ -166,7 +195,11 @@ def main() -> None:
         pre_telemetry = _host_telemetry()
         t_run0 = time.perf_counter()
         timings: dict[str, float] = {}
-        for name in HEADLINE:
+        timings_v2: dict[str, float] = {}
+        for name, sink in [
+            *((n, timings) for n in HEADLINE),
+            *((n, timings_v2) for n in HEADLINE_V2),
+        ]:
             q = REGISTRY[name]
             # Standard JVM benchmark hygiene: collect the PREVIOUS query's
             # garbage outside this query's timed window, so a G1 pause
@@ -176,24 +209,30 @@ def main() -> None:
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
             n = df.count() if df.isStreaming is False else -1
-            timings[name] = round(time.perf_counter() - t0, 3)
+            sink[name] = round(time.perf_counter() - t0, 3)
             assert n >= 0, f"{name} returned no count"
         all_runs.append(timings)
+        all_runs_v2.append(timings_v2)
         runs_detail.append(
             {
                 "queries": timings,
+                "queries_v2": timings_v2,
                 "wall_sec": round(time.perf_counter() - t_run0, 3),
                 "offset_sec": round(t_run0 - t_bench0, 3),
                 "pre": pre_telemetry,
                 "post": _host_telemetry(),
             }
         )
-    compact = _compact_payload(all_runs, sf)
+    compact = _compact_payload(all_runs, all_runs_v2, sf)
     _emit(compact, {"metric": "headline_suite_detail", "runs_detail": runs_detail, "sf": sf})
     spark.stop()
 
 
-def _compact_payload(all_runs: list[dict[str, float]], sf: float) -> dict:
+def _compact_payload(
+    all_runs: list[dict[str, float]],
+    all_runs_v2: list[dict[str, float]],
+    sf: float,
+) -> dict:
     """The driver-facing shape — MEDIAN channel + run-1 telemetry, NO detail.
 
     Convention change (round 11, r10 verdict #3/next-round #5): ``value``/
@@ -205,18 +244,32 @@ def _compact_payload(all_runs: list[dict[str, float]], sf: float) -> dict:
     (whose ``value`` was run-1); BASELINE.md documents both conventions.
     A/B children run with SPARK_GRAFT_REPEATS=1, where median == run-1, so
     --ab semantics are unchanged.
+
+    Round 12 (r11 verdict #2): the modern-family suite rides SEPARATE
+    channels — ``value_v2``/``queries_v2``/``runs_v2``, same median
+    statistic — so the legacy channels stay frozen and cross-round
+    comparable. ``value_convention`` stamps the semantics programmatically
+    (r11 ADVICE #4).
     """
     medians = {
         name: round(statistics.median(r[name] for r in all_runs), 3) for name in HEADLINE
+    }
+    medians_v2 = {
+        name: round(statistics.median(r[name] for r in all_runs_v2), 3)
+        for name in HEADLINE_V2
     }
     return {
         "metric": "headline_suite_total",
         "value": round(sum(medians.values()), 3),
         "unit": "sec",
+        "value_convention": "median",
         "queries": medians,
         "value_run1": round(sum(all_runs[0].values()), 3),
         "queries_run1": all_runs[0],
         "runs": [round(sum(r.values()), 3) for r in all_runs],
+        "value_v2": round(sum(medians_v2.values()), 3),
+        "queries_v2": medians_v2,
+        "runs_v2": [round(sum(r.values()), 3) for r in all_runs_v2],
         "sf": sf,
     }
 

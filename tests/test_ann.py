@@ -341,10 +341,13 @@ def test_pq_broadcast_paths_match_literal(queries, emb):
 
 
 def test_trained_pq_recall_gate(spark, queries, emb):
-    """Trained-codebook PQ at production granularity (m=16, ksub=256 MLlib
-    KMeans, broadcast data-driven path) must clear recall@10 >= 0.7 vs the
-    exact-L2 oracle BOTH full-scan and as IVF-PQ at nprobe=8 — the round-4
-    verdict's usable-tier floor (RECALL.md records the measured curve; the
+    """Trained-codebook PQ at the production DEFAULT knobs (m=16, ksub=256
+    MLlib KMeans, broadcast data-driven path — what knn_pq_adc_trained /
+    knn_ivf_pq_trained ship) must clear recall@10 >= 0.8 full-scan and
+    >= 0.75 as IVF-PQ at nprobe=8 vs the exact-L2 oracle (r11 verdict #3:
+    the default knob a user ships must gate >= 0.8; the IVF-PQ ceiling is
+    the trained ADC's 0.82 — this fixture is nearly isotropic, so pruning
+    2 of 10 buckets costs ~0.025 recall. RECALL.md records the curve; the
     seed-codebook tiers stay gated at their honest >=0.2 floor)."""
     import numpy as np
 
@@ -364,7 +367,7 @@ def test_trained_pq_recall_gate(spark, queries, emb):
     full = _recall(
         PQ.pq_adc_topk_broadcast(queries, codes, books, k=K).collect(), exact_l2
     )
-    assert full >= 0.7, f"trained full-scan ADC recall@10 = {full}"
+    assert full >= 0.8, f"trained full-scan ADC recall@10 = {full}"
 
     centroids = KNN.label_centroids(emb)
     cells = KNN.ivf_build(emb, centroids).select("vec_id", "centroid_id")
@@ -375,7 +378,7 @@ def test_trained_pq_recall_gate(spark, queries, emb):
         ).collect(),
         exact_l2,
     )
-    assert ivf >= 0.7, f"trained IVF-PQ nprobe=8 recall@10 = {ivf}"
+    assert ivf >= 0.75, f"trained IVF-PQ nprobe=8 recall@10 = {ivf}"
 
 
 def test_hard_negative_mining_excludes_query_label(spark):

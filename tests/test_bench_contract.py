@@ -18,7 +18,9 @@ from auto_vectordb_spark.plans.parity import REGISTRY
 
 
 def test_headline_queries_are_registered():
-    missing = [n for n in bench.HEADLINE if n not in REGISTRY]
+    missing = [
+        n for n in [*bench.HEADLINE, *bench.HEADLINE_V2] if n not in REGISTRY
+    ]
     assert not missing, f"HEADLINE names not in REGISTRY: {missing}"
 
 
@@ -27,6 +29,9 @@ def test_headline_set_is_frozen():
     # exact 14-query dialect — additions belong in a NEW metric, not here
     assert len(bench.HEADLINE) == 14
     assert bench.HEADLINE[0] == "q1_pricing_summary"
+    # the r12 modern-family suite is frozen the same way, on its own channel
+    assert len(bench.HEADLINE_V2) == 8
+    assert bench.HEADLINE_V2[0] == "zorder_compaction_apply"
 
 
 @pytest.mark.skipif(
@@ -56,23 +61,27 @@ def test_host_telemetry_loadavg_all_or_nothing(monkeypatch):
     assert "loadavg" not in bench._host_telemetry()
 
 
-def _worst_case_runs(n_repeats: int = 3) -> list[dict[str, float]]:
+def _worst_case_runs(n_repeats: int = 3):
     # 5-digit-seconds timings (unrealistically slow) stress the serialized width
-    return [{name: 86400.123 + i for name in bench.HEADLINE} for i in range(n_repeats)]
+    return (
+        [{name: 86400.123 + i for name in bench.HEADLINE} for i in range(n_repeats)],
+        [{name: 86400.123 + i for name in bench.HEADLINE_V2} for i in range(n_repeats)],
+    )
 
 
 def test_final_line_fits_driver_capture_window():
-    line = json.dumps(bench._compact_payload(_worst_case_runs(), sf=0.1))
+    line = json.dumps(bench._compact_payload(*_worst_case_runs(), sf=0.1))
     assert len(line) <= bench.MAX_FINAL_LINE, (
         f"{len(line)} chars — the driver tail-captures 2,000; BENCH would be parsed:null"
     )
 
 
 def test_compact_payload_has_frozen_keys_and_no_detail():
-    p = bench._compact_payload(_worst_case_runs(), sf=0.1)
+    p = bench._compact_payload(*_worst_case_runs(), sf=0.1)
     assert set(p) == {
-        "metric", "value", "unit", "queries", "value_run1",
-        "queries_run1", "runs", "sf",
+        "metric", "value", "unit", "value_convention", "queries",
+        "value_run1", "queries_run1", "runs",
+        "value_v2", "queries_v2", "runs_v2", "sf",
     }
     assert "runs_detail" not in p
 
@@ -86,21 +95,30 @@ def test_value_is_median_channel_and_run1_is_preserved():
         {name: 5.0 for name in bench.HEADLINE},  # noisy middle repeat
         {name: 1.2 for name in bench.HEADLINE},
     ]
-    p = bench._compact_payload(runs, sf=0.1)
+    runs_v2 = [
+        {name: 2.0 for name in bench.HEADLINE_V2},
+        {name: 9.0 for name in bench.HEADLINE_V2},
+        {name: 2.4 for name in bench.HEADLINE_V2},
+    ]
+    p = bench._compact_payload(runs, runs_v2, sf=0.1)
     n = len(bench.HEADLINE)
     assert p["value"] == round(1.2 * n, 3)  # sum of per-query medians
     assert p["queries"] == {name: 1.2 for name in bench.HEADLINE}
     assert p["value_run1"] == round(1.0 * n, 3)
     assert p["queries_run1"] == runs[0]
+    assert p["value_convention"] == "median"
+    # v2 channel: same median statistic, legacy channels untouched by it
+    assert p["value_v2"] == round(2.4 * len(bench.HEADLINE_V2), 3)
+    assert p["queries_v2"] == {name: 2.4 for name in bench.HEADLINE_V2}
     # single-repeat invocation (the A/B child mode): median == run-1
-    p1 = bench._compact_payload(runs[:1], sf=0.1)
+    p1 = bench._compact_payload(runs[:1], runs_v2[:1], sf=0.1)
     assert p1["value"] == p1["value_run1"]
 
 
 def test_emit_prints_compact_last_and_sidecars_detail(tmp_path, capsys, monkeypatch):
     sidecar = tmp_path / "detail.json"
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(sidecar))
-    compact = bench._compact_payload(_worst_case_runs(), sf=0.01)
+    compact = bench._compact_payload(*_worst_case_runs(), sf=0.01)
     detail = {"metric": "headline_suite_detail", "runs_detail": [{"pre": {}}], "sf": 0.01}
     bench._emit(compact, detail)
     out_lines = capsys.readouterr().out.strip().splitlines()
@@ -113,7 +131,7 @@ def test_emit_falls_back_to_stdout_when_sidecar_unwritable(tmp_path, capsys, mon
     monkeypatch.setenv(
         "SPARK_GRAFT_BENCH_DETAIL", str(tmp_path / "no_dir" / "detail.json")
     )
-    compact = bench._compact_payload(_worst_case_runs(1), sf=0.01)
+    compact = bench._compact_payload(*_worst_case_runs(1), sf=0.01)
     detail = {"metric": "headline_suite_detail", "runs_detail": [], "sf": 0.01}
     bench._emit(compact, detail)
     out_lines = capsys.readouterr().out.strip().splitlines()

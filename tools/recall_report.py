@@ -175,9 +175,14 @@ def main() -> None:
         "quantization is exact by construction) — these 20-query curves",
         "are the honest out-of-seed numbers. The TRAINED rows (m=16,",
         "ksub=256 MLlib-KMeans codebooks via the broadcast data-driven",
-        "encode/ADC path) are the production-shaped tier: recall floors",
-        ">=0.7 full-scan and >=0.7 at nprobe=8 are gated in",
-        "tests/test_ann.py::test_trained_pq_recall_gate.",
+        "encode/ADC path) are the PRODUCTION DEFAULT (registry entries",
+        "knn_pq_adc_trained / knn_ivf_pq_trained; pq_codebooks_seed's",
+        "docstring warns against shipping the baseline knobs): recall",
+        "floors >=0.8 full-scan and >=0.75 at nprobe=8 are gated in",
+        "tests/test_ann.py::test_trained_pq_recall_gate. (IVF-PQ's ceiling",
+        "is the trained ADC's full-scan figure; nprobe=10 of the 10",
+        "centroids here IS the full scan, so the honest IVF gate sits at",
+        "nprobe=8.)",
         "",
         "Caveat on IVF absolute numbers: these synthetic embeddings are",
         "nearly isotropic (max pairwise cosine ~0.48, weak label clusters),",
