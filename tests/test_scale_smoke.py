@@ -542,3 +542,68 @@ def test_rollup_merge_5m_rows(spark):
     want = IC.hourly_rollup(ev)
     assert merged.exceptAll(want).count() == 0
     assert want.exceptAll(merged).count() == 0
+
+
+def _synth_events_skewed(spark, n, hot_frac=0.2):
+    """Like _synth_events but one HOT user (id 0) owns ~hot_frac of all
+    rows — the classic power-law key distribution a user_id shuffle meets
+    in production."""
+    base_us = 1_700_000_000_000_000
+    hot_mod = int(1 / hot_frac)
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") % hot_mod == 0, F.lit(0))
+        .otherwise(F.col("id") % N_USERS)
+        .alias("user_id"),
+        F.timestamp_micros(
+            F.lit(base_us) + (F.abs(F.xxhash64("id")) % F.lit(5_000_000)) * F.lit(1_000_000)
+        ).alias("ts"),
+        (F.abs(F.xxhash64("id", F.lit(1))) % 10_000 / 100.0).alias("value"),
+    )
+
+
+def test_session_merge_skewed_hot_user_5m(spark):
+    """r11 verdict #6: the IVM merges shuffle on user_id — the classic
+    skew key. One hot user holds ~20% of 5M events (1M rows in one window
+    partition per batch); the merge must stay correct: merged state equals
+    one-shot sessionization, compared distributed, and the hot user's row
+    is spot-checked. The MERGE itself is skew-immune by construction
+    (state is one row per user — the full-outer join keys are unique);
+    the skew lands in the per-batch window, whose partition is bounded by
+    the BATCH's hot-user rows, not all history — exactly why the
+    state-merge posture beats per-ingest recompute under skew."""
+    from auto_vectordb_spark.operators import incremental as IC
+
+    ev = _synth_events_skewed(spark, 5_000_000)
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.coalesce(F.col("ts") >= cut, F.lit(True)))
+    merged = IC.session_merge(IC.session_state(old), IC.session_state(new))
+    want = IC.session_state(ev)
+    cols = ["user_id", "n_sessions", "n_events", "first_ts", "last_ts"]
+    assert merged.select(cols).exceptAll(want.select(cols)).count() == 0
+    assert want.select(cols).exceptAll(merged.select(cols)).count() == 0
+    hot = merged.where(F.col("user_id") == 0).first()
+    assert hot.n_events == 1_000_000
+
+
+def test_scd2_merge_skewed_hot_user_1m(spark):
+    """SCD-2 merge under the same hot-user skew at 1M rows: the island
+    derivation windows over the hot user's batch rows; the three merge
+    joins key on user_id over ISLAND tables (bounded by state changes),
+    so the skew never reaches the merge. Distributed equality against the
+    from-scratch rebuild."""
+    from auto_vectordb_spark.operators import incremental as IC
+
+    ev = _synth_events_skewed(spark, 1_000_000).withColumn(
+        "event_type", (F.abs(F.xxhash64("event_id", F.lit(2))) % 4).cast("string")
+    )
+    cut = ev.agg(F.expr("percentile_approx(ts, 0.5)")).first()[0]
+    old = ev.where(F.col("ts") < cut)
+    new = ev.where(F.coalesce(F.col("ts") >= cut, F.lit(True)))
+    merged = IC.scd2_finalize(
+        IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
+    )
+    want = IC.scd2_finalize(IC.scd2_state(ev))
+    assert merged.exceptAll(want).count() == 0
+    assert want.exceptAll(merged).count() == 0
