@@ -196,15 +196,14 @@ def zorder_compaction_apply(
         )
         .localCheckpoint(eager=True)
     )
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        merged.select(id_col, "xg", "yg", "z_bucket").repartition(
-            "z_bucket"
-        ).write.mode("overwrite").partitionBy("z_bucket").parquet(main_path)
-    finally:
-        spark.conf.set(mode_key, prev)
+    # dynamic overwrite scoped to THIS write via the writer option (r11
+    # ADVICE #1): mutating the session conf, even set/restore in finally,
+    # races concurrent writers on a shared SparkSession
+    merged.select(id_col, "xg", "yg", "z_bucket").repartition(
+        "z_bucket"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("z_bucket").parquet(main_path)
 
     dz.join(defer_buckets, "z_bucket", "left_semi").select(
         id_col, "xg", "yg", "z_bucket"
@@ -332,15 +331,12 @@ def zorder_compaction_cycle2(
     remaining = side.join(rewrite2, "z_bucket", "left_anti").localCheckpoint(
         eager=True
     )
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        merged.select(id_col, "xg", "yg", "z_bucket").repartition(
-            "z_bucket"
-        ).write.mode("overwrite").partitionBy("z_bucket").parquet(main_path)
-    finally:
-        spark.conf.set(mode_key, prev)
+    # writer-scoped dynamic overwrite (r11 ADVICE #1) — see the apply step
+    merged.select(id_col, "xg", "yg", "z_bucket").repartition(
+        "z_bucket"
+    ).write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("z_bucket").parquet(main_path)
     remaining.select(id_col, "xg", "yg", "z_bucket").repartition(
         "z_bucket"
     ).write.mode("overwrite").partitionBy("z_bucket").parquet(side_path)
@@ -518,11 +514,14 @@ def probe_z_intervals(
 def file_z_bounds(spark, path: str) -> list[tuple[str, int, int]]:
     """Per-file [min(z), max(z)] from parquet FOOTER statistics —
     metadata, never a data scan. Listing goes through the Hadoop
-    FileSystem API (URI-agnostic); the footer read uses pyarrow on the
-    listed paths, which is the local stand-in for what a lakehouse
-    manifest (Iceberg/Delta per-file column bounds) serves at scale —
-    the pruning DECISION consumes only (path, lo, hi) triples either
-    way. Sorted by file path for deterministic downstream math."""
+    FileSystem API and the footer read resolves a pyarrow FileSystem
+    from each FULL URI (r11 ADVICE #2: stripping to the bare path broke
+    hdfs://-or-s3://-backed tables), so both halves are URI-agnostic —
+    the local stand-in for what a lakehouse manifest (Iceberg/Delta
+    per-file column bounds) serves at scale; the pruning DECISION
+    consumes only (path, lo, hi) triples either way. Sorted by file
+    path for deterministic downstream math."""
+    import pyarrow.fs as pafs
     import pyarrow.parquet as pq
 
     jvm = spark._jvm
@@ -533,10 +532,12 @@ def file_z_bounds(spark, path: str) -> list[tuple[str, int, int]]:
     while it.hasNext():
         p = it.next().getPath()
         if p.getName().endswith(".parquet"):
-            files.append(p.toUri().getPath())
+            files.append(p.toUri().toString())
     out = []
     for f in sorted(files):
-        md = pq.ParquetFile(f).metadata
+        pa_fs, pa_path = pafs.FileSystem.from_uri(f)
+        with pa_fs.open_input_file(pa_path) as fh:
+            md = pq.ParquetFile(fh).metadata
         zi = md.schema.to_arrow_schema().get_field_index("z")
         los, his = [], []
         for rg in range(md.num_row_groups):

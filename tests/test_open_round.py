@@ -30,6 +30,11 @@ def test_artifact_regex_matches_ledger_files_only():
         "auto_vectordb_spark/plans/parity.json",
         "CORRECTNESS_r11.json.bak",
         "notes_CORRECTNESS_r11.json",
+        # r11 ADVICE #3: strays the loose pre-r12 regex wrongly matched
+        "BENCHr3.json",
+        "MARGINS.json",
+        "BENCH_AB_r9.json",
+        "CORRECTNESS_r.json",
     ]
     for f in yes:
         assert OR.ARTIFACT_RE.match(f), f

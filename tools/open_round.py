@@ -36,8 +36,11 @@ import sys
 
 REPO = "/root/repo"
 PARITY = f"{REPO}/auto_vectordb_spark/plans/parity.py"
+# Exact ledger shapes only (r11 ADVICE #3): the loose _?r?\d* form also
+# matched strays like 'BENCHr3.json' / 'MARGINS.json' / 'BENCH_AB_r9.json',
+# which would be silently swept into the artifact-only commit.
 ARTIFACT_RE = re.compile(
-    r"^(CORRECTNESS|BENCH|MARGINS|PARITY_LOCAL|BENCH_AB|BENCH_DETAIL)_?r?\d*\.json$"
+    r"^(?:(?:CORRECTNESS|BENCH|MARGINS|PARITY_LOCAL)_r\d+|BENCH_(?:AB|DETAIL))\.json$"
 )
 
 
