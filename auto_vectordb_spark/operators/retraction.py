@@ -52,7 +52,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .incremental import _cents, scd2_state, topk_state
+from .incremental import SESSION_GAP_US, _cents, scd2_state, session_state, topk_state
 
 
 def rollup_state_r(events: DataFrame) -> DataFrame:
@@ -162,6 +162,32 @@ def topk_retract(
     refill = topk_state(survivors, group_cols, score_col, k, tie_break)
     untouched = state.join(affected, group_cols, "left_anti")
     return untouched.unionByName(refill)
+
+
+def session_retract(
+    state: DataFrame,
+    base_events: DataFrame,
+    deleted: DataFrame,
+    gap_us: int = SESSION_GAP_US,
+) -> DataFrame:
+    """Absorb event-level deletions into per-user session state: the
+    4-scalar state is non-invertible — removing a bridging event can
+    WIDEN a gap past the timeout and SPLIT what was one session into
+    two, or erase a session entirely, neither derivable from
+    (n_sessions, n_events, first, last) alone — so the policy is the
+    affected-user rebuild from the base history pruned to them;
+    untouched users pass through (poison-row pinned,
+    tests/test_retraction.py). A user whose events are all deleted
+    disappears, as from-scratch would have it."""
+    affected = deleted.select("user_id").distinct()
+    survivors = base_events.join(affected, "user_id", "left_semi").join(
+        deleted.select("user_id", "event_id"),
+        ["user_id", "event_id"],
+        "left_anti",
+    )
+    rebuilt = session_state(survivors, gap_us=gap_us)
+    untouched = state.join(affected, "user_id", "left_anti")
+    return untouched.unionByName(rebuilt)
 
 
 def scd2_retract(
