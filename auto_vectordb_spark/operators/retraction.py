@@ -190,6 +190,58 @@ def session_retract(
     return untouched.unionByName(rebuilt)
 
 
+def dedup_index_retract(
+    docs: DataFrame,
+    stored_buckets: DataFrame,
+    stored_pairs: DataFrame,
+    deleted: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """GDPR erasure against the PERSISTED dedup index
+    (lifecycle.snapshot_dedup_incremental's two artifacts): returns
+    (survivors, updated_buckets, updated_pairs) where the survivor set
+    equals a from-scratch keep-one dedup of ``docs`` minus ``deleted``
+    and the updated artifacts are exactly what that from-scratch run
+    would persist. Correct WITHOUT re-shingling anything: an LSH pair
+    (a, b) is a property of the two docs' own signatures alone, so the
+    survivor pair graph is precisely the stored graph with both
+    endpoints surviving, and the bucket table loses only the deleted
+    docs' rows. Deleting a BRIDGE doc can split a component — keep-one
+    winners can change for docs that were never deleted — which falls
+    out of recomputing components over the (dup-graph-sized) filtered
+    pair graph. Three anti-joins against the (tiny, broadcastable)
+    delete list + a dup-graph component pass; the corpus-sized work is
+    one final anti-join, same as the insert-side incremental."""
+    from .dedup import connected_components
+
+    del_ids = deleted.select(F.col(id_col)).distinct()
+    upd_pairs = (
+        stored_pairs.select("id_a", "id_b")
+        .join(
+            F.broadcast(del_ids.withColumnRenamed(id_col, "id_a")),
+            "id_a",
+            "left_anti",
+        )
+        .join(
+            F.broadcast(del_ids.withColumnRenamed(id_col, "id_b")),
+            "id_b",
+            "left_anti",
+        )
+        # equi-joins put the join key first; restore the artifact's column
+        # order so the updated table is drop-in for the stored one
+        .select("id_a", "id_b")
+    )
+    upd_buckets = stored_buckets.join(F.broadcast(del_ids), id_col, "left_anti")
+    comps = connected_components(upd_pairs)
+    losers = comps.where(F.col("doc_id") != F.col("component_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    survivors = docs.join(F.broadcast(del_ids), id_col, "left_anti").join(
+        losers, id_col, "left_anti"
+    )
+    return survivors, upd_buckets, upd_pairs
+
+
 def scd2_retract(
     state: DataFrame, base_events: DataFrame, deleted: DataFrame
 ) -> DataFrame:

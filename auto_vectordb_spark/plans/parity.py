@@ -9706,6 +9706,111 @@ def scd2_incremental_retract(spark, sf):
     return IC.scd2_finalize(RT.scd2_retract(merged, t["events"], deleted))
 
 
+@_register(
+    "sessionize_incremental_retract",
+    """
+    WITH clean AS (
+      SELECT user_id, ts, event_id FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND NOT coalesce(event_id % 89 = 0, FALSE)
+    ),
+    lagged AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM clean
+    ),
+    flagged AS (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM lagged
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+    doc="Session-state maintenance under DELETES (retraction."
+    "session_retract): the 4-scalar per-user state is non-invertible — "
+    "removing a bridging event can widen a gap past the 30-min timeout and "
+    "SPLIT one session into two, underivable from the scalars — so a "
+    "deletion batch (event_id % 89 = 0 keys) triggers an affected-USER "
+    "rebuild from the base history pruned to them; untouched users pass "
+    "through without any base read (poison-row pinned, "
+    f"tests/test_retraction.py). Runs against the merged {_IVM_CUTOFF} "
+    "state so the entry exercises insert-then-delete. Oracle recomputes "
+    "events_sessionize from scratch over the survivors",
+)
+def sessionize_incremental_retract(spark, sf):
+    from ..operators import incremental as IC
+
+    t = load_views(spark, sf)
+    old, new = _ivm_split(t["events"])
+    merged = IC.session_merge(IC.session_state(old), IC.session_state(new))
+    deleted = (
+        t["events"]
+        .where(F.pmod(F.col("event_id"), F.lit(89)) == 0)
+        .select("user_id", "event_id")
+    )
+    out = RT.session_retract(merged, t["events"], deleted)
+    return out.select("user_id", "n_sessions", "n_events")
+
+
+# From-scratch oracle for the dedup-index erasure: the IDENTICAL minhash
+# pipeline, but over the surviving corpus only (tok is the single point
+# where the CTE reads documents — asserted so a CTE refactor cannot
+# silently turn this back into a full-corpus twin).
+_DEDUP_RETRACT_PRED = "NOT coalesce(doc_id % 23 = 0, FALSE)"
+assert _MINHASH_PAIRS_CTE.count("FROM documents") == 1
+_MINHASH_PAIRS_CTE_SURV = _MINHASH_PAIRS_CTE.replace(
+    "FROM documents", f"FROM documents WHERE {_DEDUP_RETRACT_PRED}", 1
+)
+
+
+@_register(
+    "dedup_index_retract",
+    f"""
+    WITH RECURSIVE {_MINHASH_PAIRS_CTE_SURV},
+    {_COMPONENTS_CTE}
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    WHERE NOT coalesce(d.doc_id % 23 = 0, FALSE)
+      AND NOT EXISTS (
+        SELECT 1 FROM comps c WHERE c.doc_id = d.doc_id AND c.component_id <> c.doc_id
+      )
+    """,
+    doc="GDPR erasure against the PERSISTED dedup index (retraction."
+    "dedup_index_retract): the stored bucket table and pair graph (both "
+    "round-tripped through parquet inside the entry) absorb a delete list "
+    "(doc_id % 23 = 0) WITHOUT re-shingling anything — an LSH pair is a "
+    "property of its two docs' own signatures, so the survivor graph is "
+    "the stored graph with both endpoints alive. Deleting a BRIDGE doc "
+    "can SPLIT a component and change keep-one winners for docs never "
+    "deleted; that falls out of re-running components over the filtered "
+    "(dup-graph-sized) pair graph. Oracle recomputes the whole minhash "
+    "dedup from scratch over the surviving corpus. Three broadcast "
+    "anti-joins + one corpus-sized anti-join — the delete-side twin of "
+    "dedup_snapshot_incremental",
+)
+def dedup_index_retract(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    buckets = DD.minhash_bucket_table(docs)
+    pairs = DD.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    bpath = tempfile.mkdtemp(prefix="ret_buckets_")
+    ppath = tempfile.mkdtemp(prefix="ret_pairs_")
+    buckets.write.mode("overwrite").parquet(bpath)
+    pairs.write.mode("overwrite").parquet(ppath)
+    stored_b = spark.read.schema(buckets.schema).parquet(bpath)
+    stored_p = spark.read.schema(pairs.schema).parquet(ppath)
+    deleted = docs.where(F.pmod(F.col("doc_id"), F.lit(23)) == 0).select("doc_id")
+    survivors, _, _ = RT.dedup_index_retract(docs, stored_b, stored_p, deleted)
+    return survivors.select("doc_id", "lang", "source")
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

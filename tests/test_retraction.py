@@ -284,3 +284,102 @@ def test_scd2_retract_full_user_delete_disappears(spark):
     deleted = spark.createDataFrame([(1, 1)], "user_id long, event_id long")
     got = RT.scd2_retract(state, base, deleted).collect()
     assert [(r.user_id, r.state) for r in got] == [(2, "view")]
+
+
+# --------------------------------------------------------------- sessions
+
+
+def test_session_retract_equals_from_scratch(spark, events):
+    state = IC.session_state(events)
+    deleted = events.where(
+        F.pmod(F.col("event_id"), F.lit(89)) == 0
+    ).select("user_id", "event_id")
+    got = _rows(RT.session_retract(state, events, deleted), ["user_id"])
+    survivors = events.where(F.pmod(F.col("event_id"), F.lit(89)) != 0)
+    want = _rows(IC.session_state(survivors), ["user_id"])
+    assert set(got) == set(want)
+    for k in want:
+        assert (got[k].n_sessions, got[k].n_events) == (
+            want[k].n_sessions,
+            want[k].n_events,
+        )
+
+
+def test_session_retract_splits_session_and_skips_untouched(spark):
+    """Deleting the bridging event widens the gap past the timeout: one
+    session becomes two — underivable from the 4 scalars, hence the
+    rebuild. The untouched user carries a poison base event (not in
+    state) that must NOT surface."""
+    schema = "event_id long, user_id long, ts string"
+    base = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00"),
+            (2, 1, "2024-01-01 10:25:00"),  # bridge: both gaps <= 30min
+            (3, 1, "2024-01-01 10:50:00"),
+            (4, 2, "2024-01-01 10:00:00"),
+            (5, 2, "2024-01-01 23:00:00"),  # poison for user 2
+        ],
+        schema,
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = IC.session_state(base.where(F.col("event_id") != 5))
+    deleted = spark.createDataFrame([(1, 2)], "user_id long, event_id long")
+    got = _rows(RT.session_retract(state, base, deleted), ["user_id"])
+    assert got[(1,)].n_sessions == 2 and got[(1,)].n_events == 2  # split
+    assert got[(2,)].n_sessions == 1 and got[(2,)].n_events == 1  # untouched
+
+
+# ------------------------------------------------------------ dedup index
+
+
+def test_dedup_index_retract_equals_from_scratch(spark):
+    from auto_vectordb_spark.operators import dedup as DD
+
+    docs = load_views(spark, SF)["documents"]
+    buckets = DD.minhash_bucket_table(docs)
+    pairs = DD.minhash_lsh_pairs(docs).select("id_a", "id_b")
+    deleted = docs.where(F.pmod(F.col("doc_id"), F.lit(23)) == 0).select("doc_id")
+    survivors, upd_b, upd_p = RT.dedup_index_retract(docs, buckets, pairs, deleted)
+    # from-scratch over the surviving corpus
+    sdocs = docs.where(F.pmod(F.col("doc_id"), F.lit(23)) != 0)
+    spairs = DD.minhash_lsh_pairs(sdocs).select("id_a", "id_b")
+    comps = DD.connected_components(spairs)
+    losers = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    want = sdocs.join(losers, "doc_id", "left_anti")
+    got_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    want_ids = {r.doc_id for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
+    # the updated artifacts ARE what the from-scratch run would persist
+    sbuckets = DD.minhash_bucket_table(sdocs)
+    assert upd_b.exceptAll(sbuckets).count() == 0
+    assert sbuckets.exceptAll(upd_b).count() == 0
+    assert upd_p.exceptAll(spairs).count() == 0
+    assert spairs.exceptAll(upd_p).count() == 0
+
+
+def test_dedup_index_retract_bridge_split_changes_winners(spark):
+    """A~B~C chained near-dups collapse to one keep-one winner; deleting
+    the BRIDGE doc B splits the component — both A and C must now survive
+    even though neither was deleted (the non-local effect that makes
+    index erasure more than an anti-join). The chain topology is fed as
+    the STORED artifacts directly (the operator's contract is over the
+    persisted graph; real-corpus equivalence is the test above)."""
+    from auto_vectordb_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 9)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    buckets = spark.createDataFrame(
+        [(i, 0, "k") for i in (1, 2, 3)], "doc_id long, band int, bkey string"
+    )
+    # keep-one over the chain: {1,2,3} collapse to winner 1, plus singleton 9
+    comps = DD.connected_components(pairs)
+    losers = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    before = {r.doc_id for r in docs.join(losers, "doc_id", "left_anti").collect()}
+    assert before == {1, 9}
+    deleted = spark.createDataFrame([(2,)], "doc_id long")
+    survivors, upd_b, upd_p = RT.dedup_index_retract(docs, buckets, pairs, deleted)
+    got = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert got == {1, 3, 9}  # the split: 3 survives without being deleted
+    assert upd_p.count() == 0  # both edges touched the bridge
+    assert {r.doc_id for r in upd_b.collect()} == {1, 3}
