@@ -31,6 +31,15 @@ class, because the algebra splits cleanly in two:
   on both sides), which cannot be derived from the island table alone.
   Same refill policy: rebuild only the affected users from the base
   event history pruned to them; untouched users pass through.
+* :func:`session_retract` — same rebuild policy for the 4-scalar session
+  state (a deleted bridging event can SPLIT a session).
+* INDEX erasure: :func:`dedup_index_retract` absorbs a delete list into
+  the persisted MinHash bucket/pair artifacts without re-shingling
+  (bridge deletions split components — keep-one winners change for docs
+  never deleted), and :func:`bm25_delete_docs` /
+  :func:`bm25_index_with_deletes` give the incremental BM25 index
+  tombstone semantics: delete-at-epoch kills earlier versions, a later
+  re-index resurrects, df/N/avgdl recomputed over live docs only.
 
 Separate module by design (staleness blast radius: incremental.py holds
 four fresh attestations; see MEMORY / tools/blast_radius.py). Reference
@@ -240,6 +249,114 @@ def dedup_index_retract(
         losers, id_col, "left_anti"
     )
     return survivors, upd_buckets, upd_pairs
+
+
+def bm25_index_append(
+    docs: DataFrame,
+    index_dir: str,
+    epoch: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Batch twin of the streaming writer's per-micro-batch append
+    (streaming.pipeline.incremental_bm25_index — identical artifact
+    schemas: ``postings/`` (doc_id, term, tf, epoch), ``doc_lens/``
+    (doc_id, dl, epoch)), for backfills and batch re-index jobs that
+    share an index dir with the stream. Re-appending a doc at a higher
+    epoch logically overwrites it (latest-epoch-wins readers)."""
+    from ..functions.text import tokenize
+
+    b = docs.dropDuplicates([id_col])
+    toks = tokenize(F.col(text_col))
+    base = b.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    (
+        base.select("doc_id", F.explode("__toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("epoch", F.lit(epoch).cast("long"))
+        .write.mode("append")
+        .parquet(f"{index_dir}/postings")
+    )
+    (
+        base.select("doc_id", F.size("__toks").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .withColumn("epoch", F.lit(epoch).cast("long"))
+        .write.mode("append")
+        .parquet(f"{index_dir}/doc_lens")
+    )
+
+
+def bm25_delete_docs(
+    spark, index_dir: str, deleted: DataFrame, epoch: int, id_col: str = "doc_id"
+) -> None:
+    """GDPR erasure for the incremental BM25 index: append TOMBSTONES
+    (doc_id, epoch) to ``deletes/`` — never touch the big artifacts in
+    the hot path. A tombstone at epoch e kills every version of the doc
+    with epoch <= e; a later re-index (epoch > e) resurrects it — the
+    same latest-wins algebra the index already uses for overwrites, so
+    deletes, re-indexes and crash-replays all compose (replayed
+    tombstones are identical rows, absorbed by max()). Tombstones are
+    doc-count-sized at worst; the erasure itself is O(delete list)."""
+    (
+        deleted.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .withColumn("epoch", F.lit(epoch).cast("long"))
+        .write.mode("append")
+        .parquet(f"{index_dir}/deletes")
+    )
+
+
+def bm25_index_with_deletes(spark, index_dir: str, cache: bool = False):
+    """Delete-aware reader for the incremental BM25 index: latest-epoch
+    resolution per doc (bm25.index_from_dir semantics, crash-replay
+    dedup included) PLUS tombstone filtering — a doc is live iff its
+    latest indexed epoch is strictly greater than its latest tombstone
+    (delete wins an equal-epoch tie: within one batch, erase means
+    erase). df/N/avgdl are recomputed over LIVE docs only, so scores are
+    bit-identical to a from-scratch build over the logically-current
+    corpus (oracle-attested: bm25_delete_search). The liveness join is
+    per-doc over the SMALL artifacts; postings, the big table, pays the
+    same one equi-join as the delete-free reader."""
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    from .bm25 import BM25Index, _stats_of
+
+    lens_all = spark.read.parquet(f"{index_dir}/doc_lens")
+    post_all = spark.read.parquet(f"{index_dir}/postings")
+    del_schema = T.StructType(
+        [
+            T.StructField("doc_id", lens_all.schema["doc_id"].dataType),
+            T.StructField("epoch", T.LongType()),
+        ]
+    )
+    try:
+        deletes = spark.read.schema(del_schema).parquet(f"{index_dir}/deletes")
+    except AnalysisException:
+        deletes = spark.createDataFrame([], del_schema)
+    latest = lens_all.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    del_latest = deletes.groupBy("doc_id").agg(F.max("epoch").alias("__de"))
+    live = (
+        latest.join(del_latest, "doc_id", "left_outer")
+        .where(F.col("__de").isNull() | (F.col("epoch") > F.col("__de")))
+        .select("doc_id", "epoch")
+    )
+    doc_lens = (
+        lens_all.join(live, ["doc_id", "epoch"])
+        .dropDuplicates(["doc_id"])
+        .select("doc_id", "dl")
+    )
+    postings = (
+        post_all.join(live, ["doc_id", "epoch"])
+        .dropDuplicates(["doc_id", "term"])
+        .select("term", "doc_id", "tf")
+    )
+    term_df = postings.groupBy("term").agg(F.count("*").alias("df"))
+    if cache:
+        postings = postings.cache()
+        doc_lens = doc_lens.cache()
+        term_df = term_df.cache()
+    return BM25Index(postings, doc_lens, term_df, _stats_of(doc_lens))
 
 
 def scd2_retract(

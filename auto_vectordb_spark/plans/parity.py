@@ -9811,6 +9811,86 @@ def dedup_index_retract(spark, sf):
     return survivors.select("doc_id", "lang", "source")
 
 
+# From-scratch oracle for the BM25 tombstone entry: the identical scoring
+# CTE over the LOGICALLY-surviving corpus. Lifecycle staged in the entry:
+# epoch 0 full corpus, epoch 1 idempotent re-index of doc_id % 31 = 0,
+# epoch 2 tombstones for doc_id % 17 = 0, epoch 3 resurrection re-index of
+# (doc_id % 17 = 0 AND doc_id % 3 = 0) — so the dead set is exactly
+# %17-docs that were NOT resurrected.
+_BM25_DEL_PRED = "NOT (coalesce(doc_id % 17 = 0, FALSE) AND doc_id % 3 <> 0)"
+_BM25_CTE_SURV = _bm25_score_cte(BM25_QUERIES)
+assert _BM25_CTE_SURV.count("FROM documents") == 1
+_BM25_CTE_SURV = _BM25_CTE_SURV.replace(
+    "FROM documents", f"FROM documents WHERE {_BM25_DEL_PRED}", 1
+)
+
+
+@_register(
+    "bm25_delete_search",
+    f"""
+    WITH {_BM25_CTE_SURV},
+    ranked AS (
+      SELECT query_id, doc_id, score,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+             ) AS rn
+      FROM bm25
+    )
+    SELECT query_id, doc_id, score FROM ranked WHERE rn <= {_KNN_K}
+    """,
+    doc="Tombstone deletes for the incremental BM25 index (retraction."
+    "bm25_delete_docs + bm25_index_with_deletes): the entry stages a full "
+    "lifecycle against the streaming index's own artifact format — epoch 0 "
+    "full corpus, epoch 1 idempotent re-index (% 31), epoch 2 GDPR "
+    "tombstones (% 17), epoch 3 resurrection re-index (% 17 and % 3) — "
+    "then searches the delete-aware reader: a doc is live iff its latest "
+    "indexed epoch beats its latest tombstone, and df/N/avgdl are "
+    "recomputed over LIVE docs only, so scores are bit-identical to a "
+    "from-scratch index over the surviving corpus (the oracle computes "
+    "exactly that). Deletes never touch the big artifacts: tombstones are "
+    "an O(delete-list) append, the standard LSM delete. Extends the "
+    "reference's idempotent re-index semantics "
+    "(backend/process/elasticsearch_index.py:141) with the erasure half",
+)
+def bm25_delete_search(spark, sf):
+    import tempfile
+
+    from ..functions.text import tokenize
+
+    t = load_views(spark, sf)
+    docs = t["documents"]
+    idx = tempfile.mkdtemp(prefix="bm25_del_")
+    RT.bm25_index_append(docs, idx, epoch=0)
+    RT.bm25_index_append(
+        docs.where(F.pmod(F.col("doc_id"), F.lit(31)) == 0), idx, epoch=1
+    )
+    RT.bm25_delete_docs(
+        spark,
+        idx,
+        docs.where(F.pmod(F.col("doc_id"), F.lit(17)) == 0).select("doc_id"),
+        epoch=2,
+    )
+    RT.bm25_index_append(
+        docs.where(
+            (F.pmod(F.col("doc_id"), F.lit(17)) == 0)
+            & (F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        ),
+        idx,
+        epoch=3,
+    )
+    index = RT.bm25_index_with_deletes(spark, idx)
+    queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
+    terms = queries.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    scored = BM25.score_terms(index, terms).withColumn(
+        "score", F.round("score", 6)
+    )
+    return R.top_k_per_group(
+        scored, ["query_id"], "score", _KNN_K, tie_break="doc_id"
+    )
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

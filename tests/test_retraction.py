@@ -383,3 +383,71 @@ def test_dedup_index_retract_bridge_split_changes_winners(spark):
     assert got == {1, 3, 9}  # the split: 3 survives without being deleted
     assert upd_p.count() == 0  # both edges touched the bridge
     assert {r.doc_id for r in upd_b.collect()} == {1, 3}
+
+
+# ------------------------------------------------------------- BM25 index
+
+
+def _bm25_scores(index, spark, qtext="alpha beta"):
+    from auto_vectordb_spark.functions.text import tokenize
+    from auto_vectordb_spark.operators import bm25 as BM25
+
+    q = spark.createDataFrame([(0, qtext)], ["query_id", "query_text"])
+    terms = q.select(
+        "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
+    )
+    return {
+        r.doc_id: round(r.score, 9)
+        for r in BM25.score_terms(index, terms).collect()
+    }
+
+
+def test_bm25_tombstone_lifecycle(spark, tmp_path):
+    """delete kills earlier versions; equal-epoch tie goes to the delete;
+    a later re-index resurrects; df/N/avgdl are recomputed over LIVE docs
+    (scores bit-equal a from-scratch index over the logical corpus)."""
+    from auto_vectordb_spark.operators import bm25 as BM25
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha delta"),
+            (3, "beta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    RT.bm25_index_append(docs, idx, epoch=0)
+    # delete doc 2 at epoch 1 + equal-epoch tie: doc 3 re-indexed AND
+    # tombstoned at epoch 1 -> delete wins
+    RT.bm25_index_append(docs.where(F.col("doc_id") == 3), idx, epoch=1)
+    RT.bm25_delete_docs(
+        spark, idx, spark.createDataFrame([(2,), (3,)], "doc_id long"), epoch=1
+    )
+    got = _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark)
+    want = _bm25_scores(
+        BM25.build_index(docs.where(F.col("doc_id") == 1)), spark
+    )
+    assert got == want and set(got) == {1}
+    # epoch 2: resurrect doc 2 -> live again, stats over {1, 2}
+    RT.bm25_index_append(docs.where(F.col("doc_id") == 2), idx, epoch=2)
+    got2 = _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark)
+    want2 = _bm25_scores(
+        BM25.build_index(docs.where(F.col("doc_id").isin(1, 2))), spark
+    )
+    assert got2 == want2 and set(got2) == {1, 2}
+
+
+def test_bm25_reader_without_deletes_dir_matches_plain_reader(spark, tmp_path):
+    """No deletes/ artifact yet: the delete-aware reader must degrade to
+    exactly bm25.index_from_dir semantics."""
+    from auto_vectordb_spark.operators import bm25 as BM25
+
+    idx = str(tmp_path / "idx2")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma")], "doc_id long, text string"
+    )
+    RT.bm25_index_append(docs, idx, epoch=0)
+    got = _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark)
+    want = _bm25_scores(BM25.index_from_dir(spark, idx), spark)
+    assert got == want and len(got) == 2
