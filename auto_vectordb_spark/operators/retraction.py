@@ -359,6 +359,119 @@ def bm25_index_with_deletes(spark, index_dir: str, cache: bool = False):
     return BM25Index(postings, doc_lens, term_df, _stats_of(doc_lens))
 
 
+def ivf_delete_vectors(
+    spark, path: str, deleted: DataFrame, corpus_id: str = "vec_id"
+) -> None:
+    """GDPR erasure for the persisted IVF index (knn.ivf_write/ivf_append
+    layout): append tombstone ids to the ``<path>_deletes`` side artifact
+    — O(delete list), the big partitioned index is never touched in the
+    hot path. The IVF log carries no epochs (frozen-centroid appends are
+    idempotent), so tombstones are TERMINAL: re-adding an erased id is a
+    corpus-rebuild decision, not an append (mirrors faiss remove_ids).
+    Replayed delete batches append identical ids — the reader's distinct
+    absorbs them."""
+    (
+        deleted.select(F.col(corpus_id))
+        .distinct()
+        .write.mode("append")
+        .parquet(f"{path}_deletes")
+    )
+
+
+def ivf_search_persisted_with_deletes(
+    queries: DataFrame,
+    spark,
+    path: str,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """knn.ivf_search_persisted with tombstone filtering: the probed
+    partitions are read (same partition pruning), then tombstoned ids are
+    anti-joined out BEFORE scoring — results are exactly what searching an
+    index rebuilt over the survivors (same frozen centroids) returns,
+    test-pinned in tests/test_retraction.py. The tombstone list is
+    broadcast-sized against any realistic erasure volume; when it grows,
+    :func:`ivf_reclaim_deleted` physically reclaims."""
+    from .knn import ivf_read_pruned, knn_exact, top_k_per_group
+    from ..functions import vector as V
+
+    probes = knn_exact(
+        queries,
+        centroids.select(
+            F.col("centroid_id"), F.col("centroid").alias("embedding")
+        ),
+        k=nprobe,
+        corpus_id="centroid_id",
+    ).select("query_id", "centroid_id")
+    probe_ids = [
+        r["centroid_id"]
+        for r in probes.select("centroid_id").distinct().collect()
+    ]
+    index = ivf_read_pruned(spark, path, probe_ids).join(
+        F.broadcast(_ivf_tombstones(spark, path, corpus_id)),
+        corpus_id,
+        "left_anti",
+    )
+    qv = queries.select("query_id", F.col(vec_col).alias("__qv"))
+    cand = (
+        F.broadcast(probes.join(qv, "query_id"))
+        .join(index, "centroid_id")
+        .withColumn("score", V.cosine(F.col("__qv"), F.col(vec_col)))
+    )
+    best = (
+        cand.select("query_id", corpus_id, "score")
+        .groupBy("query_id", corpus_id)
+        .agg(F.max("score").alias("score"))
+    )
+    return top_k_per_group(best, ["query_id"], "score", k, tie_break=corpus_id)
+
+
+def _ivf_tombstones(spark, path: str, corpus_id: str) -> DataFrame:
+    from pyspark.sql import types as T
+    from pyspark.sql.utils import AnalysisException
+
+    schema = T.StructType([T.StructField(corpus_id, T.LongType())])
+    try:
+        return spark.read.schema(schema).parquet(f"{path}_deletes").distinct()
+    except AnalysisException:
+        return spark.createDataFrame([], schema)
+
+
+def ivf_reclaim_deleted(spark, path: str, corpus_id: str = "vec_id") -> dict[str, int]:
+    """Physically drop tombstoned vectors from the persisted IVF index
+    (run from the same paused-ingest maintenance window as
+    knn.ivf_compact; same staging + aside-rename swap). Tombstones are
+    KEPT after the reclaim — they are terminal under the epoch-free
+    append contract, and a crash-replayed old append must still find its
+    erased ids dead. Returns {rows_before, rows_after}."""
+    import shutil
+    from pathlib import Path
+
+    idx = spark.read.parquet(path)
+    before = idx.count()
+    survivors = idx.join(
+        F.broadcast(_ivf_tombstones(spark, path, corpus_id)),
+        corpus_id,
+        "left_anti",
+    )
+    staging = str(Path(path).parent / f"_{Path(path).name}_reclaim")
+    survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    old = Path(path).parent / f"_{Path(path).name}_old"
+    if old.exists():
+        shutil.rmtree(old)
+    Path(path).rename(old)
+    Path(staging).rename(path)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(path)
+    return {
+        "rows_before": before,
+        "rows_after": spark.read.parquet(path).count(),
+    }
+
+
 def scd2_retract(
     state: DataFrame, base_events: DataFrame, deleted: DataFrame
 ) -> DataFrame:

@@ -9891,6 +9891,43 @@ def bm25_delete_search(spark, sf):
     )
 
 
+@_register(
+    "knn_ivf_delete_search",
+    None,  # rows-only like the other IVF tiers; the hard guarantee is the
+    # EXACT-equality test (delete-aware search == search over a
+    # survivor-rebuilt index under the same frozen centroids,
+    # tests/test_retraction.py — deterministic, not recall-gated)
+    doc="GDPR erasure for the persisted IVF vector index (retraction."
+    "ivf_delete_vectors + ivf_search_persisted_with_deletes + "
+    "ivf_reclaim_deleted): tombstone ids live in a side artifact "
+    "(O(delete-list) append — the partitioned index is untouched in the "
+    "hot path, mirroring faiss remove_ids), search anti-joins them after "
+    "the partition-pruned read, and the maintenance reclaim physically "
+    "drops them while KEEPING tombstones (terminal under the epoch-free "
+    "append contract: a crash-replayed old append must still find its "
+    "erased ids dead). The entry stages write→delete→search→reclaim→search "
+    "and returns the second (post-reclaim) result",
+)
+def knn_ivf_delete_search(spark, sf):
+    import tempfile
+
+    t = load_views(spark, sf)
+    emb = t["embeddings"]
+    centroids = KNN.label_centroids(emb)
+    path = tempfile.mkdtemp(prefix="ivf_del_") + "/idx"
+    KNN.ivf_write(KNN.ivf_build(emb, centroids), path)
+    queries = emb.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    deleted = emb.where(F.pmod(F.col("vec_id"), F.lit(13)) == 0).select("vec_id")
+    RT.ivf_delete_vectors(spark, path, deleted)
+    RT.ivf_reclaim_deleted(spark, path)
+    out = RT.ivf_search_persisted_with_deletes(
+        queries, spark, path, centroids, k=_KNN_K, nprobe=3
+    )
+    return out.withColumn("score", F.round("score", 6))
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================

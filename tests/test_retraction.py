@@ -451,3 +451,88 @@ def test_bm25_reader_without_deletes_dir_matches_plain_reader(spark, tmp_path):
     got = _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark)
     want = _bm25_scores(BM25.index_from_dir(spark, idx), spark)
     assert got == want and len(got) == 2
+
+
+# -------------------------------------------------------------- IVF index
+
+
+def test_ivf_delete_search_and_reclaim(spark, tmp_path):
+    """Tombstoned vectors vanish from persisted-IVF search results exactly
+    as if the index had been rebuilt over the survivors (same frozen
+    centroids — deterministic, so equality is exact, not recall-gated);
+    reclaim physically drops them without changing results and KEEPS the
+    tombstones (terminal under the epoch-free append contract)."""
+    import os
+
+    from auto_vectordb_spark.operators import knn as KNN
+
+    emb = spark.createDataFrame(
+        [
+            (i, [float(i % 3) + 0.1 * j for j in range(4)], i % 3)
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    centroids = KNN.label_centroids(emb)
+    path = str(tmp_path / "ivf")
+    KNN.ivf_write(KNN.ivf_build(emb, centroids), path)
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    deleted = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) == 0).select("vec_id")
+    RT.ivf_delete_vectors(spark, path, deleted)
+    got = RT.ivf_search_persisted_with_deletes(
+        queries, spark, path, centroids, k=5, nprobe=2
+    )
+    surv_path = str(tmp_path / "ivf_surv")
+    survivors = emb.where(F.pmod(F.col("vec_id"), F.lit(4)) != 0)
+    KNN.ivf_write(KNN.ivf_build(survivors, centroids), surv_path)
+    want = KNN.ivf_search_persisted(
+        queries, spark, surv_path, centroids, k=5, nprobe=2
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.vec_id, round(r.score, 9)) for r in df.collect()
+    )
+    assert key(got) == key(want) and got.count() > 0
+    assert not {r.vec_id for r in got.collect()} & {
+        r.vec_id for r in deleted.collect()
+    }
+    # replayed delete batch: identical ids, absorbed
+    RT.ivf_delete_vectors(spark, path, deleted)
+    assert key(
+        RT.ivf_search_persisted_with_deletes(
+            queries, spark, path, centroids, k=5, nprobe=2
+        )
+    ) == key(want)
+    # reclaim: rows physically gone, results unchanged, tombstones kept
+    counts = RT.ivf_reclaim_deleted(spark, path)
+    assert counts["rows_after"] == counts["rows_before"] - deleted.count()
+    assert key(
+        RT.ivf_search_persisted_with_deletes(
+            queries, spark, path, centroids, k=5, nprobe=2
+        )
+    ) == key(want)
+    assert os.path.isdir(f"{path}_deletes")
+
+
+def test_ivf_delete_search_without_tombstones_matches_plain(spark, tmp_path):
+    from auto_vectordb_spark.operators import knn as KNN
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5], i % 2) for i in range(10)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    centroids = KNN.label_centroids(emb)
+    path = str(tmp_path / "ivf2")
+    KNN.ivf_write(KNN.ivf_build(emb, centroids), path)
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    key = lambda df: sorted(
+        (r.query_id, r.vec_id, round(r.score, 9)) for r in df.collect()
+    )
+    got = RT.ivf_search_persisted_with_deletes(
+        queries, spark, path, centroids, k=3, nprobe=1
+    )
+    want = KNN.ivf_search_persisted(queries, spark, path, centroids, k=3, nprobe=1)
+    assert key(got) == key(want) and got.count() == 3
