@@ -9928,6 +9928,51 @@ def knn_ivf_delete_search(spark, sf):
     return out.withColumn("score", F.round("score", 6))
 
 
+@_register(
+    "cdc_rollup_state",
+    f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum({cents_sql('value')}) AS DOUBLE) / 100 AS sum_value
+    FROM events
+    WHERE NOT (coalesce(ts < TIMESTAMP '{_IVM_CUTOFF}', FALSE)
+               AND coalesce(user_id % 41 = 0, FALSE))
+    GROUP BY 1, 2
+    """,
+    doc="The changefeed apply loop (streaming/cdc.py): a CDC stream of "
+    "(op, row) change records — upserts AND row-image deletes — maintains "
+    "the persisted hourly rollup via per-batch "
+    "rollup_retract(rollup_merge_r(state, upserts), deletes) into "
+    "VERSIONED state dirs: epoch N reads the newest version strictly "
+    "below N and overwrites v{N}, so a crash-replayed batch recomputes "
+    "identical rows from the same input — exactly-once state under "
+    "foreachBatch's at-least-once delivery (replay re-applied inside the "
+    f"entry). Two epochs staged at the {_IVM_CUTOFF} boundary; the second "
+    "carries the GDPR deletes (user_id % 41 of the first batch). Oracle "
+    "is the from-scratch events_hourly over upserts-minus-deletes. The "
+    "Delta-CDF/MERGE-maintained-table pattern with state-sized writes — "
+    "raw history never re-read",
+)
+def cdc_rollup_state(spark, sf):
+    import tempfile
+
+    from ..streaming import cdc as CDC
+
+    t = load_views(spark, sf)
+    old, new = _ivm_split(t["events"])
+    dels = old.where(F.pmod(F.col("user_id"), F.lit(41)) == 0)
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    b1 = old.withColumn("op", F.lit("upsert"))
+    b2 = new.withColumn("op", F.lit("upsert")).unionByName(
+        dels.withColumn("op", F.lit("delete"))
+    )
+    CDC.apply_cdc_batch(spark, b1, state_dir, epoch=1)
+    CDC.apply_cdc_batch(spark, b2, state_dir, epoch=2)
+    CDC.apply_cdc_batch(spark, b2, state_dir, epoch=2)  # crash replay: no-op
+    return RT.rollup_finalize_r(CDC.read_rollup_state(spark, state_dir))
+
+
 # =========================================================================
 # Driver-attestation rotation
 # =========================================================================
