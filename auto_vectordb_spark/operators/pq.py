@@ -107,12 +107,37 @@ def pq_codebooks_kmeans(
     # the KMeans fit (MLlib dies on nulls; a ragged row would skew slices)
     dim = CV.probe_dim(df, vec_col)
     df = df.where(CV.valid_vec(vec_col, dim) if dim else F.lit(False))
+    # MLlib Vectors reject NaN/Inf outright ("values MUST NOT be NaN or
+    # Infinity"), and an overflow-magnitude row (|x| > ~1e5) would drag a
+    # cluster center outside the quantized-int64 ADC domain (sqdist * 1e6
+    # must fit a BIGINT: |diff| <= ~3.8e5 per element at d=64) — either
+    # way the corrupted embedding fails the ROW here, not the fit, and
+    # such rows still ENCODE fine (encode argmins rounded doubles, no
+    # int64 cast)
+    df = df.where(
+        ~F.exists(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.isnan(x) | (F.abs(x) > F.lit(1.0e5)),
+        )
+    )
     v = V.as_double_array(F.col(vec_col))
     row = df.select(v.alias("v")).first()
     if row is None:
         return []  # empty training slice — same degenerate contract as seed
+    # k must not exceed the training-row count (MLlib fit aborts on a
+    # 1-row slice at k=256): cap like every PQ trainer does on tiny
+    # slices — the codebook is smaller, every downstream shape unchanged.
+    # MLlib further requires k >= 2, so a single-row slice IS its own
+    # codebook (one codeword per subspace — exact quantization).
     d = len(row["v"])
     sub = d // m
+    n = df.count()
+    if n < 2:
+        return [
+            [[float(x) for x in row["v"][j * sub : (j + 1) * sub]]]
+            for j in range(m)
+        ]
+    ksub = min(ksub, n)
     books = []
     for j in range(m):
         feats = df.select(array_to_vector(F.slice(v, j * sub + 1, sub)).alias("__f"))

@@ -410,7 +410,17 @@ def ivf_search_persisted_with_deletes(
         r["centroid_id"]
         for r in probes.select("centroid_id").distinct().collect()
     ]
-    index = ivf_read_pruned(spark, path, probe_ids).join(
+    try:
+        pruned = ivf_read_pruned(spark, path, probe_ids)
+    except Exception:
+        # an index whose every vector was reclaimed (or a zero-row write)
+        # has no readable parquet schema — searching it returns the
+        # schema-correct empty result, not an analysis crash
+        qt = dict(queries.dtypes)["query_id"]
+        return spark.createDataFrame(
+            [], f"query_id {qt}, {corpus_id} long, score double"
+        )
+    index = pruned.join(
         F.broadcast(_ivf_tombstones(spark, path, corpus_id)),
         corpus_id,
         "left_anti",
@@ -450,7 +460,13 @@ def ivf_reclaim_deleted(spark, path: str, corpus_id: str = "vec_id") -> dict[str
     import shutil
     from pathlib import Path
 
-    idx = spark.read.parquet(path)
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        idx = spark.read.parquet(path)
+    except AnalysisException:
+        # already-empty index (zero-row write has no schema): nothing to do
+        return {"rows_before": 0, "rows_after": 0}
     before = idx.count()
     survivors = idx.join(
         F.broadcast(_ivf_tombstones(spark, path, corpus_id)),
@@ -458,7 +474,14 @@ def ivf_reclaim_deleted(spark, path: str, corpus_id: str = "vec_id") -> dict[str
         "left_anti",
     )
     staging = str(Path(path).parent / f"_{Path(path).name}_reclaim")
-    survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
+    if survivors.isEmpty():
+        # a fully-reclaimed index: partitionBy writes NO files for zero
+        # rows (unreadable dir) — write unpartitioned so the schema
+        # survives; centroid_id stays a normal column, which the pruned
+        # read's filter handles identically
+        survivors.write.mode("overwrite").parquet(staging)
+    else:
+        survivors.write.mode("overwrite").partitionBy("centroid_id").parquet(staging)
     old = Path(path).parent / f"_{Path(path).name}_old"
     if old.exists():
         shutil.rmtree(old)
