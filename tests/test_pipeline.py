@@ -300,3 +300,25 @@ def test_lifecycle_example_runs():
     )
     assert proc.returncode == 0, f"lifecycle example failed:\n{proc.stderr[-4000:]}"
     assert "rectangle probe over compacted table" in proc.stdout
+
+
+def test_erasure_example_runs():
+    """examples/erasure_lifecycle.py must execute one full GDPR cycle
+    (rollup retract → affected-only rebuilds → dedup-index erasure →
+    BM25 tombstones → IVF reclaim → CDC upsert+delete loop). Subprocess
+    because the example stops its session at the end."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    example = (
+        Path(__file__).resolve().parents[1] / "examples" / "erasure_lifecycle.py"
+    )
+    proc = subprocess.run(
+        [sys.executable, str(example), "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, f"erasure example failed:\n{proc.stderr[-4000:]}"
+    assert "IVF reclaim" in proc.stdout and "replay-safe" in proc.stdout
