@@ -57,6 +57,10 @@ SINGLE_PARTITION_OK = frozenset(
         "q6_revenue_filter",
         # same 1-row BM25 corpus-stats aggregate as bm25_topk
         "prf_query_expansion",
+        # same 1-row (N, avgdl) aggregate, computed over the LIVE docs of
+        # the tombstone-filtered index — the funneled input is the 2-value
+        # stats row, never the postings table
+        "bm25_delete_search",
         # 1-row (4-value) grid min-max aggregate broadcast back into the
         # map-side Morton arithmetic; the raw events table is never funneled
         "zorder_layout_stats",
