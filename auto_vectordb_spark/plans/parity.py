@@ -9996,6 +9996,20 @@ _ATTEST_WINDOW = [
     "dedup_exact",
     "dedup_incremental",
     "dedup_minhash_lsh_pairs",
+    "split_manifest_consumed",
+    "rollup_incremental_retract",
+    "topk_incremental_retract",
+    "scd2_incremental_retract",
+    "sessionize_incremental_retract",
+    "dedup_index_retract",
+    "bm25_delete_search",
+    "cdc_rollup_state",
+    "knn_pq_adc",
+    "pq_encode",
+    "zorder_compaction_apply",
+    "zorder_compacted_probe",
+    "zorder_compaction_cycle2",
+    "zorder_ranged_probe",
     "text_nfc_normalize",
     "cooccurrence_pmi",
     "curation_funnel",
@@ -10029,20 +10043,6 @@ _ATTEST_WINDOW = [
     "token_entropy",
     "vocab_growth_curve",
     "window_running_revenue",
-    "corpus_report",
-    "csv_roundtrip",
-    "events_dau_wau",
-    "events_funnel",
-    "events_session_window",
-    "events_sliding_windows",
-    "fertility_by_lang",
-    "gopher_rules",
-    "keyword_tfidf_topk",
-    "more_like_this",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
 ]
 
 

@@ -29,6 +29,11 @@ def test_registry_shape():
         "quality_classifier_score",  # MLlib L-BFGS training; AUC-gated
         "compression_density_by_source",  # no SQL zlib; bit-exact
         # pure-Python zlib reference gate in test_infodensity.py
+        "knn_pq_adc_trained",  # MLlib-KMeans codebooks; recall >= 0.8
+        # gated (test_ann.py::test_trained_pq_recall_gate)
+        "knn_ivf_pq_trained",  # same trained books + IVF; recall >= 0.75
+        "knn_ivf_delete_search",  # IVF tombstones; EXACT equality vs a
+        # survivor-rebuilt index gated in test_retraction.py
     }
     assert set(qs) - set(osql) == ROWS_ONLY_OK
 
