@@ -33,7 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every oracle-expressible query.
 
-    The 10 entries absent here are genuinely non-oracle-able: probabilistic
+    The 13 entries absent here are genuinely non-oracle-able: probabilistic
     recall (ann_ivf/ann_lsh/knn_ivf_pq, dedup_embedding_blas/_lsh — sign-LSH
     or centroid bucketing; recall gates in tests/test_ann.py and
     tests/test_dedup.py), engine-specific sketches (approx_distinct_users,
@@ -42,7 +42,11 @@ def oracle_sql() -> dict[str, str]:
     regexp rewrites; batched-vs-sequential identity gated in
     tests/test_tokenizer.py), trained-model inference
     (quality_classifier_score — MLlib L-BFGS; held-out AUC gate in
-    tests/test_curation.py), or a C-library byte count DuckDB does not
+    tests/test_curation.py), MLlib-KMeans-trained PQ codebooks
+    (knn_pq_adc_trained / knn_ivf_pq_trained — recall >= 0.8 / 0.75 gated
+    in tests/test_ann.py), the IVF tombstone tier (knn_ivf_delete_search —
+    EXACT equality vs a survivor-rebuilt index gated in
+    tests/test_retraction.py), or a C-library byte count DuckDB does not
     expose (compression_density_by_source — zlib; bit-exact kernel gate in
     tests/test_infodensity.py). Deterministic fixed-iteration algorithms
     (pagerank, Lloyd k-means, greedy MMR) ARE oracle-paired, via unrolled
