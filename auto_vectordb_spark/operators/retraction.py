@@ -359,6 +359,87 @@ def bm25_index_with_deletes(spark, index_dir: str, cache: bool = False):
     return BM25Index(postings, doc_lens, term_df, _stats_of(doc_lens))
 
 
+def bm25_reclaim_deleted(spark, index_dir: str) -> dict[str, int]:
+    """PHYSICAL erasure for the BM25 index: tombstones make a doc
+    invisible, but right-to-erasure means the bytes must go — this
+    maintenance rewrite drops every row of every DEAD doc (latest indexed
+    epoch <= latest tombstone) from ``postings/`` and ``doc_lens/``.
+    Live docs keep ALL their version rows (squashing versions is
+    bm25.compact_index's job — the two maintenance passes compose in
+    either order). Tombstones are KEPT: epochs are monotone under one
+    checkpoint, so a tombstone only ever kills already-superseded rows,
+    and a crash-replayed old append must still find its erased ids dead.
+    Same staging + aside-rename swap (and paused-ingest window) as
+    compact_index; reader output is bit-identical before and after
+    (test-pinned). Returns before/after row counts per artifact."""
+    import shutil
+    from pathlib import Path
+
+    lens_all = spark.read.parquet(f"{index_dir}/doc_lens")
+    post_all = spark.read.parquet(f"{index_dir}/postings")
+    latest = lens_all.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    deletes = spark.read.parquet(f"{index_dir}/deletes")
+    del_latest = deletes.groupBy("doc_id").agg(F.max("epoch").alias("__de"))
+    dead = (
+        latest.join(del_latest, "doc_id")
+        .where(F.col("epoch") <= F.col("__de"))
+        .select("doc_id")
+    )
+    counts = {
+        "doc_lens_before": lens_all.count(),
+        "postings_before": post_all.count(),
+    }
+    jobs = (
+        ("doc_lens", lens_all.join(dead, "doc_id", "left_anti")),
+        ("postings", post_all.join(dead, "doc_id", "left_anti")),
+    )
+    base = Path(index_dir)
+    # materialize BOTH staging writes before swapping EITHER artifact:
+    # the dead set derives from doc_lens, so swapping it first would pull
+    # the files out from under the postings job (compact_index doctrine)
+    for name, df in jobs:
+        df.write.mode("overwrite").parquet(str(base / f"_{name}_reclaim"))
+    for name, _ in jobs:
+        final = base / name
+        old = base / f"_{name}_old"
+        if old.exists():
+            shutil.rmtree(old)
+        final.rename(old)
+        (base / f"_{name}_reclaim").rename(final)
+        shutil.rmtree(old)
+        spark.catalog.refreshByPath(str(final))
+    counts["doc_lens_after"] = spark.read.parquet(f"{index_dir}/doc_lens").count()
+    counts["postings_after"] = spark.read.parquet(f"{index_dir}/postings").count()
+    return counts
+
+
+def bm25_compact_deletes(spark, index_dir: str) -> dict[str, int]:
+    """Tombstone-log compaction: keep only each doc's HIGHEST tombstone
+    epoch (replayed/duplicate delete appends squash to one row). Lower
+    tombstones are strictly dominated — max() is what the reader takes —
+    so this is unconditionally safe, bounding the log at one row per
+    ever-deleted doc. Same aside-rename swap; run with ingest paused."""
+    import shutil
+    from pathlib import Path
+
+    deletes = spark.read.parquet(f"{index_dir}/deletes")
+    before = deletes.count()
+    squashed = deletes.groupBy("doc_id").agg(F.max("epoch").alias("epoch"))
+    base = Path(index_dir)
+    squashed.write.mode("overwrite").parquet(str(base / "_deletes_compact"))
+    final, old = base / "deletes", base / "_deletes_old"
+    if old.exists():
+        shutil.rmtree(old)
+    final.rename(old)
+    (base / "_deletes_compact").rename(final)
+    shutil.rmtree(old)
+    spark.catalog.refreshByPath(str(final))
+    return {
+        "deletes_before": before,
+        "deletes_after": spark.read.parquet(f"{index_dir}/deletes").count(),
+    }
+
+
 def ivf_delete_vectors(
     spark, path: str, deleted: DataFrame, corpus_id: str = "vec_id"
 ) -> None:

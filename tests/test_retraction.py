@@ -536,3 +536,39 @@ def test_ivf_delete_search_without_tombstones_matches_plain(spark, tmp_path):
     )
     want = KNN.ivf_search_persisted(queries, spark, path, centroids, k=3, nprobe=1)
     assert key(got) == key(want) and got.count() == 3
+
+
+def test_bm25_reclaim_physically_drops_dead_docs(spark, tmp_path):
+    """Right-to-erasure: after reclaim the dead docs' rows are GONE from
+    both artifacts (not just invisible), reader output is bit-identical,
+    resurrected docs keep every version row, and tombstones survive so a
+    crash-replayed old append still finds its erased ids dead. The
+    tombstone-log compaction then squashes duplicate deletes to one row
+    per doc without changing anything the reader sees."""
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha gamma"), (3, "beta delta")],
+        "doc_id long, text string",
+    )
+    RT.bm25_index_append(docs, idx, epoch=0)
+    # delete 2 and 3 (twice: replayed tombstones), resurrect 3 at epoch 2
+    dels = spark.createDataFrame([(2,), (3,)], "doc_id long")
+    RT.bm25_delete_docs(spark, idx, dels, epoch=1)
+    RT.bm25_delete_docs(spark, idx, dels, epoch=1)
+    RT.bm25_index_append(docs.where(F.col("doc_id") == 3), idx, epoch=2)
+    before = _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark)
+    counts = RT.bm25_reclaim_deleted(spark, idx)
+    # dead = doc 2 only (3 was resurrected): its rows physically gone
+    lens = spark.read.parquet(f"{idx}/doc_lens")
+    assert {r.doc_id for r in lens.select("doc_id").distinct().collect()} == {1, 3}
+    assert counts["doc_lens_before"] > counts["doc_lens_after"]
+    # resurrected doc keeps BOTH version rows (squashing is compact_index's job)
+    assert lens.where(F.col("doc_id") == 3).count() == 2
+    assert _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark) == before
+    # tombstone-log compaction: 4 appended rows -> 2 (max epoch per doc)
+    dcounts = RT.bm25_compact_deletes(spark, idx)
+    assert dcounts == {"deletes_before": 4, "deletes_after": 2}
+    assert _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark) == before
+    # a replayed OLD append of the erased doc must still be dead
+    RT.bm25_index_append(docs.where(F.col("doc_id") == 2), idx, epoch=0)
+    assert _bm25_scores(RT.bm25_index_with_deletes(spark, idx), spark) == before
