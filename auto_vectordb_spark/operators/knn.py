@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cleanvec as CV
 from ..functions import vector as V
+from .dedup import fan_out_small_scan
 from .relational import top_k_per_group
 
 
@@ -41,6 +42,13 @@ def score_pairs(
 
     The query side is broadcast (it's the small side by construction), so the
     corpus — the 100 TB side — is scanned in place with zero shuffle.
+
+    The corpus side is conditionally fanned to the session's parallelism
+    first (dedup.fan_out_small_scan): the per-pair dot product runs through
+    Spark's interpreted higher-order array lambdas (~µs per element), so an
+    unsplittable single-row-group scan serializes queries × corpus × dim
+    lambda evaluations onto one core. A well-partitioned corpus (the 100 TB
+    case) is untouched — the scan-in-place/zero-shuffle contract holds.
     """
     q = F.broadcast(
         queries.select(
@@ -51,6 +59,7 @@ def score_pairs(
     )
     # Pre-cast + pre-norm the corpus side so the pair stage is one dot product
     # per (query, row) instead of three array reductions.
+    corpus = fan_out_small_scan(corpus)
     c = corpus.withColumn("__cv", V.as_double_array(F.col(corpus_vec))).withColumn(
         "__cn", V.norm(F.col(corpus_vec))
     )
@@ -136,7 +145,9 @@ def mine_hard_negatives(
             V.norm(F.col(query_vec)).alias("__qn"),
         )
     )
-    c = corpus.withColumn("__cv", V.as_double_array(F.col(corpus_vec))).withColumn(
+    c = fan_out_small_scan(corpus).withColumn(
+        "__cv", V.as_double_array(F.col(corpus_vec))
+    ).withColumn(
         "__cn", V.norm(F.col(corpus_vec))
     )
     sim = V.cosine_with_norms(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn"))

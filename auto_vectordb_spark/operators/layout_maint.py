@@ -176,7 +176,10 @@ def zorder_compaction_apply(
         F.shiftright(morton16(F.col("xg"), F.col("yg")), shift)
         .cast("long")
         .alias("z_bucket"),
-    )
+    ).localCheckpoint(eager=True)  # delta-sized; consumed by BOTH the
+    # rewrite merge and the deferred side write — without this each
+    # consumer re-scans events for the delta AND re-runs the base_stats
+    # aggregate (opt guide §2.4: one decide pass, reuse it)
 
     rewrite_buckets = F.broadcast(
         plan.where(F.col("action") == "rewrite").select("z_bucket")
@@ -475,7 +478,10 @@ def zorder_write_ranged(
     )
     z = g.select(
         id_col, "xg", "yg", morton16(F.col("xg"), F.col("yg")).alias("z")
-    )
+    ).localCheckpoint(eager=True)  # global_rank runs TWO actions over its
+    # input (the boundary sketch collect, then the consumer's write);
+    # materializing z once means the scan + stats agg + grid/Morton
+    # arithmetic run once, not per action (opt guide §2.4)
     ranked = global_rank(z, "z", id_col)
     chunked = ranked.withColumn(
         "z_file", ntile_expr("__r", "__n", n_files).cast("long")

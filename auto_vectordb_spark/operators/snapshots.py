@@ -101,8 +101,16 @@ def shingle_index(
     partitioned/bucketed by a shingle-hash prefix so a probe prunes to
     the buckets its shingles hash into. Same shingle pipeline as
     dedup.decontaminate_flags, so probing the index equals the
-    from-scratch run (test-pinned)."""
-    return docs.select(
+    from-scratch run (test-pinned).
+
+    The input is conditionally fanned to the session's parallelism first
+    (dedup.fan_out_small_scan): tokenize+shingle is the expensive per-row
+    stage, and an unsplittable single-row-group scan would serialize it
+    on one core — same conditional fix every dedup front end carries; a
+    well-partitioned 100 TB scan is untouched."""
+    from .dedup import fan_out_small_scan
+
+    return fan_out_small_scan(docs).select(
         F.col(id_col),
         F.explode(shingles(tokenize(F.col(text_col)), k)).alias("sh"),
     ).distinct()
@@ -291,6 +299,12 @@ def curriculum_pack_manifest(
         quality_score(keep, id_col, text_col)
         .select("doc_id", "n_tokens", "quality")
         .where(F.col("quality") >= quality_min)
+        # global_rank runs TWO actions over its input (boundary sketch,
+        # then the consumer's job) — materialize the survivor projection
+        # once so the keep-one window + tokenize front end isn't re-run
+        # per action (opt guide §2.4). Narrow (id + 2 numerics): the same
+        # survivors-table posture training_set_build persists.
+        .localCheckpoint(eager=True)
     )
     ranked = global_rank(scored, "quality", "doc_id")
     staged = ranked.withColumn("stage", ntile_expr("__r", "__n", n_stages))

@@ -1126,12 +1126,17 @@ def bm25_topk(spark, sf):
     t = load_views(spark, sf)
     from ..functions.text import tokenize
 
-    index = BM25.build_index(t["documents"])
+    # One-shot search: the adhoc scorer broadcast-prunes the exploded token
+    # stream to query terms BEFORE any shuffle, skipping build_index's
+    # full-corpus postings exchange (computed twice there: once for the
+    # probe join, once for term_df). Scores bit-identical (opt guide §2.3).
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    scored = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    scored = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
+        "score", F.round("score", 6)
+    )
     return R.top_k_per_group(scored, ["query_id"], "score", _KNN_K, tie_break="doc_id")
 
 
@@ -1187,12 +1192,14 @@ def hybrid_search(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    index = BM25.build_index(t["documents"])
+    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
+        "score", F.round("score", 6)
+    )
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -2054,12 +2061,14 @@ def hybrid_rrf(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    index = BM25.build_index(t["documents"])
+    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
+        "score", F.round("score", 6)
+    )
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -2161,12 +2170,14 @@ def hybrid_fusion_ab(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    index = BM25.build_index(t["documents"])
+    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
+        "score", F.round("score", 6)
+    )
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -4085,12 +4096,14 @@ def rerank_hybrid(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    index = BM25.build_index(t["documents"])
+    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
+    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
+        "score", F.round("score", 6)
+    )
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -6480,9 +6493,10 @@ def more_like_this(spark, sf):
         .filter(F.col("doc_id") < _MLT_QUERY_DOCS)
         .select(F.col("doc_id").alias("query_id"), "term")
     )
-    index = BM25.build_index(docs)
+    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk); df of a
+    # query term over the pruned tf table equals corpus-wide df by definition
     scored = (
-        BM25.score_terms(index, qt)
+        BM25.score_terms_adhoc(docs, qt)
         .withColumn("score", F.round("score", 6))
         .filter(F.col("query_id") != F.col("doc_id"))
     )
@@ -9195,12 +9209,15 @@ def dedup_snapshot_incremental(spark, sf):
     old = t["documents"].filter(F.col("doc_id") < _INCR_SPLIT)
     new = t["documents"].filter(F.col("doc_id") >= _INCR_SPLIT)
     buckets = DD.minhash_bucket_table(old)
-    pairs = DD.minhash_lsh_pairs(old).select("id_a", "id_b")
     bpath = tempfile.mkdtemp(prefix="snap_buckets_")
     ppath = tempfile.mkdtemp(prefix="snap_pairs_")
     buckets.write.mode("overwrite").parquet(bpath)
-    pairs.write.mode("overwrite").parquet(ppath)
     stored_b = spark.read.schema(buckets.schema).parquet(bpath)
+    # pair graph derived from the STORED bucket table — identical rows to
+    # minhash_lsh_pairs(old), but the shingle→minhash front end (the
+    # expensive half) runs once, not twice (opt guide §2.4)
+    pairs = DD.lsh_pairs_from_buckets(stored_b).select("id_a", "id_b")
+    pairs.write.mode("overwrite").parquet(ppath)
     stored_p = spark.read.schema(pairs.schema).parquet(ppath)
     return LC.snapshot_dedup_incremental(old, new, stored_b, stored_p).select(
         "doc_id", "lang", "source"
@@ -9461,9 +9478,14 @@ def scd2_incremental(spark, sf):
 
     t = load_views(spark, sf)
     old, new = _ivm_split(t["events"])
-    return IC.scd2_finalize(
-        IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
-    )
+    # scd2_merge consumes `older` 3× and `newer` 2× (stitch decision +
+    # adjusted unions); materialize each island state once so the
+    # window-heavy batch lineage isn't re-run per consumer (was 9 scans of
+    # the events parquet in one plan — opt guide §2.4). Production stores
+    # the state anyway (cf. rollup_incremental's parquet round-trip).
+    old_state = IC.scd2_state(old).localCheckpoint(eager=True)
+    new_state = IC.scd2_state(new).localCheckpoint(eager=True)
+    return IC.scd2_finalize(IC.scd2_merge(old_state, new_state))
 
 
 @_register(
@@ -9697,7 +9719,12 @@ def scd2_incremental_retract(spark, sf):
 
     t = load_views(spark, sf)
     old, new = _ivm_split(t["events"])
-    merged = IC.scd2_merge(IC.scd2_state(old), IC.scd2_state(new))
+    # state + merged materialized once: scd2_merge multiplies its inputs
+    # (3×/2×) and scd2_retract consumes `merged` twice (pass-through +
+    # affected-user rebuild) — see scd2_incremental
+    old_state = IC.scd2_state(old).localCheckpoint(eager=True)
+    new_state = IC.scd2_state(new).localCheckpoint(eager=True)
+    merged = IC.scd2_merge(old_state, new_state).localCheckpoint(eager=True)
     deleted = (
         t["events"]
         .where(F.pmod(F.col("event_id"), F.lit(101)) == 0)
@@ -9799,12 +9826,14 @@ def dedup_index_retract(spark, sf):
     t = load_views(spark, sf)
     docs = t["documents"]
     buckets = DD.minhash_bucket_table(docs)
-    pairs = DD.minhash_lsh_pairs(docs).select("id_a", "id_b")
     bpath = tempfile.mkdtemp(prefix="ret_buckets_")
     ppath = tempfile.mkdtemp(prefix="ret_pairs_")
     buckets.write.mode("overwrite").parquet(bpath)
-    pairs.write.mode("overwrite").parquet(ppath)
     stored_b = spark.read.schema(buckets.schema).parquet(bpath)
+    # pair graph derived from the STORED bucket table (see
+    # dedup_snapshot_incremental): front end runs once, not twice
+    pairs = DD.lsh_pairs_from_buckets(stored_b).select("id_a", "id_b")
+    pairs.write.mode("overwrite").parquet(ppath)
     stored_p = spark.read.schema(pairs.schema).parquet(ppath)
     deleted = docs.where(F.pmod(F.col("doc_id"), F.lit(23)) == 0).select("doc_id")
     survivors, _, _ = RT.dedup_index_retract(docs, stored_b, stored_p, deleted)
