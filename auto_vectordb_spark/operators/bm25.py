@@ -175,6 +175,13 @@ def score_terms_adhoc(
     """
     from pyspark.sql import Window
 
+    from .dedup import fan_out_small_scan
+
+    # tokenize is the expensive per-row stage and this plan runs it in
+    # three legs (explode, doc_lens join, stats agg); fan an under-split
+    # scan once so all three parallelize — conditional, no-op on a
+    # well-partitioned 100 TB corpus (same fix as every dedup front end)
+    docs = fan_out_small_scan(docs)
     toks = tokenize(F.col(text_col))
     doc_lens = docs.select(F.col(id_col).alias("doc_id"), F.size(toks).alias("dl")).filter(
         F.col("dl") > 0

@@ -1126,17 +1126,20 @@ def bm25_topk(spark, sf):
     t = load_views(spark, sf)
     from ..functions.text import tokenize
 
-    # One-shot search: the adhoc scorer broadcast-prunes the exploded token
-    # stream to query terms BEFORE any shuffle, skipping build_index's
-    # full-corpus postings exchange (computed twice there: once for the
-    # probe join, once for term_df). Scores bit-identical (opt guide §2.3).
+    # Measured dead-end (r12, don't retry): swapping to score_terms_adhoc
+    # was 1.5x SLOWER at sf0.1 (min-of-5 1.98 s vs 1.30 s interleaved) —
+    # AQE stage reuse already shares the postings exchange between the
+    # probe join and the term_df branch, so the index path pays the corpus
+    # explode+shuffle ONCE at runtime despite the two pipelines in the
+    # initial plan; adhoc's broadcast-prune pays per-token probe + an SMJ
+    # against doc_lens instead. A window-df variant (df from the pruned
+    # postings) measured equal-to-worse (1.57 vs 1.46).
+    index = BM25.build_index(t["documents"])
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    scored = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
-        "score", F.round("score", 6)
-    )
+    scored = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
     return R.top_k_per_group(scored, ["query_id"], "score", _KNN_K, tie_break="doc_id")
 
 
@@ -1192,14 +1195,13 @@ def hybrid_search(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
+    # index path, not score_terms_adhoc — measured dead-end, see bm25_topk
+    index = BM25.build_index(t["documents"])
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
-        "score", F.round("score", 6)
-    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -2061,14 +2063,13 @@ def hybrid_rrf(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
+    # index path, not score_terms_adhoc — measured dead-end, see bm25_topk
+    index = BM25.build_index(t["documents"])
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
-        "score", F.round("score", 6)
-    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -2170,14 +2171,13 @@ def hybrid_fusion_ab(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
+    # index path, not score_terms_adhoc — measured dead-end, see bm25_topk
+    index = BM25.build_index(t["documents"])
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
-        "score", F.round("score", 6)
-    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -4096,14 +4096,13 @@ def rerank_hybrid(spark, sf):
     from ..functions.text import tokenize
 
     t = load_views(spark, sf)
-    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk)
+    # index path, not score_terms_adhoc — measured dead-end, see bm25_topk
+    index = BM25.build_index(t["documents"])
     queries = spark.createDataFrame(BM25_QUERIES, ["query_id", "query_text"])
     terms = queries.select(
         "query_id", F.explode(tokenize(F.col("query_text"))).alias("term")
     )
-    b_scores = BM25.score_terms_adhoc(t["documents"], terms).withColumn(
-        "score", F.round("score", 6)
-    )
+    b_scores = BM25.score_terms(index, terms).withColumn("score", F.round("score", 6))
     vq = (
         t["embeddings"]
         .filter(F.col("vec_id") < _N_HYBRID_QUERIES)
@@ -6493,10 +6492,10 @@ def more_like_this(spark, sf):
         .filter(F.col("doc_id") < _MLT_QUERY_DOCS)
         .select(F.col("doc_id").alias("query_id"), "term")
     )
-    # adhoc scorer: no full-corpus postings shuffle (see bm25_topk); df of a
-    # query term over the pruned tf table equals corpus-wide df by definition
+    # index path, not score_terms_adhoc — measured dead-end, see bm25_topk
+    index = BM25.build_index(docs)
     scored = (
-        BM25.score_terms_adhoc(docs, qt)
+        BM25.score_terms(index, qt)
         .withColumn("score", F.round("score", 6))
         .filter(F.col("query_id") != F.col("doc_id"))
     )
