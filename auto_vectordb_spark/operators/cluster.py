@@ -170,7 +170,14 @@ def lloyd(
     inertia: list[float] = []
     for _ in range(iters):
         assigned = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
-        joined = vectors.join(assigned.select(id_col, "cluster_id", "dist"), id_col)
+        # two actions consume `joined` per round (the centroid-update
+        # collect and the inertia aggregate); materialize the assignment
+        # once so the corpus assign+self-join runs once per round, not
+        # twice (opt guide §2.4). Lloyd at scale caches its working set
+        # per iteration anyway (MLlib does the same).
+        joined = vectors.join(
+            assigned.select(id_col, "cluster_id", "dist"), id_col
+        ).localCheckpoint(eager=True)
         stats = centroid_means_exact(joined, "cluster_id", vec_col)
         agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).try_cast("long")).alias("qi"))
         inertia.append(agg.first()["qi"] / 1_000_000)
@@ -292,7 +299,15 @@ def gram_matrix(
              "s": acc[iu]}
         )
 
-    partials = df.select(vec_col).mapInPandas(part, schema="i long, j long, s long")
+    # Conditionally fan an under-split scan first: with one input partition
+    # the whole corpus streams through a single Python worker; fanned, each
+    # task emits its own d×d partial and the groupBy sums them — identical
+    # output in any partitioning (int64 sums commute). No-op at 100 TB.
+    from .dedup import fan_out_small_scan
+
+    partials = fan_out_small_scan(df.select(vec_col)).mapInPandas(
+        part, schema="i long, j long, s long"
+    )
     return partials.groupBy("i", "j").agg(F.sum("s").alias("sum_q"))
 
 

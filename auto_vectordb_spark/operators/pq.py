@@ -121,29 +121,50 @@ def pq_codebooks_kmeans(
         )
     )
     v = V.as_double_array(F.col(vec_col))
-    row = df.select(v.alias("v")).first()
-    if row is None:
-        return []  # empty training slice — same degenerate contract as seed
-    # k must not exceed the training-row count (MLlib fit aborts on a
-    # 1-row slice at k=256): cap like every PQ trainer does on tiny
-    # slices — the codebook is smaller, every downstream shape unchanged.
-    # MLlib further requires k >= 2, so a single-row slice IS its own
-    # codebook (one codeword per subspace — exact quantization).
-    d = len(row["v"])
-    sub = d // m
-    n = df.count()
-    if n < 2:
-        return [
-            [[float(x) for x in row["v"][j * sub : (j + 1) * sub]]]
-            for j in range(m)
-        ]
-    ksub = min(ksub, n)
-    books = []
-    for j in range(m):
-        feats = df.select(array_to_vector(F.slice(v, j * sub + 1, sub)).alias("__f"))
-        model = KMeans(k=ksub, seed=seed, featuresCol="__f").fit(feats)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
-    return books
+    # The validated-vector projection feeds first(), count() AND every
+    # per-subspace KMeans fit (each fit = many iterative jobs): persist it
+    # once instead of re-scanning + re-validating the source per action
+    # (opt guide §2.4/§5 — reused AND expensive to recompute; unpersisted
+    # before return). Partitioning is untouched so the fits see the exact
+    # same data layout (and therefore centers) as the sequential path.
+    cached = df.select(v.alias("v")).persist()
+    try:
+        row = cached.first()
+        if row is None:
+            return []  # empty training slice — same degenerate contract as seed
+        # k must not exceed the training-row count (MLlib fit aborts on a
+        # 1-row slice at k=256): cap like every PQ trainer does on tiny
+        # slices — the codebook is smaller, every downstream shape unchanged.
+        # MLlib further requires k >= 2, so a single-row slice IS its own
+        # codebook (one codeword per subspace — exact quantization).
+        d = len(row["v"])
+        sub = d // m
+        n = cached.count()
+        if n < 2:
+            return [
+                [[float(x) for x in row["v"][j * sub : (j + 1) * sub]]]
+                for j in range(m)
+            ]
+        ksub = min(ksub, n)
+
+        # The m fits are independent jobs over the same cached slice source;
+        # overlapping a few of them back-fills executor cores idled by each
+        # fit's sequential iterations (opt guide §2.6). Results are
+        # order-preserved by index and each fit keeps its own estimator +
+        # the same (seed, data, partitioning), so centers are unchanged.
+        def fit(j: int) -> list[list[float]]:
+            feats = cached.select(
+                array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias("__f")
+            )
+            model = KMeans(k=ksub, seed=seed, featuresCol="__f").fit(feats)
+            return [[float(x) for x in c] for c in model.clusterCenters()]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+            return list(pool.map(fit, range(m)))
+    finally:
+        cached.unpersist()
 
 
 def _sub_argmin(subvec, codebook: list[list[float]], round_decimals: int = 6):
