@@ -201,18 +201,33 @@ def zorder_compaction_apply(
     )
     # dynamic overwrite scoped to THIS write via the writer option (r11
     # ADVICE #1): mutating the session conf, even set/restore in finally,
-    # races concurrent writers on a shared SparkSession
-    merged.select(id_col, "xg", "yg", "z_bucket").repartition(
-        "z_bucket"
-    ).write.mode("overwrite").option(
-        "partitionOverwriteMode", "dynamic"
-    ).partitionBy("z_bucket").parquet(main_path)
+    # races concurrent writers on a shared SparkSession.
+    # Exchange width pinned to the bucket count — see layout.zorder_write:
+    # an AQE-coalesced single task would write every bucket dir serially.
+    def _write_main() -> None:
+        merged.select(id_col, "xg", "yg", "z_bucket").repartition(
+            2 ** bucket_bits, "z_bucket"
+        ).write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("z_bucket").parquet(main_path)
 
-    dz.join(defer_buckets, "z_bucket", "left_semi").select(
-        id_col, "xg", "yg", "z_bucket"
-    ).repartition("z_bucket").write.mode("overwrite").partitionBy(
-        "z_bucket"
-    ).parquet(side_path)
+    def _write_side() -> None:
+        dz.join(defer_buckets, "z_bucket", "left_semi").select(
+            id_col, "xg", "yg", "z_bucket"
+        ).repartition(2 ** bucket_bits, "z_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("z_bucket").parquet(side_path)
+
+    # The two writes touch disjoint paths and read only checkpointed
+    # inputs (merged, dz) — submit them concurrently so the side write's
+    # tasks back-fill executors idled by the main write's commit tail
+    # (opt guide §2.6). Exceptions propagate from .result().
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_main), pool.submit(_write_side)]
+        for f in futs:
+            f.result()
     return plan
 
 
@@ -275,6 +290,7 @@ def zorder_compaction_cycle2(
     side_path: str,
     rewrite_pct: int = 10,
     id_col: str = "event_id",
+    bucket_bits: int = 6,
 ) -> DataFrame:
     """The NEXT maintenance cycle — what makes deferral honest: a
     deferred delta is not dropped work, it is pressure ACCUMULATING in
@@ -334,14 +350,15 @@ def zorder_compaction_cycle2(
     remaining = side.join(rewrite2, "z_bucket", "left_anti").localCheckpoint(
         eager=True
     )
-    # writer-scoped dynamic overwrite (r11 ADVICE #1) — see the apply step
+    # writer-scoped dynamic overwrite (r11 ADVICE #1) — see the apply step;
+    # exchange width pinned to the bucket count (see layout.zorder_write)
     merged.select(id_col, "xg", "yg", "z_bucket").repartition(
-        "z_bucket"
+        2 ** bucket_bits, "z_bucket"
     ).write.mode("overwrite").option(
         "partitionOverwriteMode", "dynamic"
     ).partitionBy("z_bucket").parquet(main_path)
     remaining.select(id_col, "xg", "yg", "z_bucket").repartition(
-        "z_bucket"
+        2 ** bucket_bits, "z_bucket"
     ).write.mode("overwrite").partitionBy("z_bucket").parquet(side_path)
     return compaction_report(
         spark, main_path, side_path, plan2, id_col=id_col
@@ -486,8 +503,10 @@ def zorder_write_ranged(
     chunked = ranked.withColumn(
         "z_file", ntile_expr("__r", "__n", n_files).cast("long")
     ).drop("__r", "__n")
+    # exchange width pinned to the file count (see layout.zorder_write):
+    # an AQE-coalesced single task would sort+write all chunks serially
     chunked.select(id_col, "xg", "yg", "z", "z_file").repartition(
-        "z_file"
+        n_files, "z_file"
     ).sortWithinPartitions("z").write.mode("overwrite").partitionBy(
         "z_file"
     ).parquet(path)
