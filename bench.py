@@ -67,6 +67,7 @@ band. Per-round medians to date (sf0.1):
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import statistics
@@ -205,6 +206,16 @@ def main() -> None:
             # garbage outside this query's timed window, so a G1 pause
             # triggered by leftover allocation doesn't land mid-measurement
             # (observed as random 3-9 s spikes on otherwise ~2 s queries).
+            # The PYTHON collect must come first (r12 measurement fix):
+            # py4j releases a JVM DataFrame/RDD only after its Python proxy
+            # is garbage-collected, so dead-but-uncollected proxies from
+            # earlier queries keep their persisted/localCheckpointed blocks
+            # alive across repeats — measured as monotonic per-repeat
+            # degradation (e.g. training_set_build 4.3→9.0→9.9 s without
+            # this line, 3.9→4.1→4.2 s with it; same tree, same host).
+            # clearCache() alone cannot release blocks a live-looking proxy
+            # still references. Timing methodology is otherwise unchanged.
+            gc.collect()
             spark._jvm.System.gc()  # noqa: SLF001
             t0 = time.perf_counter()
             df = q.spark(spark, sf_dir)
