@@ -50,8 +50,6 @@ from .layout import (
     _py_spread8,
     grid_expr_sql,
     morton16,
-    zorder_compaction_plan,
-    zorder_write,
 )
 from .schedule import global_rank, ntile_expr
 
@@ -81,11 +79,13 @@ def zorder_compaction_apply(
     rewrite_pct: int = 10,
 ) -> DataFrame:
     """Execute the incremental z-order maintenance cycle end-to-end and
-    return the plan that was applied: write the BASE layout
-    (:func:`layout.zorder_write` of the non-delta rows), decide per
-    bucket (:func:`layout.zorder_compaction_plan` — rewrite when delta
-    pressure exceeds ``rewrite_pct``% of base rows or the bucket is
-    all-new, else defer), then ACT on the decision:
+    return the plan that was applied: write the BASE layout (the
+    :func:`layout.zorder_write` shape — one file per hash bucket — of the
+    non-delta rows), decide per bucket (byte-identical arithmetic to
+    :func:`layout.zorder_compaction_plan`, computed inline from the one
+    materialized pass — rewrite when delta pressure exceeds
+    ``rewrite_pct``% of base rows or the bucket is all-new, else defer),
+    then ACT on the decision:
 
     - **rewrite** buckets: the bucket's stored main-table rows are read
       back, merged with the bucket's delta rows (mapped onto the FROZEN
@@ -114,120 +114,155 @@ def zorder_compaction_apply(
     initial write, not a compaction) — mirrored from the plan's
     contract.
     """
-    ev = _clean(events, id_col, x_col, ts_col)
-    base = ev.where(F.pmod(F.col(id_col), F.lit(delta_mod)) != 0)
-    zorder_write(
-        base,
-        main_path,
-        x_col=x_col,
-        ts_col=ts_col,
-        bucket_bits=bucket_bits,
-        payload_cols=(id_col,),
-    )
-    plan = zorder_compaction_plan(
-        events,
-        id_col=id_col,
-        x_col=x_col,
-        ts_col=ts_col,
-        bucket_bits=bucket_bits,
-        delta_mod=delta_mod,
-        rewrite_pct=rewrite_pct,
-    ).localCheckpoint(eager=True)  # one decide pass; two action consumers
+    from concurrent.futures import ThreadPoolExecutor
 
-    # Delta rows mapped onto the FROZEN base grid, clamped into it —
-    # byte-identical arithmetic to zorder_compaction_plan's bucket
-    # assignment (layout.py documents the input-clamp overflow guard).
-    shift = 2 * GRID_BITS - bucket_bits
-    delta = ev.where(F.pmod(F.col(id_col), F.lit(delta_mod)) == 0).select(
-        F.col(id_col),
-        F.col(x_col).cast("long").alias("__x"),
-        _hour_index(ts_col).alias("__y"),
-    )
-    base_stats = base.select(
-        F.col(x_col).cast("long").alias("__bx"),
-        _hour_index(ts_col).alias("__by"),
-    ).agg(
-        F.min("__bx").alias("__xmin"),
-        F.max("__bx").alias("__xmax"),
-        F.min("__by").alias("__ymin"),
-        F.max("__by").alias("__ymax"),
-    )
-    dg = (
-        delta.join(F.broadcast(base_stats))
-        .where(F.col("__xmin").isNotNull())
+    from .dedup import fan_out_small_scan
+
+    # ONE corpus pass (r12 opt, guide §2.4): the r11 shape scanned the
+    # events parquet SIX times (zorder_write's stats agg + write pass,
+    # the plan's stats agg + bucket agg, the apply's own base_stats agg,
+    # and the delta projection) — and at sf0.1 every one of those is a
+    # single-task scan (one parquet row group cannot split), so the
+    # hour-index/grid arithmetic serialized on one core per pass. The
+    # cleaned narrow frame (id + 2 longs + the delta flag) is fanned to
+    # the session's parallelism (conditional — a no-op on a
+    # well-partitioned 100 TB scan) and materialized ONCE; stats, plan,
+    # base write, delta mapping and side write all derive from it.
+    ev = (
+        fan_out_small_scan(_clean(events, id_col, x_col, ts_col))
         .select(
-            id_col,
-            F.expr(
-                grid_expr_sql(
-                    "least(greatest(__x, __xmin), __xmax)", "__xmin", "__xmax"
-                )
-            ).alias("xg"),
-            F.expr(
-                grid_expr_sql(
-                    "least(greatest(__y, __ymin), __ymax)", "__ymin", "__ymax"
-                )
-            ).alias("yg"),
-        )
-    )
-    dz = dg.select(
-        id_col,
-        "xg",
-        "yg",
-        F.shiftright(morton16(F.col("xg"), F.col("yg")), shift)
-        .cast("long")
-        .alias("z_bucket"),
-    ).localCheckpoint(eager=True)  # delta-sized; consumed by BOTH the
-    # rewrite merge and the deferred side write — without this each
-    # consumer re-scans events for the delta AND re-runs the base_stats
-    # aggregate (opt guide §2.4: one decide pass, reuse it)
-
-    rewrite_buckets = F.broadcast(
-        plan.where(F.col("action") == "rewrite").select("z_bucket")
-    )
-    defer_buckets = F.broadcast(
-        plan.where(F.col("action") == "defer").select("z_bucket")
-    )
-
-    schema = _MAIN_SCHEMA.format(pay=id_col)
-    stored = spark.read.schema(schema).parquet(main_path)
-    merged = (
-        stored.join(rewrite_buckets, "z_bucket", "left_semi")
-        .unionByName(
-            dz.join(rewrite_buckets, "z_bucket", "left_semi").select(
-                "z_bucket", id_col, "xg", "yg"
-            )
+            F.col(id_col),
+            F.col(x_col).cast("long").alias("__x"),
+            _hour_index(ts_col).alias("__y"),
+            (F.pmod(F.col(id_col), F.lit(delta_mod)) == 0).alias("__is_delta"),
         )
         .localCheckpoint(eager=True)
     )
-    # dynamic overwrite scoped to THIS write via the writer option (r11
-    # ADVICE #1): mutating the session conf, even set/restore in finally,
-    # races concurrent writers on a shared SparkSession.
-    # Exchange width pinned to the bucket count — see layout.zorder_write:
+    # ONE min-max aggregate serves zorder_write's grid, the plan's grid
+    # and the delta mapping (the r11 shape computed it three times —
+    # identical input set, identical values). Collected as int literals:
+    # the grid arithmetic stays whole-stage-codegen'd with no broadcast
+    # join node, and the values are exact int64 either way.
+    row = ev.where(~F.col("__is_delta")).agg(
+        F.min("__x").alias("__xmin"),
+        F.max("__x").alias("__xmax"),
+        F.min("__y").alias("__ymin"),
+        F.max("__y").alias("__ymax"),
+    ).first()
+    shift = 2 * GRID_BITS - bucket_bits
+    if row is None or row["__xmin"] is None:
+        # Empty base ⇒ empty plan ⇒ nothing applied (an initial write,
+        # not a compaction) — identical to the broadcast-join shape,
+        # where the __xmin-isNotNull filter killed every row. The empty
+        # writes still run so main/side exist for the report read.
+        gz = ev.select(
+            id_col,
+            F.lit(None).cast("long").alias("xg"),
+            F.lit(None).cast("long").alias("yg"),
+            F.lit(None).cast("long").alias("z_bucket"),
+            "__is_delta",
+        ).where(F.lit(False))
+    else:
+        xmin, xmax = int(row["__xmin"]), int(row["__xmax"])
+        ymin, ymax = int(row["__ymin"]), int(row["__ymax"])
+        # Frozen-grid mapping, clamped into the base range — byte-identical
+        # arithmetic to zorder_compaction_plan (layout.py documents the
+        # input-clamp overflow guard). Base rows are inside [vmin, vmax] by
+        # construction, so the clamp is the identity for them and this one
+        # expression serves both the base layout write and the delta
+        # mapping.
+        xg = F.expr(
+            grid_expr_sql(f"least(greatest(__x, {xmin}), {xmax})", str(xmin), str(xmax))
+        )
+        yg = F.expr(
+            grid_expr_sql(f"least(greatest(__y, {ymin}), {ymax})", str(ymin), str(ymax))
+        )
+        gz = ev.select(
+            id_col,
+            xg.alias("xg"),
+            yg.alias("yg"),
+            F.shiftright(morton16(xg, yg), shift).cast("long").alias("z_bucket"),
+            "__is_delta",
+        )
+
+    # Exchange widths pinned to the bucket count — see layout.zorder_write:
     # an AQE-coalesced single task would write every bucket dir serially.
-    def _write_main() -> None:
+    def _write_base() -> None:
+        gz.where(~F.col("__is_delta")).select(
+            id_col, "xg", "yg", "z_bucket"
+        ).repartition(2 ** bucket_bits, "z_bucket").write.mode(
+            "overwrite"
+        ).partitionBy("z_bucket").parquet(main_path)
+
+    # The base-layout write and the plan aggregate are independent reads
+    # of the checkpointed frame — overlap them so the plan's tiny agg
+    # back-fills executors idled by the write's commit tail (guide §2.6).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_base = pool.submit(_write_base)
+        plan = (
+            gz.groupBy("z_bucket")
+            .agg(
+                F.count(F.when(~F.col("__is_delta"), 1)).alias("base_rows"),
+                F.count(F.when(F.col("__is_delta"), 1)).alias("delta_rows"),
+            )
+            .select(
+                "z_bucket",
+                "base_rows",
+                "delta_rows",
+                F.when(
+                    (F.col("base_rows") == 0)
+                    | (
+                        F.col("delta_rows") * 100
+                        >= F.col("base_rows") * rewrite_pct
+                    ),
+                    F.lit("rewrite"),
+                )
+                .otherwise(F.lit("defer"))
+                .alias("action"),
+            )
+            .localCheckpoint(eager=True)  # one decide pass; three consumers
+        )
+        rewrite_buckets = F.broadcast(
+            plan.where(F.col("action") == "rewrite").select("z_bucket")
+        )
+        defer_buckets = F.broadcast(
+            plan.where(F.col("action") == "defer").select("z_bucket")
+        )
+        dz = gz.where(F.col("__is_delta")).select(id_col, "xg", "yg", "z_bucket")
+
+        # The side write depends only on the plan + the checkpointed frame
+        # and touches its own path — launch it now, overlapping the rest
+        # of the main-path work (guide §2.6).
+        def _write_side() -> None:
+            dz.join(defer_buckets, "z_bucket", "left_semi").select(
+                id_col, "xg", "yg", "z_bucket"
+            ).repartition(2 ** bucket_bits, "z_bucket").write.mode(
+                "overwrite"
+            ).partitionBy("z_bucket").parquet(side_path)
+
+        f_side = pool.submit(_write_side)
+        f_base.result()  # stored read-back needs the base layout on disk
+
+        schema = _MAIN_SCHEMA.format(pay=id_col)
+        stored = spark.read.schema(schema).parquet(main_path)
+        merged = (
+            stored.join(rewrite_buckets, "z_bucket", "left_semi")
+            .unionByName(
+                dz.join(rewrite_buckets, "z_bucket", "left_semi").select(
+                    "z_bucket", id_col, "xg", "yg"
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
+        # dynamic overwrite scoped to THIS write via the writer option (r11
+        # ADVICE #1): mutating the session conf, even set/restore in
+        # finally, races concurrent writers on a shared SparkSession.
         merged.select(id_col, "xg", "yg", "z_bucket").repartition(
             2 ** bucket_bits, "z_bucket"
         ).write.mode("overwrite").option(
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("z_bucket").parquet(main_path)
-
-    def _write_side() -> None:
-        dz.join(defer_buckets, "z_bucket", "left_semi").select(
-            id_col, "xg", "yg", "z_bucket"
-        ).repartition(2 ** bucket_bits, "z_bucket").write.mode(
-            "overwrite"
-        ).partitionBy("z_bucket").parquet(side_path)
-
-    # The two writes touch disjoint paths and read only checkpointed
-    # inputs (merged, dz) — submit them concurrently so the side write's
-    # tasks back-fill executors idled by the main write's commit tail
-    # (opt guide §2.6). Exceptions propagate from .result().
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        futs = [pool.submit(_write_main), pool.submit(_write_side)]
-        for f in futs:
-            f.result()
+        f_side.result()
     return plan
 
 
@@ -472,33 +507,60 @@ def zorder_write_ranged(
     partitioning exists only to pin one-file-per-chunk determinism for
     the attestation; the probe never consults it.
 
-    Plan: one NULL-filtering scan + 4-value min-max broadcast (grid),
-    one range-key shuffle (global_rank's bucket exchange), one
+    Plan: one NULL-filtering scan materialized once (narrow: id + 2
+    longs), a 4-value min-max collect frozen into the grid expression as
+    literals, one range-key shuffle (global_rank's bucket exchange), one
     ``n_files``-value hash shuffle into writer tasks. NULL key/timestamp
     rows fail the row (cleanvec doctrine).
     """
-    ev = _clean(events, id_col, x_col, ts_col).select(
-        F.col(id_col),
-        F.col(x_col).cast("long").alias("__x"),
-        _hour_index(ts_col).alias("__y"),
+    from .dedup import fan_out_small_scan
+
+    # ONE corpus pass (r12 opt, guide §2.4): the r11 shape scanned the
+    # events parquet twice (the min-max agg, then the checkpoint
+    # materialization) and both scans were single-task at sf0.1 (one
+    # parquet row group cannot split). The cleaned narrow frame (id + 2
+    # longs) is fanned to the session's parallelism (conditional — a
+    # no-op on a well-partitioned 100 TB scan) and materialized ONCE;
+    # the stats agg and both of global_rank's actions (boundary sketch
+    # collect, consumer write) recompute only the cheap grid/Morton map
+    # over the checkpointed blocks.
+    ev = (
+        fan_out_small_scan(_clean(events, id_col, x_col, ts_col))
+        .select(
+            F.col(id_col),
+            F.col(x_col).cast("long").alias("__x"),
+            _hour_index(ts_col).alias("__y"),
+        )
+        .localCheckpoint(eager=True)
     )
-    stats = ev.agg(
+    row = ev.agg(
         F.min("__x").alias("__xmin"),
         F.max("__x").alias("__xmax"),
         F.min("__y").alias("__ymin"),
         F.max("__y").alias("__ymax"),
-    )
-    g = ev.join(F.broadcast(stats)).select(
-        id_col,
-        F.expr(grid_expr_sql("__x", "__xmin", "__xmax")).alias("xg"),
-        F.expr(grid_expr_sql("__y", "__ymin", "__ymax")).alias("yg"),
-    )
-    z = g.select(
-        id_col, "xg", "yg", morton16(F.col("xg"), F.col("yg")).alias("z")
-    ).localCheckpoint(eager=True)  # global_rank runs TWO actions over its
-    # input (the boundary sketch collect, then the consumer's write);
-    # materializing z once means the scan + stats agg + grid/Morton
-    # arithmetic run once, not per action (opt guide §2.4)
+    ).first()
+    if row is None or row["__xmin"] is None:
+        # nothing survived the NULL filter: the empty write still runs so
+        # the table exists for the probe (schema-correct empty frame)
+        z = ev.select(
+            id_col,
+            F.lit(None).cast("long").alias("xg"),
+            F.lit(None).cast("long").alias("yg"),
+            F.lit(None).cast("long").alias("z"),
+        ).where(F.lit(False))
+    else:
+        # stats as int literals: exact int64 either way, and the grid
+        # arithmetic stays codegen'd with no broadcast-join node
+        xmin, xmax = int(row["__xmin"]), int(row["__xmax"])
+        ymin, ymax = int(row["__ymin"]), int(row["__ymax"])
+        xg = F.expr(grid_expr_sql("__x", str(xmin), str(xmax)))
+        yg = F.expr(grid_expr_sql("__y", str(ymin), str(ymax)))
+        z = ev.select(
+            id_col,
+            xg.alias("xg"),
+            yg.alias("yg"),
+            morton16(xg, yg).alias("z"),
+        )
     ranked = global_rank(z, "z", id_col)
     chunked = ranked.withColumn(
         "z_file", ntile_expr("__r", "__n", n_files).cast("long")
