@@ -316,8 +316,15 @@ def minhash_lsh_pairs_incremental(
         new_docs, id_col, text_col, num_hashes, bands, shingle_k, fast=fast
     )
     key_cols = ["doc_id", "band", "bkey"]
-    all_b = bucket_table.select(key_cols).unionByName(nb.select(key_cols))
-    nb = nb.select(key_cols)
+    # The batch's bucket table feeds BOTH sides of the probe join (the
+    # probe side, and the union that surfaces new×new pairs) through two
+    # DIFFERENT exchanges, so nothing reuses it at runtime and the
+    # shingle→minhash front end — the expensive half — ran twice.
+    # Materialize it once: batch-sized (bands rows per doc, 3 short
+    # columns), exactly the artifact a production flow persists anyway
+    # (opt guide §2.4).
+    nb = nb.select(key_cols).localCheckpoint(eager=True)
+    all_b = bucket_table.select(key_cols).unionByName(nb)
     a, b = nb.alias("a"), all_b.alias("b")
     cand = a.join(
         b,

@@ -289,19 +289,34 @@ def curriculum_pack_manifest(
     from .textstats import quality_score
 
     base = docs.where(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
-    w = Window.partitionBy(F.md5(F.col(text_col)))
-    keep = (
-        base.withColumn("__kid", F.min(id_col).over(w))
-        .where(F.col(id_col) == F.col("__kid"))
-        .drop("__kid")
+    # Keep-one decided on SMALL rows (opt guide §2.3/§8): score every doc
+    # in the same map-only pass that computes the md5 key (text-equal
+    # docs score identically — quality is a pure function of text — so
+    # scoring before the keep-one decision changes nothing), then reduce
+    # with a map-side-combined groupBy on the hash. The r11 shape was a
+    # min-id window PARTITIONED BY md5(text), which shuffled the full
+    # document text just to discard the losers; now only (hash + 3
+    # numerics) partial aggregates cross the exchange and the text column
+    # never leaves the scan. min() over a group of identical values IS
+    # the value, so the aggregate output equals the window's keeper rows.
+    sc = quality_score(
+        base.withColumn("__h", F.md5(F.col(text_col))),
+        id_col,
+        text_col,
+        extra_cols=("__h",),
     )
     scored = (
-        quality_score(keep, id_col, text_col)
+        sc.groupBy("__h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("quality").alias("quality"),
+        )
         .select("doc_id", "n_tokens", "quality")
         .where(F.col("quality") >= quality_min)
         # global_rank runs TWO actions over its input (boundary sketch,
         # then the consumer's job) — materialize the survivor projection
-        # once so the keep-one window + tokenize front end isn't re-run
+        # once so the keep-one agg + tokenize front end isn't re-run
         # per action (opt guide §2.4). Narrow (id + 2 numerics): the same
         # survivors-table posture training_set_build persists.
         .localCheckpoint(eager=True)

@@ -57,13 +57,22 @@ def _count_in(tokens: Column, vocab: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*vocab)))
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Heuristic quality features + composite score in [0, 1].
 
     Features follow the C4/Gopher-style cheap filters: document length,
     mean word length, stopword ratio, punctuation density.
     score = 0.25*len_ok + 0.25*word_len_ok + 0.3*stopword_ratio_clamped
           + 0.2*(1 - punct_ratio_clamped)
+
+    ``extra_cols`` names input columns carried through unchanged, so a
+    caller can compute the score and a grouping key (e.g. md5(text)) in
+    ONE map-only pass instead of a post-hoc self-join on doc_id.
     """
     toks = tokenize(F.col(text_col))
     n_tok = F.size(toks)
@@ -88,6 +97,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
         F.round(stop_ratio, 6).alias("stopword_ratio"),
         F.round(punct_ratio, 6).alias("punct_ratio"),
         F.round(score, 6).alias("quality"),
+        *[F.col(c) for c in extra_cols],
     )
 
 
