@@ -368,6 +368,14 @@ def run_ab(ref: str) -> None:
             k: round(statistics.median(p["value"] for p in v), 3)
             for k, v in runs.items()
         }
+        # v2 channel (r12): both suites ride every child bench line since
+        # HEADLINE_V2 landed; adjudicate them too. .get() guards refs that
+        # predate the v2 suite (their verdict simply omits the v2 keys).
+        med_v2 = {
+            k: round(statistics.median(p["value_v2"] for p in v), 3)
+            for k, v in runs.items()
+            if all(p.get("value_v2") is not None for p in v)
+        }
         # per-rep totals capped in the STDOUT line so a many-rep overnight
         # run cannot outgrow the tail-capture budget after hours of work
         # (the full series always lives in BENCH_AB.json); the asserts are
@@ -384,12 +392,22 @@ def run_ab(ref: str) -> None:
             "head_over_ref": round(med["head"] / med["ref"], 3) if med["ref"] else None,
             "sf": runs["head"][0].get("sf"),
         }
+        if med_v2:
+            verdict["ref_median_v2"] = med_v2["ref"]
+            verdict["head_median_v2"] = med_v2["head"]
+            verdict["head_over_ref_v2"] = (
+                round(med_v2["head"] / med_v2["ref"], 3) if med_v2["ref"] else None
+            )
         detail = {
             **verdict,
             "ref_runs": [p["value"] for p in runs["ref"]],
             "head_runs": [p["value"] for p in runs["head"]],
             "ref_queries": [p.get("queries") for p in runs["ref"]],
             "head_queries": [p.get("queries") for p in runs["head"]],
+            "ref_runs_v2": [p.get("value_v2") for p in runs["ref"]],
+            "head_runs_v2": [p.get("value_v2") for p in runs["head"]],
+            "ref_queries_v2": [p.get("queries_v2") for p in runs["ref"]],
+            "head_queries_v2": [p.get("queries_v2") for p in runs["head"]],
         }
         with open(os.path.join(repo, "BENCH_AB.json"), "w") as f:
             f.write(json.dumps(detail) + "\n")
