@@ -256,6 +256,16 @@ def pq_encode_broadcast(
     """
     if not codebooks:
         return _empty_codes(vectors, id_col)
+    from .dedup import fan_out_small_scan
+
+    # The argmin lambdas below evaluate INTERPRETED (the documented price
+    # of data-driven codebooks), at m x ksub distance evals per row — the
+    # one per-row stage in this module heavy enough that an unsplittable
+    # single-row-group scan serializing it on one core dominates the
+    # entry. Conditionally fan the input first (no-op on a
+    # well-partitioned 100 TB scan) — the same fix every dedup front end
+    # carries (opt guide §2.5 input skew).
+    vectors = fan_out_small_scan(vectors)
     v = V.as_double_array(F.col(vec_col))
     sub = len(codebooks[0][0])
     cb = _codebook_df(vectors.sparkSession, codebooks)
