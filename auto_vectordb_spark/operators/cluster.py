@@ -168,6 +168,7 @@ def lloyd(
             [],
         )
     inertia: list[float] = []
+    prev_joined = None
     for _ in range(iters):
         assigned = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
         # two actions consume `joined` per round (the centroid-update
@@ -178,6 +179,14 @@ def lloyd(
         joined = vectors.join(
             assigned.select(id_col, "cluster_id", "dist"), id_col
         ).localCheckpoint(eager=True)
+        # release the PREVIOUS round's checkpointed blocks explicitly (r12
+        # ADVICE): relying on Python GC + the async ContextCleaner lets
+        # per-iteration corpus copies pile up in executor storage over many
+        # rounds. The new checkpoint is already materialized (eager=True),
+        # so nothing still reads the old one.
+        if prev_joined is not None:
+            prev_joined.rdd.unpersist(False)
+        prev_joined = joined
         stats = centroid_means_exact(joined, "cluster_id", vec_col)
         agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).try_cast("long")).alias("qi"))
         inertia.append(agg.first()["qi"] / 1_000_000)
@@ -185,7 +194,10 @@ def lloyd(
         # effective k = len(centroids): a tiny slice (n < k rows) seeds
         # fewer than k centroids, and indexing range(k) would IndexError
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
-    return assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col), centroids, inertia
+    out = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
+    if prev_joined is not None:
+        prev_joined.rdd.unpersist(False)
+    return out, centroids, inertia
 
 
 def outliers_by_group_centroid(

@@ -346,6 +346,13 @@ def zorder_compaction_cycle2(
     nothing, cycle 2 proves deferred data eventually lands in the main
     layout — content equality with a from-scratch rewrite is test-pinned
     at both points.
+
+    .. note:: ``bucket_bits`` here is used ONLY to pin the write-exchange
+       width (``2**bucket_bits`` — one task per possible bucket) and must
+       match the ``bucket_bits`` the apply step laid the table out with; a
+       mismatch is perf-only (partitionBy still yields one file per actual
+       bucket), but an under-sized width serializes the rewrite and an
+       over-sized one schedules empty tasks (r12 ADVICE).
     """
     schema = _MAIN_SCHEMA.format(pay=id_col)
     main = spark.read.schema(schema).parquet(main_path)

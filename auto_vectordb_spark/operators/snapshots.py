@@ -282,6 +282,12 @@ def curriculum_pack_manifest(
     parallel streams (at 100 TB partition further by (stage, lang) exactly
     as training_pack_bins packs per language). NULL id/text rows fail the
     row (cleanvec doctrine).
+
+    ``id_col``/``text_col`` name INPUT columns only: quality_score
+    normalizes its output id to ``doc_id`` (textstats.py), so every
+    downstream reference here ("doc_id", "n_tokens") is schema-stable for
+    any ``id_col`` — the r12 ADVICE concern (hardcoded F.min("doc_id")
+    failing under a non-default id_col) cannot occur past that projection.
     """
     from pyspark.sql.window import Window
 

@@ -392,7 +392,11 @@ def run_ab(ref: str) -> None:
             "head_over_ref": round(med["head"] / med["ref"], 3) if med["ref"] else None,
             "sf": runs["head"][0].get("sf"),
         }
-        if med_v2:
+        # Both keys required (r12 ADVICE): a ref tree predating HEADLINE_V2
+        # yields med_v2 == {"head": ...}, which is truthy — indexing "ref"
+        # would KeyError after all reps ran and before BENCH_AB.json was
+        # written, losing the whole A/B run.
+        if "ref" in med_v2 and "head" in med_v2:
             verdict["ref_median_v2"] = med_v2["ref"]
             verdict["head_median_v2"] = med_v2["head"]
             verdict["head_over_ref_v2"] = (
