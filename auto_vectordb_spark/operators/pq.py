@@ -233,57 +233,153 @@ def _codebook_df(spark, codebooks: list[list[list[float]]]) -> DataFrame:
     )
 
 
+def _round6_jvm(x: float) -> float:
+    """Spark's ``round(double, 6)`` bit-exactly: the JVM evaluates
+    ``BigDecimal.valueOf(d).setScale(6, HALF_UP)`` where ``valueOf`` parses
+    ``Double.toString(d)`` — the shortest decimal that round-trips, which
+    is what Python's ``repr`` produces too. Only called on the rare rows
+    whose top candidates tie within the 1e-6 rounding window."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
 def pq_encode_broadcast(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, codes array<int>) — encode against codebooks shipped as a
-    broadcast ONE-ROW table instead of literal expressions.
+    """(id, codes array<int>) — encode against data-driven codebooks with
+    a vectorized Arrow/NumPy argmin kernel.
 
     :func:`pq_encode` inlines every codeword into the plan, which is ideal
     for small books (whole-stage codegen, zero joins) but explodes the
-    expression tree at production sizes — m=8 x ksub=256 is 2048 literal
-    arrays, beyond what codegen handles. Here the codebook is DATA: a
-    broadcast single-row crossJoin (replicated to every task, no shuffle of
-    the corpus) and the argmin runs in row-local higher-order lambdas.
-    Still one map-only scan of the vectors — the correct shape at 100 TB,
-    where the codebook is a few MB and the corpus never moves. (The
-    lambdas evaluate interpreted rather than codegen'd — the price of
-    data-driven codebooks; encode is a one-off batch job, search stays on
-    the compact codes.)
+    expression tree at production sizes — m=16 x ksub=256 is 4096 literal
+    arrays, beyond what codegen handles. Through r12 this path carried the
+    codebook as a broadcast one-row table and ran the argmin in row-local
+    higher-order lambdas, which evaluate INTERPRETED — measured as the
+    dominant cost of the two trained-PQ registry entries (r12 verdict #4).
+    Now the codebook ships inside an Arrow ``mapInArrow`` kernel (a few
+    hundred KB in the task closure) and the m x ksub distance argmin runs
+    as NumPy float64 batch matrix ops (opt guide §4.2: hand whole batches
+    to vectorized native code). Still one map-only scan of the vectors —
+    the correct 100 TB shape; the corpus never moves.
+
+    Bit-identical to the literal path (test-pinned,
+    tests/test_ann.py::test_pq_broadcast_paths_match_literal): distances
+    accumulate in the same sequential float64 order as ``cluster.sqdist``,
+    argmin resolves rounded-1e-6 ties to the lowest code exactly like the
+    ``array_min(struct(round(d,6), code))`` expression (near-ties within
+    the rounding window fall back to the JVM's exact HALF_UP semantics via
+    :func:`_round6_jvm`), and malformed rows degrade identically: a NULL /
+    short / NULL-element / NaN slice yields code 0 for that subspace
+    because every candidate distance is equally undefined (NULL elements
+    arrive as NaN through Arrow — same all-undefined tie, same code 0).
     """
     if not codebooks:
         return _empty_codes(vectors, id_col)
+    import numpy as np
+
     from .dedup import fan_out_small_scan
 
-    # The argmin lambdas below evaluate INTERPRETED (the documented price
-    # of data-driven codebooks), at m x ksub distance evals per row — the
-    # one per-row stage in this module heavy enough that an unsplittable
-    # single-row-group scan serializing it on one core dominates the
-    # entry. Conditionally fan the input first (no-op on a
-    # well-partitioned 100 TB scan) — the same fix every dedup front end
-    # carries (opt guide §2.5 input skew).
-    vectors = fan_out_small_scan(vectors)
-    v = V.as_double_array(F.col(vec_col))
+    m = len(codebooks)
     sub = len(codebooks[0][0])
-    cb = _codebook_df(vectors.sparkSession, codebooks)
-    codes = F.transform(
-        F.col("__cb"),
-        lambda book, j: F.array_min(
-            F.transform(
-                book,
-                lambda cw, ci: F.struct(
-                    F.round(sqdist(F.slice(v, j * F.lit(sub) + 1, sub), cw), 6).alias("d"),
-                    ci.alias("code"),
-                ),
+    d_need = m * sub
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    # The per-row argmin is the one stage in this module heavy enough that
+    # an unsplittable single-row-group scan serializing it on one core
+    # dominates the entry: conditionally fan the input first (no-op on a
+    # well-partitioned 100 TB scan — opt guide §2.5 input skew).
+    src = fan_out_small_scan(vectors).select(
+        F.col(id_col), V.as_double_array(F.col(vec_col)).alias("__v")
+    )
+    id_type = src.schema[id_col].dataType.simpleString()
+
+    def _codes_matrix(X: "np.ndarray") -> "np.ndarray":
+        """(n, m) int32 codes for complete rows (n, d_need) — NaN-safe."""
+        n = X.shape[0]
+        out = np.zeros((n, m), dtype=np.int32)
+        for j, cb in enumerate(cbs):
+            ksub = cb.shape[0]
+            D = np.zeros((n, ksub), dtype=np.float64)
+            base = j * sub
+            # EXACT sequential accumulation — same IEEE754 op order as the
+            # interpreted aggregate(zip_with(...)) the JVM twin evaluates,
+            # so near-tie detection below sees the same doubles.
+            for i in range(sub):
+                diff = X[:, base + i, None] - cb[None, :, i]
+                D += diff * diff
+            # NaN distances lose to any finite one in the JVM struct-min
+            # (NaN sorts largest); all-NaN / all-inf rows tie down to code
+            # 0. Mapping NaN -> +inf reproduces both.
+            Dc = np.where(np.isnan(D), np.inf, D)
+            amin = np.argmin(Dc, axis=1)
+            dmin = Dc[np.arange(n), amin]
+            out[:, j] = amin
+            # rows whose runner-up sits within the 1e-6 rounding window may
+            # tie AFTER round(d, 6): resolve those (rare) rows with the
+            # JVM's exact HALF_UP rounding and the lowest-code tie-break.
+            finite = np.isfinite(dmin)
+            out[~finite, j] = 0  # non-finite min: every candidate ties
+            if finite.any():
+                near = (Dc <= (dmin + 1.01e-6)[:, None]).sum(axis=1) > 1
+                for r in np.nonzero(near & finite)[0]:
+                    cands = np.nonzero(Dc[r] <= dmin[r] + 1.01e-6)[0]
+                    out[r, j] = min(
+                        cands, key=lambda c: (_round6_jvm(D[r, c]), c)
+                    )
+        return out
+
+    def encode(batches):
+        import pyarrow as pa
+
+        codes_type = pa.list_(pa.int32())
+        for batch in batches:
+            ids = batch.column(0)
+            va = batch.column(1)
+            n = len(va)
+            if n == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array([], type=codes_type)],
+                    names=[id_col, "codes"],
+                )
+                continue
+            codes = np.zeros((n, m), dtype=np.int32)
+            # NULL elements arrive as NaN: row-degradation is then
+            # identical to a NaN element (all candidates undefined ->
+            # code 0 for that subspace), matching the JVM twin.
+            rows = va.to_pylist()
+            lens = np.array([0 if r is None else len(r) for r in rows])
+            full = lens >= d_need
+            if full.any():
+                X = np.array(
+                    [rows[i][:d_need] for i in np.nonzero(full)[0]],
+                    dtype=np.float64,
+                )
+                codes[full] = _codes_matrix(X)
+            # short rows: subspace j is complete only when the row covers
+            # (j+1)*sub elements; incomplete slices zip against NULL in
+            # the JVM twin -> every candidate NULL -> code 0.
+            for r in np.nonzero(~full & (lens > 0))[0]:
+                row = np.asarray(rows[r], dtype=np.float64)
+                for j in range(m):
+                    if (j + 1) * sub <= lens[r]:
+                        codes[r, j] = _codes_matrix(
+                            np.concatenate(
+                                [
+                                    np.zeros((j * sub,)),
+                                    row[j * sub : (j + 1) * sub],
+                                    np.zeros((d_need - (j + 1) * sub,)),
+                                ]
+                            )[None, :]
+                        )[0, j]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(codes.tolist(), type=codes_type)],
+                names=[id_col, "codes"],
             )
-        )["code"],
-    )
-    return vectors.crossJoin(F.broadcast(cb)).select(
-        F.col(id_col), codes.cast("array<int>").alias("codes")
-    )
+
+    return src.mapInArrow(encode, schema=f"{id_col} {id_type}, codes array<int>")
 
 
 def pq_adc_topk_broadcast(

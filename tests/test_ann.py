@@ -340,6 +340,40 @@ def test_pq_broadcast_paths_match_literal(queries, emb):
     assert ta == tb
 
 
+def test_pq_arrow_kernel_tie_cases_match_literal(spark):
+    """The Arrow encode kernel's near-tie fallback must resolve rounded
+    1e-6 distance ties exactly like the literal expression path
+    (array_min over struct(round(d, 6), code)): sweep vectors through the
+    midpoint of two codewords in sub-1e-6 steps — raw argmin flips sides
+    mid-window while the rounded argmin holds the lowest code — plus
+    malformed rows (NULL / short / NULL-element / NaN), which must
+    degrade to code 0 per incomplete subspace on both paths."""
+    from auto_vectordb_spark.operators import pq as PQ
+
+    books = [[[0.0, 0.0], [1.0, 1.0]], [[0.0, 0.0], [2.0, 2.0]]]
+    rows = [
+        (k, [0.5 + k * 1e-7, 0.5 + k * 1e-7, 1.0 + k * 1e-7, 1.0 + k * 1e-7])
+        for k in range(-12, 13)
+    ]
+    rows += [
+        (100, [0.5, 0.5, 1.0, 1.0]),          # exact midpoint tie
+        (101, None),                           # NULL vector
+        (102, []),                             # empty
+        (103, [0.9, 0.9]),                     # short: subspace 1 incomplete
+        (104, [0.9, None, 1.9, 1.9]),          # NULL element
+        (105, [float("nan"), 0.9, 1.9, 1.9]),  # NaN element
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lit = {r["vec_id"]: list(r["codes"]) for r in PQ.pq_encode(df, books).collect()}
+    brd = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode_broadcast(df, books).collect()
+    }
+    # the literal path NULLs malformed subspaces differently only in carrier,
+    # never in value — the kernel must agree row by row
+    assert brd == lit
+
+
 def test_trained_pq_recall_gate(spark, queries, emb):
     """Trained-codebook PQ at the production DEFAULT knobs (m=16, ksub=256
     MLlib KMeans, broadcast data-driven path — what knn_pq_adc_trained /

@@ -19,6 +19,7 @@ complement of the rotating-window honesty guard in tools/next_window.py).
 
 from __future__ import annotations
 
+import gc
 import json as _json
 import math
 import sys
@@ -88,10 +89,34 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 
+    # Warm the session BEFORE the timed loop (r12 verdict #8): the first
+    # registry entry otherwise absorbs the one-time costs — JVM/codegen
+    # warm-up, first parquet footer reads, load_views setup — which made
+    # o1_sort_limit (registry entry #0, a TakeOrderedAndProject plan)
+    # read as "6.3 s" in PARITY_LOCAL_r12 and poisoned the sweep's value
+    # as a profiling signal. One cheap action per base view; the
+    # per-entry `seconds` below are unchanged in meaning (spark collect +
+    # oracle + gates), just no longer contaminated by startup.
+    from auto_vectordb_spark.plans.parity import load_views
+
+    for _df in load_views(spark, sf).values():
+        _df.limit(1).count()
+
     failures = []
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
+        # Same per-entry hygiene bench.py adopted in r12: py4j releases a
+        # JVM DataFrame/RDD only after its Python proxy is collected, so
+        # dead proxies from earlier entries keep persisted/localCheckpointed
+        # blocks alive and late entries pay eviction/GC pressure for the
+        # whole sweep's leftovers (r12 sweep showed split_manifest_consumed
+        # at "11.1 s" vs ~2.3 s in a clean warm session — the structure was
+        # fine, the signal was contaminated). Collect Python first, then
+        # JVM, then drop caches — all OUTSIDE the per-entry timer.
+        gc.collect()
+        spark._jvm.System.gc()  # noqa: SLF001
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = q.spark(spark, sf)

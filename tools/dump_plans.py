@@ -1,11 +1,12 @@
-"""Dump .explain("formatted") for named registry queries to plans/r12/.
+"""Dump .explain("formatted") for named registry queries to plans/<round>/.
 
 Usage: python tools/dump_plans.py <suffix> [query ...]
        (default query set = both bench suites)
 
-Writes plans/r12/<query>_<suffix>.txt for each query. The bench's sf dir is
-taken from $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) so the plan
-matches what the bench times.
+Writes plans/<round>/<query>_<suffix>.txt for each query, where <round> is
+$SPARK_GRAFT_PLANS_ROUND (default "r13"). The bench's sf dir is taken from
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) so the plan matches what
+the bench times.
 """
 
 from __future__ import annotations
@@ -28,7 +29,9 @@ def main() -> int:
         names = [*HEADLINE, *HEADLINE_V2]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r13"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="dump_plans")
