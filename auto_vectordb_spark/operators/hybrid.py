@@ -66,22 +66,36 @@ def fuse_rrf(
 ) -> DataFrame:
     """Reciprocal-rank fusion: score = Σ 1/(rrf_k + rank_leg). The fusion the
     reference's comment promises (elasticsearch_index.py:222) but never ships.
-    """
-    def ranked(df: DataFrame, leg: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-        return df.select(
-            "query_id", "doc_id", F.row_number().over(w).alias(f"rank_{leg}")
-        )
 
-    b, v = ranked(bm25_scores, "b"), ranked(knn_scores, "v")
-    fused = b.join(v, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        (
-            F.when(F.col("rank_b").isNotNull(), 1.0 / (rrf_k + F.col("rank_b"))).otherwise(0.0)
-            + F.when(F.col("rank_v").isNotNull(), 1.0 / (rrf_k + F.col("rank_v"))).otherwise(0.0)
-        ).alias("score"),
+    ONE exchange fuses both legs (opt guide §2.4, r12 verdict #7): the legs
+    union with a leg tag and repartition by query_id once; the per-leg rank
+    window (PARTITION BY query_id, leg), the per-(query_id, doc_id) sum and
+    the final top-k window are all satisfied by that partitioning (Spark's
+    ClusteredDistribution accepts a subset partitioning), so no further
+    shuffle exists in the fusion. The r12 shape ranked each leg behind its
+    own exchange and aligned them with a full-outer sort-merge join — two
+    exchanges plus a join sort, all replaced by one map-side-combinable
+    aggregate. Scores are bit-identical: row_number per (query_id, leg)
+    equals the per-leg rank, IEEE addition of the two leg terms is
+    commutative, and a single-leg doc contributes its term exactly as the
+    old COALESCE(…, 0) did.
+    """
+    tagged = bm25_scores.select(
+        "query_id", "doc_id", "score", F.lit("b").alias("__leg")
+    ).unionByName(
+        knn_scores.select("query_id", "doc_id", "score", F.lit("v").alias("__leg"))
     )
+    w = Window.partitionBy("query_id", "__leg").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    contrib = (
+        tagged.repartition("query_id")
+        .select("query_id", "doc_id", F.row_number().over(w).alias("__r"))
+        .select(
+            "query_id", "doc_id", (1.0 / (rrf_k + F.col("__r"))).alias("__c")
+        )
+    )
+    fused = contrib.groupBy("query_id", "doc_id").agg(F.sum("__c").alias("score"))
     return top_k_per_group(fused, ["query_id"], "score", k, tie_break="doc_id")
 
 
