@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..functions import cleanvec as CV
 from ..functions import vector as V
+from ..session import release_materialized
 
 # per-element quantization for exact (order-independent) centroid means:
 # embeddings are unit-scale floats, 1e7 keeps 7 decimals in int64 with room
@@ -183,9 +184,11 @@ def lloyd(
         # ADVICE): relying on Python GC + the async ContextCleaner lets
         # per-iteration corpus copies pile up in executor storage over many
         # rounds. The new checkpoint is already materialized (eager=True),
-        # so nothing still reads the old one.
+        # so nothing still reads the old one. (session.release_materialized
+        # unpersists the plan's INTERNAL RDD — df.rdd.unpersist would be a
+        # measured no-op on a localCheckpoint.)
         if prev_joined is not None:
-            prev_joined.rdd.unpersist(False)
+            release_materialized(prev_joined)
         prev_joined = joined
         stats = centroid_means_exact(joined, "cluster_id", vec_col)
         agg = joined.agg(F.sum(F.round(F.col("dist") * 1_000_000).try_cast("long")).alias("qi"))
@@ -196,7 +199,7 @@ def lloyd(
         centroids = [new.get(i, centroids[i]) for i in range(len(centroids))]
     out = assign_centroids(vectors, centroids, vec_col=vec_col, id_col=id_col)
     if prev_joined is not None:
-        prev_joined.rdd.unpersist(False)
+        release_materialized(prev_joined)
     return out, centroids, inertia
 
 

@@ -64,14 +64,21 @@ from pyspark.sql import functions as F
 from .incremental import SESSION_GAP_US, _cents, scd2_state, session_state, topk_state
 
 
-def rollup_state_r(events: DataFrame) -> DataFrame:
+def rollup_state_r(events: DataFrame, extra_keys: tuple[str, ...] = ()) -> DataFrame:
     """Retract-capable hourly rollup state: (window_start, event_type,
     n_events, n_vals, sum_cents). Identical to incremental.hourly_rollup
     plus ``n_vals`` — the count of non-NULL measure rows, the extra
     integer that makes the state an exact GROUP element (see module
-    docstring: without it, all-NULL-survivor groups finalize wrong)."""
+    docstring: without it, all-NULL-survivor groups finalize wrong).
+
+    ``extra_keys`` adds grouping columns (appended after event_type in the
+    output) so a caller can split ONE pass over a mixed batch by a tag
+    column — e.g. the CDC apply loop groups by the op column and derives
+    both its upsert and its delete partials from the same aggregate
+    (int64 partials regroup exactly, so filtering the tagged aggregate
+    equals aggregating each filtered slice). Default unchanged."""
     return (
-        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type", *extra_keys)
         .agg(
             F.count("*").alias("n_events"),
             F.count("value").alias("n_vals"),
@@ -82,6 +89,7 @@ def rollup_state_r(events: DataFrame) -> DataFrame:
                 "window_start"
             ),
             "event_type",
+            *extra_keys,
             "n_events",
             "n_vals",
             "sum_cents",
@@ -264,26 +272,41 @@ def bm25_index_append(
     (doc_id, dl, epoch)), for backfills and batch re-index jobs that
     share an index dir with the stream. Re-appending a doc at a higher
     epoch logically overwrites it (latest-epoch-wins readers)."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..functions.text import tokenize
 
     b = docs.dropDuplicates([id_col])
     toks = tokenize(F.col(text_col))
     base = b.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-    (
-        base.select("doc_id", F.explode("__toks").alias("term"))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .withColumn("epoch", F.lit(epoch).cast("long"))
-        .write.mode("append")
-        .parquet(f"{index_dir}/postings")
-    )
-    (
-        base.select("doc_id", F.size("__toks").alias("dl"))
-        .filter(F.col("dl") > 0)
-        .withColumn("epoch", F.lit(epoch).cast("long"))
-        .write.mode("append")
-        .parquet(f"{index_dir}/doc_lens")
-    )
+
+    def write_postings():
+        (
+            base.select("doc_id", F.explode("__toks").alias("term"))
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+            .withColumn("epoch", F.lit(epoch).cast("long"))
+            .write.mode("append")
+            .parquet(f"{index_dir}/postings")
+        )
+
+    def write_doc_lens():
+        (
+            base.select("doc_id", F.size("__toks").alias("dl"))
+            .filter(F.col("dl") > 0)
+            .withColumn("epoch", F.lit(epoch).cast("long"))
+            .write.mode("append")
+            .parquet(f"{index_dir}/doc_lens")
+        )
+
+    # The two artifact writes are independent jobs over the same lazy
+    # tokenized projection (different output dirs, no shared state):
+    # overlap them so the doc_lens job back-fills executor cores idled by
+    # the postings job's shuffle tail (opt guide §2.6) instead of paying
+    # two sequential batch passes end to end.
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        for f in [pool.submit(write_postings), pool.submit(write_doc_lens)]:
+            f.result()
 
 
 def bm25_delete_docs(

@@ -56,3 +56,33 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_materialized(df) -> None:
+    """Free the storage blocks behind a materialized DataFrame, whichever
+    way it was materialized:
+
+    - ``persist()``/``cache()``: ``Dataset.unpersist`` drops the
+      CacheManager entry and its blocks.
+    - ``localCheckpoint()``: the blocks belong to the INTERNAL RDD the
+      plan wraps (``LogicalRDD``). ``Dataset.unpersist`` does not touch
+      them, and ``df.rdd.unpersist`` unpersists a fresh conversion RDD,
+      not the materialized one — measured: storage unchanged. Unpersist
+      the plan's RDD directly.
+
+    Best-effort by design (wrong-shape plans are left to the async
+    ContextCleaner, which eventually frees them once the Python proxy is
+    collected): operators call this when a corpus-sized working set has
+    served every consumer, so blocks never pile up across iterations or
+    outlive the operator call.
+    """
+    try:
+        df.unpersist(False)
+    except Exception:  # noqa: BLE001 — release is best-effort hygiene
+        pass
+    try:
+        node = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        if node.getClass().getSimpleName() == "LogicalRDD":
+            node.rdd().unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass

@@ -89,15 +89,35 @@ def apply_cdc_batch(
     """Absorb ONE change batch into the versioned rollup state (the
     foreachBatch body, exposed for batch callers and tests). Rows with
     any other ``op`` value than 'upsert'/'delete' are rejected loudly —
-    a malformed changefeed must not silently drop changes."""
-    ops = [r[0] for r in batch.select(op_col).distinct().collect()]
+    a malformed changefeed must not silently drop changes.
+
+    ONE pass over the batch (opt guide §2.4, r12 verdict #6): the r12
+    shape scanned the batch three times — an op-validation
+    distinct().collect(), the upsert-side aggregate inside
+    rollup_merge_r, and the delete-side aggregate inside rollup_retract.
+    Now a single grouped pass with the op column in the key produces the
+    tagged state-sized delta (materialized once — state-sized, the
+    artifact this loop persists anyway); op validation reads the delta's
+    key column and both partial sides filter it. Int64 partials regroup
+    exactly, so the result is bit-identical to
+    rollup_retract(rollup_merge_r(prev, ups), dels)."""
+    from ..operators.retraction import _rollup_add
+
+    delta = rollup_state_r(batch, extra_keys=(op_col,)).localCheckpoint(eager=True)
+    ops = [r[0] for r in delta.select(op_col).distinct().collect()]
     bad = [o for o in ops if o not in ("upsert", "delete")]
     if bad:
         raise ValueError(f"unknown CDC op values: {bad}")
-    ups = batch.where(F.col(op_col) == "upsert").drop(op_col)
-    dels = batch.where(F.col(op_col) == "delete").drop(op_col)
+    ups_p = delta.where(F.col(op_col) == "upsert").drop(op_col)
+    neg_p = delta.where(F.col(op_col) == "delete").select(
+        "window_start",
+        "event_type",
+        (-F.col("n_events")).alias("n_events"),
+        (-F.col("n_vals")).alias("n_vals"),
+        (-F.col("sum_cents")).alias("sum_cents"),
+    )
     prev = _state_before(spark, state_dir, epoch)
-    new = rollup_retract(rollup_merge_r(prev, ups), dels)
+    new = _rollup_add(_rollup_add(prev, ups_p), neg_p).where(F.col("n_events") > 0)
     new.write.mode("overwrite").parquet(f"{state_dir}/v{epoch:012d}")
     # prune old versions, always keeping everything >= the replay horizon
     # (the newest version below the one just written must survive so a
