@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import release_materialized
+
 
 def pagerank(
     edges: DataFrame,
@@ -61,7 +63,15 @@ def pagerank(
         # empty graph, not an error
         return nodes.select("node", F.lit(0.0).alias("rank"))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = e.join(out_deg, "src").localCheckpoint()
+    # Pre-partition the edge table by the join key ONCE (r13, guide §2.4):
+    # the per-iteration contribution join re-shuffled the EDGE table — the
+    # big side — every round when the rank side was too large to
+    # broadcast; a checkpoint preserves its outputPartitioning, so all
+    # ``iterations`` joins are satisfied without another edge exchange
+    # (ranks leave each round partitioned by node from the groupBy, which
+    # satisfies the rank side too). One exchange per iteration remains:
+    # the contribution groupBy(dst).
+    ed = e.join(out_deg, "src").repartition("src").localCheckpoint()
     dangling = nodes.join(
         out_deg.select(F.col("src").alias("node")), "node", "left_anti"
     ).localCheckpoint()
@@ -87,6 +97,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -98,6 +109,16 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        # the new round's ranks are materialized: release the previous
+        # round's blocks so iterations don't pile rank tables up in
+        # executor storage (same rule as cluster.lloyd; first round's
+        # `prev` is the un-checkpointed seed projection — a no-op)
+        release_materialized(prev)
+    # the returned frame is checkpointed; the loop inputs are not needed
+    # to recompute it
+    release_materialized(ed)
+    release_materialized(dangling)
+    release_materialized(nodes)
     return ranks
 
 

@@ -183,13 +183,24 @@ def _sub_argmin(subvec, codebook: list[list[float]], round_decimals: int = 6):
     return F.array_min(cands)
 
 
-def pq_encode(
+def pq_encode_exprs(
     vectors: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """(id, codes array<int>) — map-only encode against literal codebooks."""
+    """(id, codes array<int>) — map-only encode against LITERAL codebook
+    expressions: every codeword inlined as an array literal, the argmin as
+    nested array_min/struct expressions inside whole-stage codegen.
+
+    This is the teaching shape and the INDEPENDENT JVM-expression twin the
+    Arrow kernel's bit-identity tests compare against
+    (tests/test_ann.py::test_pq_broadcast_paths_match_literal). It is NOT
+    the default entry path: even at the small oracle knobs (m=4, ksub=16)
+    the 64 inlined sqdist aggregates cost ~3.8 s of driver-side ANALYSIS
+    per query — a fixed planning cost that dwarfs execution on anything
+    but huge inputs (opt guide §7.3 "very large plans") — measured r13,
+    which is why :func:`pq_encode` routes through the Arrow kernel."""
     if not codebooks:
         return _empty_codes(vectors, id_col)
     v = V.as_double_array(F.col(vec_col))
@@ -201,6 +212,23 @@ def pq_encode(
         ]
     )
     return vectors.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, codes array<int>) — map-only encode. Delegates to the Arrow
+    kernel (:func:`pq_encode_broadcast`), which is test-pinned
+    bit-identical to the literal expression twin
+    (:func:`pq_encode_exprs`) including rounded-tie and malformed-row
+    cases, and avoids the expression twin's measured ~3.8 s per-query
+    driver ANALYSIS cost (r13; the plan inlined one sqdist aggregate per
+    codeword). Oracle hashes for pq_encode / knn_pq_adc / knn_ivf_pq
+    re-attested at all three SFs after the switch."""
+    return pq_encode_broadcast(vectors, codebooks, vec_col=vec_col, id_col=id_col)
 
 
 def _empty_codes(vectors: DataFrame, id_col: str) -> DataFrame:
@@ -532,7 +560,27 @@ def pq_adc_topk(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
 ) -> DataFrame:
-    """(query_id, vec_id, adist) — asymmetric-distance top-k.
+    """(query_id, vec_id, adist) — asymmetric-distance top-k. Delegates to
+    the data-driven twin (:func:`pq_adc_topk_broadcast`), test-pinned
+    bit-identical, for the same reason :func:`pq_encode` does: the literal
+    distance-table expressions cost seconds of driver ANALYSIS per query
+    (one sqdist tree per codeword) regardless of data size (r13)."""
+    return pq_adc_topk_broadcast(
+        queries, codes, codebooks, k=k, query_vec=query_vec, corpus_id=corpus_id
+    )
+
+
+def pq_adc_topk_exprs(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, adist) — asymmetric-distance top-k with LITERAL
+    distance-table expressions (the independent JVM twin, see
+    :func:`pq_encode_exprs` for why it is not the default path).
 
     The query side gains m literal distance-table columns (query subvector
     vs every codeword, quantized int64); the broadcast crossJoin then scores
@@ -563,8 +611,35 @@ def ivf_pq_topk(
     query_vec: str = "embedding",
     corpus_id: str = "vec_id",
 ) -> DataFrame:
+    """IVF-PQ top-k. Delegates to the data-driven twin
+    (:func:`ivf_pq_topk_broadcast`), test-pinned bit-identical, for the
+    same driver-analysis-cost reason as :func:`pq_encode` (r13)."""
+    return ivf_pq_topk_broadcast(
+        queries,
+        codes_indexed,
+        centroids,
+        codebooks,
+        k=k,
+        nprobe=nprobe,
+        query_vec=query_vec,
+        corpus_id=corpus_id,
+    )
+
+
+def ivf_pq_topk_exprs(
+    queries: DataFrame,
+    codes_indexed: DataFrame,
+    centroids: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    query_vec: str = "embedding",
+    corpus_id: str = "vec_id",
+) -> DataFrame:
     """IVF-PQ: coarse cell pruning + compressed ADC scoring — the standard
-    billion-scale ANN tier (Jégou et al. 2011 §V, IVFADC).
+    billion-scale ANN tier (Jégou et al. 2011 §V, IVFADC). LITERAL
+    distance-table twin — see :func:`pq_encode_exprs` for why it is not
+    the default path.
 
     ``codes_indexed``: (vec_id, centroid_id, codes) — :func:`pq_encode`
     joined with knn.ivf_build's cell assignment (at scale: written

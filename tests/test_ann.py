@@ -322,22 +322,43 @@ def test_pq_broadcast_paths_match_literal(queries, emb):
     from auto_vectordb_spark.operators import pq as PQ
 
     books = PQ.pq_codebooks_seed(emb, m=4, ksub=16)
-    lit = {r["vec_id"]: list(r["codes"]) for r in PQ.pq_encode(emb, books).collect()}
+    lit = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode_exprs(emb, books).collect()
+    }
     brd = {
         r["vec_id"]: list(r["codes"])
         for r in PQ.pq_encode_broadcast(emb, books).collect()
     }
     assert lit == brd
-    codes = PQ.pq_encode(emb, books)
+    codes = PQ.pq_encode_exprs(emb, books)
     ta = sorted(
         (r["query_id"], r["vec_id"], r["adist"])
-        for r in PQ.pq_adc_topk(queries, codes, books, k=K).collect()
+        for r in PQ.pq_adc_topk_exprs(queries, codes, books, k=K).collect()
     )
     tb = sorted(
         (r["query_id"], r["vec_id"], r["adist"])
         for r in PQ.pq_adc_topk_broadcast(queries, codes, books, k=K).collect()
     )
     assert ta == tb
+    # IVF-PQ twin pair too (same dtable arithmetic behind different carriers)
+    centroids = KNN.label_centroids(emb)
+    indexed = codes.join(
+        KNN.ivf_build(emb, centroids).select("vec_id", "centroid_id"), "vec_id"
+    )
+    ia = sorted(
+        (r["query_id"], r["vec_id"], r["adist"])
+        for r in PQ.ivf_pq_topk_exprs(
+            queries, indexed, centroids, books, k=K, nprobe=3
+        ).collect()
+    )
+    ib = sorted(
+        (r["query_id"], r["vec_id"], r["adist"])
+        for r in PQ.ivf_pq_topk_broadcast(
+            queries, indexed, centroids, books, k=K, nprobe=3
+        ).collect()
+    )
+    assert ia == ib
 
 
 def test_pq_arrow_kernel_tie_cases_match_literal(spark):
@@ -364,7 +385,10 @@ def test_pq_arrow_kernel_tie_cases_match_literal(spark):
         (105, [float("nan"), 0.9, 1.9, 1.9]),  # NaN element
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    lit = {r["vec_id"]: list(r["codes"]) for r in PQ.pq_encode(df, books).collect()}
+    lit = {
+        r["vec_id"]: list(r["codes"])
+        for r in PQ.pq_encode_exprs(df, books).collect()
+    }
     brd = {
         r["vec_id"]: list(r["codes"])
         for r in PQ.pq_encode_broadcast(df, books).collect()
@@ -516,8 +540,9 @@ def test_pq_empty_training_slice_degrades_end_to_end(spark):
     assert [f.name for f in codes.schema] == ["vec_id", "codes"]
     assert codes.schema["codes"].dataType.simpleString() == "array<int>"
     assert PQ.pq_encode_broadcast(empty, []).collect() == []
+    assert PQ.pq_encode_exprs(empty, []).collect() == []
 
-    for fn in (PQ.pq_adc_topk, PQ.pq_adc_topk_broadcast):
+    for fn in (PQ.pq_adc_topk, PQ.pq_adc_topk_exprs, PQ.pq_adc_topk_broadcast):
         out = fn(queries, codes, [])
         assert out.collect() == []
         assert [f.name for f in out.schema] == ["query_id", "vec_id", "adist"]
@@ -528,7 +553,7 @@ def test_pq_empty_training_slice_degrades_end_to_end(spark):
     idx = spark.createDataFrame(
         [], "vec_id long, centroid_id long, codes array<int>"
     )
-    for fn in (PQ.ivf_pq_topk, PQ.ivf_pq_topk_broadcast):
+    for fn in (PQ.ivf_pq_topk, PQ.ivf_pq_topk_exprs, PQ.ivf_pq_topk_broadcast):
         out = fn(queries, idx, cents, [])
         assert out.collect() == []
         assert [f.name for f in out.schema] == ["query_id", "vec_id", "adist"]
