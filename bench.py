@@ -228,8 +228,18 @@ def main() -> None:
     for _ in range(repeats):
         if all_runs:
             elapsed = time.perf_counter() - t_bench0
-            last = sum(all_runs[-1].values()) + sum(all_runs_v2[-1].values())
-            if elapsed + 1.5 * last > budget:
+            # Estimate the next repeat from the FASTEST completed repeat,
+            # not the last (r13): this host shows rare multi-x outlier
+            # episodes (documented since r12 — e.g. 34.8/96.0/38.5 s
+            # repeats of one tree); estimating from an outlier repeat
+            # blocked exactly the recovery repeat that would have kept the
+            # median sane (median of [26.8, 98.6] = 62.7 observed). For
+            # genuinely slow trees min == last and behavior is unchanged.
+            est = min(
+                sum(r.values()) + sum(r2.values())
+                for r, r2 in zip(all_runs, all_runs_v2)
+            )
+            if elapsed + 1.5 * est > budget:
                 break
         # Repeats must be cold-cache: entries that persist() intermediates
         # (training_set_build's survivors table) would otherwise hand later
