@@ -170,9 +170,20 @@ def _relayout_inputs(spark, sf_dir: str, cpus: int) -> tuple[str, dict]:
     Runs ONCE per bench invocation, into a fresh tempdir, BEFORE the warm
     phase and outside every timed window; rows are byte-identical (ts
     columns are copied in their stored encoding — load_views normalizes
-    both). Nothing persists across invocations. Disable with
-    SPARK_GRAFT_MRG=0 for a single-row-group comparison run; the r13
-    optimization notes carry both numbers.
+    both). Nothing persists across invocations.
+
+    OPT-IN (SPARK_GRAFT_MRG=1), measured and left OFF by default: the
+    interleaved A/B against the r12-close tree read the relayed suite at
+    head/ref 1.23 (legacy) / 1.18 (v2) — the relayout's extra session
+    work and per-scan overheads cost more wall noise on this host than
+    the observability is worth inside the DRIVER's timed channel, and it
+    co-occurred with the host's outlier episodes twice (details in
+    OPTIMIZATION_r13.md §2/§2b). The scaling-observability need is
+    served instead by the always-on input_layout telemetry below: the
+    sidecar reports each table's bytes and ROW-GROUP count, which is the
+    true physical cap on scan parallelism (every driver table is one row
+    group, so ≈1 low/high-core ratios are input-capped, not evidence the
+    env var is ignored).
     """
     import glob
     import math
@@ -193,14 +204,51 @@ def _relayout_inputs(spark, sf_dir: str, cpus: int) -> tuple[str, dict]:
     return out_dir, layout
 
 
+def _input_layout(sf_dir: str) -> dict:
+    """Per-table physical-parallelism telemetry for the BENCH_DETAIL
+    sidecar (r12 verdict #2): bytes and parquet ROW-GROUP count per input
+    table. A single-row-group file scans as ONE task at any core count,
+    so when every table reports row_groups=1 the ≈1 low/high-core
+    per-query ratios are INPUT-capped — the evidence the driver's scaling
+    heuristic needs instead of suspecting $SPARK_GRAFT_CPUS is ignored
+    (session.py honors it; r12's suspect_cpus_ignored was a false alarm).
+    Metadata-only (parquet footers), never a data scan."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # noqa: BLE001 — telemetry must never kill the bench
+        return {}
+    out: dict = {}
+    for entry in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.basename(entry).removesuffix(".parquet")
+        try:
+            files = (
+                [entry]
+                if os.path.isfile(entry)
+                else sorted(glob.glob(os.path.join(entry, "*.parquet")))
+            )
+            out[name] = {
+                "bytes": sum(os.path.getsize(f) for f in files),
+                "files": len(files),
+                "row_groups": sum(
+                    pq.ParquetFile(f).metadata.num_row_groups for f in files
+                ),
+            }
+        except Exception:  # noqa: BLE001
+            out[name] = {"bytes": None, "files": None, "row_groups": None}
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
-    layout = None
-    if os.environ.get("SPARK_GRAFT_MRG", "1") not in ("0", "false", ""):
-        sf_dir, layout = _relayout_inputs(spark, sf_dir, cpus)
+    relayed = None
+    if os.environ.get("SPARK_GRAFT_MRG", "0") in ("1", "true"):
+        sf_dir, relayed = _relayout_inputs(spark, sf_dir, cpus)
+    layout = _input_layout(sf_dir)
     # Steady-state measurement: run every headline query once at the smallest
     # SF first so JVM/whole-stage-codegen compilation (several seconds,
     # one-time per plan shape) isn't charged to whichever query runs first.
@@ -294,16 +342,17 @@ def main() -> None:
         "runs_detail": runs_detail,
         "sf": sf,
         # scale-out observability (r12 verdict #2): the core count the
-        # session actually ran with and the per-table input split counts
-        # of the relayed inputs (None when SPARK_GRAFT_MRG=0), so the
-        # driver's scaling check can tell scan-bound queries from
-        # fixed-cost ones instead of suspecting the env var is ignored.
+        # session actually ran with and per-table bytes/file/row-group
+        # counts of the inputs ACTUALLY timed (the relayed copy when
+        # SPARK_GRAFT_MRG=1), so the driver's scaling check can tell
+        # input-capped parallelism from an ignored env var.
         "cpus": cpus,
         "input_layout": layout,
+        "relayout": relayed is not None,
     }
     _emit(compact, detail)
     spark.stop()
-    if layout is not None:
+    if relayed is not None:
         import shutil
 
         shutil.rmtree(sf_dir, ignore_errors=True)  # per-invocation tmp copy
