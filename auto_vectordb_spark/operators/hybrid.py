@@ -67,35 +67,36 @@ def fuse_rrf(
     """Reciprocal-rank fusion: score = Σ 1/(rrf_k + rank_leg). The fusion the
     reference's comment promises (elasticsearch_index.py:222) but never ships.
 
-    ONE exchange fuses both legs (opt guide §2.4, r12 verdict #7): the legs
-    union with a leg tag and repartition by query_id once; the per-leg rank
-    window (PARTITION BY query_id, leg), the per-(query_id, doc_id) sum and
-    the final top-k window are all satisfied by that partitioning (Spark's
-    ClusteredDistribution accepts a subset partitioning), so no further
-    shuffle exists in the fusion. The r12 shape ranked each leg behind its
-    own exchange and aligned them with a full-outer sort-merge join — two
-    exchanges plus a join sort, all replaced by one map-side-combinable
-    aggregate. Scores are bit-identical: row_number per (query_id, leg)
-    equals the per-leg rank, IEEE addition of the two leg terms is
-    commutative, and a single-leg doc contributes its term exactly as the
-    old COALESCE(…, 0) did.
+    Measured dead-end (r13 — don't retry): a "one-exchange" fusion (union
+    the legs with a leg tag, repartition by query_id once, rank per
+    (query_id, leg) window, per-(query_id, doc_id) sum — every stage
+    satisfied by the query_id partitioning) produced bit-identical rows
+    and 8 fewer Exchange nodes, but measured ~1.8x SLOWER warm on a bare
+    local[8] session at sf0.01 (2.7 s → 4.6-4.9 s; hybrid_fusion_ab
+    2.2x) and only in-band "better" at bench local[32] (A/B 0.88,
+    committed BENCH_AB.json): partitioning everything by query_id caps
+    the fusion's parallelism at the number of DISTINCT QUERIES (5 here —
+    5 non-empty tasks plus a 200-partition empty-task tail through three
+    stages), where this shape's two window exchanges spread by
+    (query_id, doc_id) hash instead. The one-exchange shape only wins
+    when the query batch is wide enough to fill the cluster — revisit if
+    fusion batches grow to thousands of queries per job.
     """
-    tagged = bm25_scores.select(
-        "query_id", "doc_id", "score", F.lit("b").alias("__leg")
-    ).unionByName(
-        knn_scores.select("query_id", "doc_id", "score", F.lit("v").alias("__leg"))
-    )
-    w = Window.partitionBy("query_id", "__leg").orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    contrib = (
-        tagged.repartition("query_id")
-        .select("query_id", "doc_id", F.row_number().over(w).alias("__r"))
-        .select(
-            "query_id", "doc_id", (1.0 / (rrf_k + F.col("__r"))).alias("__c")
+    def ranked(df: DataFrame, leg: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        return df.select(
+            "query_id", "doc_id", F.row_number().over(w).alias(f"rank_{leg}")
         )
+
+    b, v = ranked(bm25_scores, "b"), ranked(knn_scores, "v")
+    fused = b.join(v, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        (
+            F.when(F.col("rank_b").isNotNull(), 1.0 / (rrf_k + F.col("rank_b"))).otherwise(0.0)
+            + F.when(F.col("rank_v").isNotNull(), 1.0 / (rrf_k + F.col("rank_v"))).otherwise(0.0)
+        ).alias("score"),
     )
-    fused = contrib.groupBy("query_id", "doc_id").agg(F.sum("__c").alias("score"))
     return top_k_per_group(fused, ["query_id"], "score", k, tie_break="doc_id")
 
 
