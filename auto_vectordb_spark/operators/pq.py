@@ -281,7 +281,7 @@ def pq_encode_broadcast(
     """(id, codes array<int>) — encode against data-driven codebooks with
     a vectorized Arrow/NumPy argmin kernel.
 
-    :func:`pq_encode` inlines every codeword into the plan, which is ideal
+    :func:`pq_encode_exprs` inlines every codeword into the plan — ideal
     for small books (whole-stage codegen, zero joins) but explodes the
     expression tree at production sizes — m=16 x ksub=256 is 4096 literal
     arrays, beyond what codegen handles. Through r12 this path carried the
