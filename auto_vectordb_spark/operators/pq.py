@@ -266,10 +266,19 @@ def _round6_jvm(x: float) -> float:
     ``BigDecimal.valueOf(d).setScale(6, HALF_UP)`` where ``valueOf`` parses
     ``Double.toString(d)`` — the shortest decimal that round-trips, which
     is what Python's ``repr`` produces too. Only called on the rare rows
-    whose top candidates tie within the 1e-6 rounding window."""
-    from decimal import ROUND_HALF_UP, Decimal
+    whose top candidates tie within the 1e-6 rounding window. The explicit
+    wide context matches BigDecimal's arbitrary precision: an
+    overflow-magnitude embedding (1e30 elements -> ~1e60 distances, every
+    candidate bit-equal below the double's ulp) lands here, and the
+    default 28-digit context raised InvalidOperation on quantize —
+    the r13 dirty-mirror finding."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
 
-    return float(Decimal(repr(float(x))).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("1e-6"), rounding=ROUND_HALF_UP, context=Context(prec=340)
+        )
+    )
 
 
 def pq_encode_broadcast(

@@ -383,6 +383,12 @@ def test_pq_arrow_kernel_tie_cases_match_literal(spark):
         (103, [0.9, 0.9]),                     # short: subspace 1 incomplete
         (104, [0.9, None, 1.9, 1.9]),          # NULL element
         (105, [float("nan"), 0.9, 1.9, 1.9]),  # NaN element
+        (106, [1e30, 1e30, 1e30, 1e30]),       # overflow: ~1e60 distances
+        #   tie below the double's ulp -> the HALF_UP fallback must
+        #   quantize huge magnitudes like BigDecimal does (r13 dirty-
+        #   mirror finding: default Decimal context raised InvalidOperation)
+        (107, [-1e-30, -1e-30, -1e-30, -1e-30]),  # denormal-ish
+        (108, [1e154, 0.0, 1.9, 1.9]),         # squares to ~1e308, near DBL_MAX
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     lit = {
